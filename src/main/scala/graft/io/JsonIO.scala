@@ -1,0 +1,79 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Record IO for the engine: dual-format JSON readers with pinned
+  * schemas, and parquet/JSON sinks.
+  *
+  * Reference provenance: whole-file JSON array vs JSONL sniffing
+  * `base.py:8–18` (try array parse, fall back to line-delimited);
+  * alpaca schema contract `README.md:30`, `data/rawdata/readme.md:2–12`;
+  * sharegpt planned schema `data/rawdata/readme.md:14–27`; JSON sink
+  * `main.py:482`; parquet stage checkpoints replace the reference's
+  * tensor round-trips (`main.py:263,312–314`, `tensor2jsonl.py:37–48`).
+  *
+  * Scale posture: schemas are pinned (no inference pass over 100 TB);
+  * multiLine=false JSONL is splittable, so it parallelizes across
+  * executors — whole-file JSON arrays are NOT splittable and are only
+  * accepted for compatibility with small reference-style inputs.
+  */
+object JsonIO {
+
+  /** Alpaca single-turn record (`README.md:30`). */
+  val AlpacaSchema: StructType = StructType(Seq(
+    StructField("instruction", StringType, nullable = true),
+    StructField("input", StringType, nullable = true),
+    StructField("output", StringType, nullable = true)))
+
+  /** Sharegpt multi-turn record (`data/rawdata/readme.md:14–27`). */
+  val SharegptSchema: StructType = StructType(Seq(
+    StructField("conversation_id", StringType, nullable = true),
+    StructField("category", StringType, nullable = true),
+    StructField("conversation", ArrayType(StructType(Seq(
+      StructField("human", StringType, nullable = true),
+      StructField("assistant", StringType, nullable = true)))), nullable = true)))
+
+  /** Dual-format reader mirroring the reference's sniff (`base.py:8–18`):
+    * try the whole-file JSON array parse; if it yields only corrupt
+    * records, fall back to line-delimited JSONL. A pinned schema keeps
+    * both paths single-pass.
+    */
+  def readJsonAuto(spark: SparkSession, path: String,
+                   schema: StructType = AlpacaSchema): DataFrame = {
+    val corrupt = schema.add("_corrupt_record", StringType)
+    val asArray = spark.read.schema(corrupt)
+      .option("multiLine", "true").option("mode", "PERMISSIVE")
+      .json(path)
+    val arrayOk =
+      try asArray.limit(1).collect().headOption.exists(r =>
+        r.isNullAt(r.fieldIndex("_corrupt_record")))
+      catch { case _: Throwable => false }
+    val parsed =
+      if (arrayOk) asArray
+      else spark.read.schema(corrupt).option("mode", "PERMISSIVE").json(path)
+    parsed.where(parsed("_corrupt_record").isNull).drop("_corrupt_record")
+  }
+
+  def readAlpaca(spark: SparkSession, path: String): DataFrame =
+    readJsonAuto(spark, path, AlpacaSchema)
+
+  def readSharegpt(spark: SparkSession, path: String): DataFrame =
+    readJsonAuto(spark, path, SharegptSchema)
+
+  /** JSONL sink (reference S4 — the pretty-print indent is a driver
+    * nicety the engine drops; JSONL is the splittable form). */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Parquet stage checkpoint with existence check, replacing the
+    * reference's artifact-reuse flags (`main.py:124–126,312–314`):
+    * recompute only when the artifact is absent. */
+  def checkpoint(spark: SparkSession, df: => DataFrame, path: String): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val ok = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    if (!fs.exists(ok)) df.write.mode(SaveMode.Overwrite).parquet(path)
+    spark.read.parquet(path)
+  }
+}

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's selection core re-expressed relationally:
+  * per-cluster percentile-band filtering with small-group passthrough,
+  * stride (systematic) sampling, and labeled/unlabeled pool splits.
+  *
+  * Reference provenance: band filter `main.py:402–443` (thresholds via
+  * `np.percentile` `main.py:423–425`), small-group passthrough
+  * `main.py:417–420,432–436`, stride sampling `main.py:438–441`, index
+  * gather `main.py:461–479`, pool split `main.py:37–52,495–510`, row
+  * slice `main.py:157–159`.
+  *
+  * Scale posture: group thresholds are computed with a grouped
+  * aggregate and joined back via broadcast — NOT a global window.
+  * Cluster counts are tiny (k ≈ 3..1000) while rows are billions, so a
+  * `Window.partitionBy(cluster)` would funnel the whole table through k
+  * reducers; an aggregate+broadcast-join keeps the big side's
+  * partitioning intact and adds no extra shuffle at all.
+  */
+object Selection {
+
+  /** Per-group [lo, hi] percentile thresholds of `conf`, exact linear
+    * interpolation (matches `np.percentile` and DuckDB
+    * `quantile_cont`). Returns (group, lo_th, up_th, grp_n).
+    */
+  def groupThresholds(df: DataFrame, groupCol: String, confCol: String,
+                      lowPct: Double = 0.25, upPct: Double = 0.75): DataFrame =
+    df.groupBy(col(groupCol)).agg(
+      percentile(col(confCol), lit(lowPct)).as("lo_th"),
+      percentile(col(confCol), lit(upPct)).as("up_th"),
+      count(lit(1)).as("grp_n"))
+
+  /** Middle-confidence band filter with small-group passthrough
+    * (reference F1+F2): keep rows whose `conf` lies in the group's
+    * [p_low, p_up] band, or ALL rows of groups smaller than
+    * `minGroupSize`.
+    */
+  def percentileBand(df: DataFrame, groupCol: String, confCol: String,
+                     lowPct: Double = 0.25, upPct: Double = 0.75,
+                     minGroupSize: Long = 1): DataFrame = {
+    val th = groupThresholds(df, groupCol, confCol, lowPct, upPct)
+    df.join(broadcast(th), groupCol)
+      .where(col("grp_n") < minGroupSize ||
+        col(confCol).between(col("lo_th"), col("up_th")))
+      .drop("lo_th", "up_th", "grp_n")
+  }
+
+  /** Systematic (stride) sampling per group, preserving original order
+    * (reference K1): order rows of each group by `orderCol`, take every
+    * ceil(groupBand/n)-th row starting from the first, at most `n` per
+    * group. Groups smaller than `n` pass through whole.
+    *
+    * The window here partitions by group — acceptable because it runs
+    * AFTER band filtering on the selection candidate set; for huge
+    * groups swap `orderCol` for a pre-bucketed composite key.
+    */
+  def strideSample(df: DataFrame, groupCol: String, orderCol: String,
+                   n: Int): DataFrame = {
+    val w  = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+    val wn = Window.partitionBy(col(groupCol))
+    df.withColumn("_rn", row_number().over(w))
+      .withColumn("_cnt", count(lit(1)).over(wn))
+      // step = floor(len/n) (reference `main.py:438–441`, len//n), min 1
+      .withColumn("_step", greatest(floor(col("_cnt") / lit(n)), lit(1L)))
+      .where(col("_cnt") <= n ||
+        (((col("_rn") - 1) % col("_step")) === 0 &&
+          ((col("_rn") - 1) / col("_step")) < n))
+      .drop("_rn", "_cnt", "_step")
+  }
+
+  /** Gather selected rows back against the original table by id
+    * (reference J1) — a left-semi join, no row duplication. */
+  def gather(original: DataFrame, selectedIds: DataFrame, idCol: String): DataFrame =
+    original.join(selectedIds.select(idCol).distinct(), Seq(idCol), "left_semi")
+
+  /** Labeled/unlabeled pool split (reference J2): one semi and one anti
+    * join on the selected-id set. The selected set is small — broadcast
+    * it so the split is shuffle-free on the big pool. */
+  def poolSplit(pool: DataFrame, selectedIds: DataFrame, idCol: String)
+      : (DataFrame, DataFrame) = {
+    val ids = broadcast(selectedIds.select(idCol).distinct())
+    (pool.join(ids, Seq(idCol), "left_semi"),
+     pool.join(ids, Seq(idCol), "left_anti"))
+  }
+
+  /** Row-range slice [start, end) by a deterministic order column
+    * (reference S3; `-1` end = to the end). Spark has no implicit row
+    * order, so the contract requires an explicit ordering key.
+    */
+  def sliceRows(df: DataFrame, orderCol: String, start: Long, end: Long): DataFrame = {
+    val w = Window.orderBy(col(orderCol))
+    val withRn = df.withColumn("_rn", row_number().over(w) - 1)
+    val upper  = if (end < 0) withRn else withRn.where(col("_rn") < end)
+    upper.where(col("_rn") >= start).drop("_rn")
+  }
+
+  /** Sampling-strategy registry (reference K2, `main.py:57–69`): the
+    * evol_schedules strategies as order-by + limit plans. `metric` is
+    * any score column expression; KCenter lives in [[Similarity]].
+    */
+  def sampleByStrategy(df: DataFrame, strategy: String, n: Int,
+                       metric: Column, seed: Long = 0L): DataFrame =
+    strategy match {
+      case "RandomSampling"   => df.orderBy(rand(seed)).limit(n)
+      case "LeastConfidence"  => df.orderBy(metric.asc).limit(n)
+      case "MarginSampling"   => df.orderBy(metric.asc).limit(n)
+      case "EntropySampling"  => df.orderBy(metric.desc).limit(n)
+      case other => throw new IllegalArgumentException(s"unknown strategy $other")
+    }
+}

@@ -1,0 +1,334 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+
+/** The standard-engine relational surface (SURVEY.md §2b): scans,
+  * multi-way joins, grouped/rollup aggregation, windows, semi/anti
+  * joins, set ops, distinct, JSON extraction, time-bucketed event
+  * aggregation. All pure DataFrame plans — Catalyst supplies pushdown,
+  * pruning, broadcast-join selection and whole-stage codegen.
+  *
+  * Scale notes per query are inline; the shared rules:
+  *  - dimension tables (region/nation/customer/supplier/part) are
+  *    broadcast — no shuffle of the fact table for those joins;
+  *  - fact-fact joins (orders ⨝ lineitem) shuffle on the join key
+  *    once, and AQE handles skew at real scale;
+  *  - aggregation is partial (map-side) before the exchange because
+  *    all aggregates used are algebraic (sum/count/min/max).
+  */
+object RelationalQueries extends QueryModule {
+
+  /** Exact, order-independent sum of a money-like double: through
+    * DECIMAL and back, rounded to cents. The DECIMAL sum is exact in
+    * both engines; the final DECIMAL→DOUBLE cast can differ by 1 ulp
+    * between Spark (correctly-rounded BigDecimal) and DuckDB (int128
+    * scaling), so the last rounding step pins a shared grid far coarser
+    * than that noise. */
+  private def dsum(c: Column, scale: Int = 4): Column =
+    round(sum(c.cast(DecimalType(30, scale))).cast("double"), 2)
+
+  /** Mean of a money-like double, rounded to a 1e-6 grid (double
+    * division noise is ~1e-15 relative). */
+  private def davg(c: Column, scale: Int = 4): Column =
+    round(sum(c.cast(DecimalType(30, scale))).cast("double") / count(lit(1)), 6)
+
+  private def t(n: String)(implicit s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, n)
+
+  // ---------------------------------------------------------------- q1
+  /** TPC-H Q1-shaped pricing summary: one scan, grouped algebraic
+    * aggregates; only 5 columns read (check ReadSchema), filter pushed
+    * to parquet. */
+  private def q1(implicit s: SparkSession, dir: String): DataFrame =
+    t("lineitem")
+      .where(col("l_shipdate") <= lit("2000-01-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 8)
+          .as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax")), 12).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE), 2) AS sum_qty,
+      |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE), 2) AS sum_base_price,
+      |  ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))) AS DOUBLE), 2) AS sum_disc_price,
+      |  ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(30,12))) AS DOUBLE), 2) AS sum_charge,
+      |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+      |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(30,4))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q3
+  /** Shipping-priority: broadcast(customer) ⨝ orders shuffles nothing
+    * big; orders ⨝ lineitem is the one key shuffle; top-10 via
+    * TakeOrderedAndProject (no full sort of the aggregate). */
+  private def q3(implicit s: SparkSession, dir: String): DataFrame = {
+    val cust = t("customer").where(col("c_mktsegment") === "BUILDING")
+    val ord  = t("orders").where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li   = t("lineitem").where(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 8)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val q3Sql =
+    """SELECT l_orderkey, o_orderdate,
+      |  ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))) AS DOUBLE), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q5
+  /** Multi-way star join: all four dimensions broadcast; the only big
+    * exchange is orders ⨝ lineitem. */
+  private def q5(implicit s: SparkSession, dir: String): DataFrame =
+    t("lineitem")
+      .join(t("orders").where(col("o_orderdate") < lit("1999-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t("customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t("supplier")),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t("nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t("region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 8)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  private val q5Sql =
+    """SELECT r_name, n_name,
+      |  ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))) AS DOUBLE), 2) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE o_orderdate < TIMESTAMP '1999-01-01'
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  // ------------------------------------------------------- window topk
+  /** Per-customer top-3 orders by value: ranking window with a
+    * deterministic tie-break; partitions by a high-cardinality key so
+    * the window parallelizes. */
+  private def qWindowTopk(implicit s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t("orders")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  private val qWindowTopkSql =
+    """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders) x
+      |WHERE rk <= 3
+      |ORDER BY o_custkey, rk""".stripMargin
+
+  // --------------------------------------------------- running window
+  /** Analytic frame: per-supplier running quantity by ship date —
+    * exercises rowsBetween frames (reference has only ranking use). */
+  private def qWindowRunning(implicit s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t("lineitem")
+      .where(col("l_suppkey") <= 3)
+      .withColumn("running_qty",
+        sum(col("l_quantity").cast(DecimalType(30, 4))).over(w).cast("double"))
+      .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"), col("running_qty"))
+      .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"))
+  }
+
+  private val qWindowRunningSql =
+    """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) OVER (
+      |    PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+      |FROM lineitem WHERE l_suppkey <= 3
+      |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin
+
+  // ------------------------------------------------------------ rollup
+  /** Hierarchical rollup region → nation over customer balances.
+    * NULLS FIRST pinned on both sides (DuckDB defaults NULLS LAST). */
+  private def qRollup(implicit s: SparkSession, dir: String): DataFrame =
+    t("customer")
+      .join(broadcast(t("nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t("region")), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(dsum(col("c_acctbal")).as("total_bal"), count(lit(1)).as("n_cust"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+
+  private val qRollupSql =
+    """SELECT r_name, n_name,
+      |  ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE), 2) AS total_bal,
+      |  COUNT(*) AS n_cust
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
+
+  // --------------------------------------------------------- semi/anti
+  /** EXISTS / NOT EXISTS as left-semi and left-anti joins; the id set
+    * probed is the orders fact, aggregated to one row per kind. */
+  private def qSemiAnti(implicit s: SparkSession, dir: String): DataFrame = {
+    val cust = t("customer")
+    val ord  = t("orders")
+    val withO = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n")).select(lit("with_orders").as("kind"), col("n"))
+    val noO = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n")).select(lit("without_orders").as("kind"), col("n"))
+    withO.unionAll(noO).orderBy(col("kind"))
+  }
+
+  private val qSemiAntiSql =
+    """SELECT 'with_orders' AS kind, COUNT(*) AS n FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |UNION ALL
+      |SELECT 'without_orders' AS kind, COUNT(*) AS n FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY kind""".stripMargin
+
+  // ------------------------------------------------------------ setops
+  /** UNION / INTERSECT / EXCEPT over nation-key sets of customers vs
+    * suppliers, tagged and stacked. */
+  private def qSetops(implicit s: SparkSession, dir: String): DataFrame = {
+    val c = t("customer").select(col("c_nationkey").as("nk")).distinct()
+    val su = t("supplier").select(col("s_nationkey").as("nk")).distinct()
+    val both   = c.intersect(su).withColumn("kind", lit("both"))
+    val conly  = c.except(su).withColumn("kind", lit("customer_only"))
+    val sonly  = su.except(c).withColumn("kind", lit("supplier_only"))
+    both.unionAll(conly).unionAll(sonly)
+      .select(col("kind"), col("nk")).orderBy(col("kind"), col("nk"))
+  }
+
+  private val qSetopsSql =
+    """SELECT kind, nk FROM (
+      |  SELECT 'both' AS kind, nk FROM
+      |    (SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+      |  UNION ALL
+      |  SELECT 'customer_only' AS kind, nk FROM
+      |    (SELECT c_nationkey AS nk FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+      |  UNION ALL
+      |  SELECT 'supplier_only' AS kind, nk FROM
+      |    (SELECT s_nationkey AS nk FROM supplier EXCEPT SELECT c_nationkey FROM customer)
+      |) x ORDER BY kind, nk""".stripMargin
+
+  // ---------------------------------------------------------- distinct
+  /** Exact distinct counts per group (the HLL `approx_count_distinct`
+    * variant is benched separately — approx is not oracle-comparable). */
+  private def qDistinct(implicit s: SparkSession, dir: String): DataFrame =
+    t("orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus"))
+
+  private val qDistinctSql =
+    """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ------------------------------------------------------ json extract
+  /** JSON scalar extraction from the events.props string column —
+    * `get_json_object` stays codegen'd; a real pipeline would pin a
+    * `from_json` schema to parse once. */
+  private def qJsonExtract(implicit s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  private val qJsonExtractSql =
+    """SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ----------------------------------------------------- hourly window
+  /** Batch form of the tumbling-window event aggregation (the
+    * streaming twin with watermarking lives in graft.streaming). */
+  private def qHourlyEvents(implicit s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  private val qHourlyEventsSql =
+    """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE), 2) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  // ------------------------------------------------------- correlation
+  /** Scalar-function + conditional-aggregation breadth: per order
+    * priority, share of high-value orders and price stats. */
+  private def qCaseAgg(implicit s: SparkSession, dir: String): DataFrame =
+    t("orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("o_totalprice") > 100000.0, 1L).otherwise(0L)).as("n_big"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy(col("o_orderpriority"))
+
+  private val qCaseAggSql =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  SUM(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END) AS n_big,
+      |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE), 2) AS sum_price,
+      |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  override def queries: Seq[Q] = Seq(
+    Q("q1_pricing_summary", (s, d) => q1(s, d), Some(q1Sql)),
+    Q("q3_shipping_priority", (s, d) => q3(s, d), Some(q3Sql)),
+    Q("q5_local_supplier", (s, d) => q5(s, d), Some(q5Sql)),
+    Q("q_window_topk", (s, d) => qWindowTopk(s, d), Some(qWindowTopkSql)),
+    Q("q_window_running", (s, d) => qWindowRunning(s, d), Some(qWindowRunningSql)),
+    Q("q_rollup", (s, d) => qRollup(s, d), Some(qRollupSql)),
+    Q("q_semi_anti", (s, d) => qSemiAnti(s, d), Some(qSemiAntiSql)),
+    Q("q_setops", (s, d) => qSetops(s, d), Some(qSetopsSql)),
+    Q("q_distinct", (s, d) => qDistinct(s, d), Some(qDistinctSql)),
+    Q("q_json_extract", (s, d) => qJsonExtract(s, d), Some(qJsonExtractSql)),
+    Q("q_hourly_events", (s, d) => qHourlyEvents(s, d), Some(qHourlyEventsSql)),
+    Q("q_case_agg", (s, d) => qCaseAgg(s, d), Some(qCaseAggSql)))
+}

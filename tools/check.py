@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 tools/check.py [outDir] [sfDir]
+
+Reads each parquet result written by graft.Verify plus oracle_sql.json,
+runs the oracle SQL in DuckDB over the same sf tables, and compares:
+row count, column names, and a value hash computed over columns sorted
+by name (floats via repr; rows sorted) — strict superset of whatever
+the driver hashes, so an exact pass here implies a driver pass.
+"""
+import json, sys, glob, os
+import duckdb
+import pyarrow.parquet as pq
+
+outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_verify"
+sfdir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+def canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                vals.append(repr(v))
+            else:
+                vals.append(str(v))
+        out.append("|".join(vals))
+    return sorted(out)
+
+fails = 0
+for name in sorted(oracle):
+    path = f"{outdir}/{name}"
+    files = glob.glob(f"{path}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no spark result at {path}")
+        fails += 1
+        continue
+    spark_t = pq.read_table(files[0])
+    s_cols = spark_t.column_names
+    s_rows = [tuple(c[i].as_py() for c in spark_t.columns)
+              for i in range(spark_t.num_rows)]
+    try:
+        rel = con.sql(oracle[name])
+        d_cols = rel.columns
+        d_rows = rel.fetchall()
+    except Exception as e:
+        print(f"FAIL {name}: duckdb error: {str(e).splitlines()[0][:200]}")
+        fails += 1
+        continue
+    if sorted(s_cols) != sorted(d_cols):
+        print(f"FAIL {name}: columns spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        fails += 1
+        continue
+    if len(s_rows) != len(d_rows):
+        print(f"FAIL {name}: rows spark={len(s_rows)} duck={len(d_rows)}")
+        fails += 1
+        continue
+    cs, cd = canon(s_cols, s_rows), canon(d_cols, d_rows)
+    if cs != cd:
+        bad = [(a, b) for a, b in zip(cs, cd) if a != b][:3]
+        print(f"FAIL {name}: value mismatch, first diffs:")
+        for a, b in bad:
+            print(f"  spark: {a[:160]}\n  duck : {b[:160]}")
+        fails += 1
+        continue
+    print(f"OK   {name}: {len(s_rows)} rows")
+
+# rows-only queries (no oracle): just report
+for path in sorted(glob.glob(f"{outdir}/*")):
+    name = os.path.basename(path)
+    if name in oracle or name.endswith(".json") or not os.path.isdir(path):
+        continue
+    files = glob.glob(f"{path}/*.parquet")
+    n = pq.read_table(files[0]).num_rows if files else -1
+    print(f"ROWS {name}: {n} rows {'OK' if n > 0 else 'FAIL (empty)'}")
+    if n <= 0:
+        fails += 1
+
+print(f"\n{'ALL OK' if fails == 0 else f'{fails} FAILURES'}")
+sys.exit(1 if fails else 0)
