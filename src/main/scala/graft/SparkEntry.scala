@@ -11,7 +11,8 @@ import graft.queries._
   */
 object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
-    RelationalQueries)
+    RelationalQueries,
+    DataSQueries)
 
   private lazy val all: Seq[Q] = {
     val qs = modules.flatMap(_.queries)

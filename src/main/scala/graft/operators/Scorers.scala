@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFns
+
+/** The pluggable model-inference operator framework — the Spark-side
+  * shape of the reference's scorer pipelines.
+  *
+  * Reference provenance: the `fn(example, name) -> example` per-row
+  * score map contract (`main.py:277–298`, `README.md:28–39`); one-time
+  * model load per pipeline (`score_pipeline_lenth.py:33–34`,
+  * `score_pipeline_ifd.py:46–58`); reward scoring
+  * (`score_pipeline_rw.py:44–52`); whole-text perplexity + embedding
+  * (`get_info.py:69–83`, `main.py:229–231`); conditional span
+  * perplexity with per-token loss (`score_pipeline_ifd.py:78–103`);
+  * IFD ratio + guards (`score_pipeline_ifd.py:120–219`).
+  *
+  * Architecture: model-backed scoring is a `mapPartitions` over the
+  * record table with ONE backend init per partition — the reference's
+  * "driver → GPU per row" boundary becomes "executor → model per
+  * partition", which is the only shape that survives 1000 executors.
+  * Everything after the model call (ratios, guards, filters) is pure
+  * Catalyst columns, so stage 2 stays in whole-stage codegen.
+  *
+  * The shipped backend is a deterministic proxy (seeded splitmix-style
+  * hashing) so the full pipeline runs and is testable without GPUs;
+  * real LLM backends drop in behind the same trait.
+  */
+object Scorers {
+
+  /** A scoring model, initialized once per executor partition. */
+  trait ModelBackend extends Serializable {
+    /** Called once per partition before the first row. */
+    def init(): Unit = ()
+    /** Whole-text perplexity (reference `get_perplexity_and_embedding_whole_text`). */
+    def ppl(text: String): Double
+    /** Last-hidden-state embedding (reference emits 4096-dim; proxy emits `dim`). */
+    def embed(text: String): Array[Float]
+    /** Cross-encoder reward logit for (prompt, completion). */
+    def reward(prompt: String, completion: String): Double
+    /** Per-token NLL of `completion` conditioned on `prompt` (ragged). */
+    def tokenLoss(prompt: String, completion: String): Array[Double]
+  }
+
+  /** Deterministic proxy backend: seeded 64-bit mixing over the text,
+    * mapped into plausible score ranges. Stands in for the reference's
+    * Llama/Yi/deberta calls in CI and at any scale.
+    */
+  final class ProxyBackend(seed: Long, dim: Int = 64) extends ModelBackend {
+    private def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    private def h(s: String, salt: Long): Long = {
+      var x = seed ^ mix(salt)
+      var i = 0
+      while (i < s.length) {
+        x = x * 6364136223846793005L + s.charAt(i).toLong
+        i += 1
+      }
+      mix(x)
+    }
+    private def unit(x: Long): Double = (x >>> 11).toDouble / (1L << 53).toDouble
+
+    override def ppl(text: String): Double = 2.0 + 30.0 * unit(h(text, 1L))
+    override def embed(text: String): Array[Float] =
+      Array.tabulate(dim)(j => (2.0 * unit(h(text, 100L + j)) - 1.0).toFloat)
+    override def reward(prompt: String, completion: String): Double =
+      4.0 * unit(h(prompt + "" + completion, 2L)) - 2.0
+    override def tokenLoss(prompt: String, completion: String): Array[Double] = {
+      val toks = completion.trim.split("\\s+")
+      toks.zipWithIndex.map { case (t, i) =>
+        0.05 + 4.0 * unit(h(t, mix(h(prompt, 3L)) + i))
+      }
+    }
+  }
+
+  /** Analysis map (reference EP1 step 5): adds `ppl_ins_alone`,
+    * `emb_ins_alone` and `score_rw` columns in one pass. */
+  def withModelScores(df: DataFrame, textCol: String,
+                      make: () => ModelBackend): DataFrame = {
+    val schema = df.schema
+      .add("ppl_ins_alone", DoubleType)
+      .add("emb_ins_alone", ArrayType(FloatType))
+      .add("score_rw", DoubleType)
+    val idx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { it =>
+      val m = make(); m.init()
+      it.map { r =>
+        val t = if (r.isNullAt(idx)) "" else r.getString(idx)
+        Row.fromSeq(r.toSeq ++ Seq(m.ppl(t), m.embed(t), m.reward("", t)))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Cherry/IFD analysis map (reference EP1 cherry mode + P6): per-token
+    * losses for the answer alone and the answer given the prompt. */
+  def withTokenLosses(df: DataFrame, promptCol: String, answerCol: String,
+                      make: () => ModelBackend): DataFrame = {
+    val schema = df.schema
+      .add("loss_alone", ArrayType(DoubleType))
+      .add("loss_cond", ArrayType(DoubleType))
+    val pIdx = df.schema.fieldIndex(promptCol)
+    val aIdx = df.schema.fieldIndex(answerCol)
+    df.mapPartitions { it =>
+      val m = make(); m.init()
+      it.map { r =>
+        val p = if (r.isNullAt(pIdx)) "" else r.getString(pIdx)
+        val a = if (r.isNullAt(aIdx)) "" else r.getString(aIdx)
+        Row.fromSeq(r.toSeq ++ Seq(m.tokenLoss("", a), m.tokenLoss(p, a)))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** IFD stage 2 (pure columns — `score_pipeline_ifd.py:193–211`):
+    * ratio of mean conditional loss to mean unconditional loss, with
+    * the reference's guards — empty span rows get a null score, rows
+    * with ratio > 1 are dropped. */
+  def ifdScore(df: DataFrame, lossAlone: String = "loss_alone",
+               lossCond: String = "loss_cond"): DataFrame = {
+    def arrMean(c: String) =
+      aggregate(col(c), lit(0.0), (a, x) => a + x) / size(col(c))
+    df.withColumn("score_ifd",
+        when(size(col(lossAlone)) === 0 || size(col(lossCond)) === 0, lit(null))
+          .otherwise(arrMean(lossCond) / arrMean(lossAlone)))
+      .where(col("score_ifd").isNull || col("score_ifd") <= 1.0)
+  }
+
+  /** Full IFD pipeline over an alpaca-shaped table (P6+P7): template
+    * the prompt, score token losses with the backend, derive the
+    * guarded ratio. */
+  def ifdPipeline(alpaca: DataFrame, make: () => ModelBackend): DataFrame = {
+    val templated = alpaca.withColumn("prompt_to_use",
+      TextFns.promptToUse(col("instruction"), col("input")))
+    ifdScore(withTokenLosses(templated, "prompt_to_use", "output", make))
+  }
+
+  /** Gradient extraction as long-format rows (reference P8/LESS,
+    * `get_info.py:43–68`): per example, pseudo-gradient entries
+    * `(param_key, idx, value)` — tensor-as-table, the only layout that
+    * scales (a map<string,tensor> column would concentrate whole
+    * models in single rows). */
+  def gradientRows(df: DataFrame, idCol: String, textCol: String,
+                   paramKeys: Seq[String], entriesPerKey: Int,
+                   make: () => ModelBackend): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("example_id", LongType),
+      StructField("param_key", StringType),
+      StructField("idx", IntegerType),
+      StructField("value", DoubleType)))
+    val iIdx = df.schema.fieldIndex(idCol)
+    val tIdx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { it =>
+      val m = make(); m.init()
+      it.flatMap { r =>
+        val id = r.getLong(iIdx)
+        val t = if (r.isNullAt(tIdx)) "" else r.getString(tIdx)
+        val losses = m.tokenLoss("", t)
+        paramKeys.iterator.flatMap { k =>
+          (0 until entriesPerKey).iterator.map { j =>
+            val v = if (losses.isEmpty) 0.0
+              else losses(j % losses.length) * (1.0 / (1 + j)) - 0.5
+            Row(id, k, j, v)
+          }
+        }
+      }
+    }(Encoders.row(schema))
+  }
+}

@@ -1,0 +1,282 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+import graft.functions.TextFns
+import graft.operators.{Scorers, Selection, TaskVectors}
+
+/** Reference-parity operators (SURVEY.md §2a) as registered queries:
+  * the scoring→band-filter→stride-sample selection pipeline, prompt
+  * templating, IFD ratio semantics, sampling strategies, and the
+  * TaskVector/TIES relational algebra. SQL-expressible ones carry an
+  * exact DuckDB oracle; the model-backed (mapPartitions) ones are
+  * rows-only.
+  */
+object DataSQueries extends QueryModule {
+
+  private def docs(implicit s: SparkSession, dir: String) = Tables.documents(s, dir)
+  private def li(implicit s: SparkSession, dir: String)   = Tables.lineitem(s, dir)
+
+  // ---------------------------------------------------------- P3 length
+  /** Length scorer — the reference's `lenth = len(output)` column
+    * (sic, `score_pipeline_lenth.py:35–38`), a pure projection. */
+  private def qLenScore(implicit s: SparkSession, dir: String): DataFrame =
+    docs.select(col("doc_id"), length(col("text")).cast("long").as("lenth"))
+      .orderBy(col("doc_id"))
+
+  private val qLenScoreSql =
+    """SELECT doc_id, CAST(length(text) AS BIGINT) AS lenth
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- P1 prompt template
+  /** Alpaca prompt templating (`main.py:177–212`): branch on an empty
+    * input between the two templates. The synthetic corpus stands in:
+    * text prefix = instruction, source = input ('' for src0). */
+  private def qPromptTemplate(implicit s: SparkSession, dir: String): DataFrame =
+    docs.select(col("doc_id"),
+        TextFns.promptToUse(
+          substring(col("text"), 1, 60),
+          expr("nullif(source, 'src0')")).as("prompt"))
+      .orderBy(col("doc_id"))
+
+  private val qPromptTemplateSql = {
+    val t1 = TextFns.TemplateNoInput.replace("%s", "%s")
+    val t2 = TextFns.TemplateWithInput
+    s"""SELECT doc_id,
+       |  CASE WHEN COALESCE(NULLIF(source, 'src0'), '') = ''
+       |    THEN printf('${t1.replace("'", "''")}', substr(text, 1, 60))
+       |    ELSE printf('${t2.replace("'", "''")}', substr(text, 1, 60), NULLIF(source, 'src0'))
+       |  END AS prompt
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ----------------------------------------------------- P7/A3 IFD ratio
+  /** IFD stage-2 semantics on oracle-checkable arrays: ratio of two
+    * array means (distinct-token lengths vs all-token lengths) with
+    * the reference's guards — null on empty span, drop ratio > 1
+    * (`score_pipeline_ifd.py:193–211`). */
+  private def qIfdRatio(implicit s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    def meanLen(arr: Column) =
+      aggregate(transform(arr, t => length(t).cast("long")), lit(0L),
+        (a, x) => a + x).cast("double") / size(arr)
+    docs.select(col("doc_id"),
+        when(size(toks) === 0, lit(null))
+          .otherwise(round(meanLen(array_distinct(toks)) / meanLen(toks), 6))
+          .as("score_ifd"))
+      .where(col("score_ifd").isNull || col("score_ifd") <= 1.0)
+      .orderBy(col("doc_id"))
+  }
+
+  private val qIfdRatioSql =
+    """SELECT doc_id, score_ifd FROM (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) = 0 THEN NULL
+      |      ELSE round(
+      |        (CAST(list_aggregate(list_transform(list_distinct(toks), t -> length(t)), 'sum') AS DOUBLE)
+      |           / len(list_distinct(toks)))
+      |        / (CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+      |           / len(toks)), 6)
+      |    END AS score_ifd
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+      |) WHERE score_ifd IS NULL OR score_ifd <= 1.0
+      |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------- F1/F2/K1 cluster select
+  /** The flagship EP1 selection pipeline (`main.py:381–482`) end to
+    * end, relationally: per-cluster confidence (embedding L2 norm as
+    * the ppl proxy), exact 25–75 percentile band with small-cluster
+    * passthrough, stride sampling of ≤5 per cluster in original order.
+    * Uses the [[Selection]] library operators. */
+  private def qClusterSelect(implicit s: SparkSession, dir: String): DataFrame = {
+    // ppl-proxy confidence: position-weighted projection of the
+    // embedding (its plain L2 norm is degenerate — vectors are unit-
+    // normalized). Spark lambda index is 0-based, DuckDB's 1-based.
+    val conf = round(aggregate(
+      transform(col("embedding"), (x, i) => x.cast("double") * (i + 1)),
+      lit(0.0), (a, x) => a + x), 6)
+    val scored = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), conf.as("conf"))
+    val band = Selection.percentileBand(scored, "label", "conf",
+      0.25, 0.75, minGroupSize = 20)
+    Selection.strideSample(band, "label", "vec_id", 5)
+      .select(col("label"), col("vec_id"), col("conf"))
+      .orderBy(col("label"), col("vec_id"))
+  }
+
+  private val qClusterSelectSql =
+    """WITH conf AS (
+      |  SELECT vec_id, label,
+      |    round(list_aggregate(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * i), 'sum'), 6) AS conf
+      |  FROM embeddings),
+      |th AS (
+      |  SELECT label, quantile_cont(conf, 0.25) AS lo, quantile_cont(conf, 0.75) AS hi,
+      |         count(*) AS n
+      |  FROM conf GROUP BY label),
+      |band AS (
+      |  SELECT c.vec_id, c.label, c.conf FROM conf c JOIN th ON c.label = th.label
+      |  WHERE th.n < 20 OR (c.conf >= th.lo AND c.conf <= th.hi)),
+      |rn AS (
+      |  SELECT *, row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn,
+      |         count(*) OVER (PARTITION BY label) AS cnt
+      |  FROM band)
+      |SELECT label, vec_id, conf FROM (
+      |  SELECT *, greatest(cnt // 5, 1) AS step FROM rn)
+      |WHERE cnt <= 5 OR ((rn - 1) % step = 0 AND (rn - 1) // step < 5)
+      |ORDER BY label, vec_id""".stripMargin
+
+  // ---------------------------------------------------- K2 strategies
+  /** LeastConfidence sampling: order by the uncertainty metric, take n
+    * (`main.py:57–69` registry; bodies absent upstream). Deterministic
+    * tie-break on doc_id. */
+  private def qSampleLeastConf(implicit s: SparkSession, dir: String): DataFrame =
+    docs.select(col("doc_id"), col("n_chars"))
+      .orderBy(col("n_chars"), col("doc_id"))
+      .limit(50)
+      .orderBy(col("doc_id"))
+
+  private val qSampleLeastConfSql =
+    """SELECT doc_id, n_chars FROM
+      |  (SELECT doc_id, n_chars FROM documents ORDER BY n_chars, doc_id LIMIT 50)
+      |ORDER BY doc_id""".stripMargin
+
+  /** RandomSampling, reproducibly: order by md5(id) — a seeded shuffle
+    * both engines compute identically (`rand()` is not
+    * cross-engine-stable). */
+  private def qSampleRandom(implicit s: SparkSession, dir: String): DataFrame =
+    docs.select(col("doc_id"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .limit(50)
+      .orderBy(col("doc_id"))
+
+  private val qSampleRandomSql =
+    """SELECT doc_id FROM
+      |  (SELECT doc_id FROM documents ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 50)
+      |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- T1 taskvector diff
+  /** TaskVector diff (`merging.py:42–50`) over long-format tensors
+    * derived from lineitem: model F vs model O, param_key = supplier
+    * group, idx = part slot, value = signed quantity mass (integers →
+    * exact cross-engine arithmetic). */
+  private def modelVec(status: String)(implicit s: SparkSession, dir: String): DataFrame =
+    li.where(col("l_linestatus") === status)
+      .groupBy(
+        concat(lit("p"), col("l_suppkey") % 4).as("param_key"),
+        (col("l_partkey") % 64).cast("long").as("idx"))
+      .agg(sum(when(col("l_orderkey") % 2 === 0, col("l_quantity"))
+        .otherwise(-col("l_quantity"))).cast("long").cast("double").as("value"))
+
+  private def qTaskVectorDiff(implicit s: SparkSession, dir: String): DataFrame =
+    TaskVectors.diff(modelVec("F"), modelVec("O"))
+      .select(col("param_key"), col("idx"), col("value").as("delta"))
+      .orderBy(col("param_key"), col("idx"))
+
+  private val modelVecSql: String => String = status =>
+    s"""SELECT 'p' || CAST(l_suppkey % 4 AS VARCHAR) AS param_key,
+       |  l_partkey % 64 AS idx,
+       |  CAST(CAST(SUM(CASE WHEN l_orderkey % 2 = 0 THEN l_quantity ELSE -l_quantity END) AS BIGINT) AS DOUBLE) AS value
+       |FROM lineitem WHERE l_linestatus = '$status'
+       |GROUP BY 1, 2""".stripMargin
+
+  private val qTaskVectorDiffSql =
+    s"""WITH f AS (${modelVecSql("F")}), o AS (${modelVecSql("O")})
+       |SELECT f.param_key, f.idx, f.value - o.value AS delta
+       |FROM f JOIN o ON f.param_key = o.param_key AND f.idx = o.idx
+       |ORDER BY f.param_key, f.idx""".stripMargin
+
+  // ------------------------------------------------- T2–T4 TIES merge
+  /** Full TIES pipeline (`merging.py:186–267`): per-model top-20%%
+    * magnitude mask, majority-sign resolution, disjoint mean merge —
+    * three models keyed by l_returnflag. */
+  private def qTiesMerge(implicit s: SparkSession, dir: String): DataFrame = {
+    val stacked = li.groupBy(
+        col("l_returnflag").as("model"),
+        concat(lit("p"), col("l_suppkey") % 4).as("param_key"),
+        (col("l_partkey") % 32).cast("long").as("idx"))
+      .agg(sum(when(col("l_orderkey") % 2 === 0, col("l_quantity"))
+        .otherwise(-col("l_quantity"))).cast("long").cast("double").as("value"))
+    TaskVectors.tiesMerge(stacked, keep = 0.2, method = "mean")
+      .select(col("param_key"), col("idx"), round(col("value"), 6).as("merged"))
+      .orderBy(col("param_key"), col("idx"))
+  }
+
+  private val qTiesMergeSql =
+    """WITH stacked AS (
+      |  SELECT l_returnflag AS model,
+      |    'p' || CAST(l_suppkey % 4 AS VARCHAR) AS param_key,
+      |    l_partkey % 32 AS idx,
+      |    CAST(CAST(SUM(CASE WHEN l_orderkey % 2 = 0 THEN l_quantity ELSE -l_quantity END) AS BIGINT) AS DOUBLE) AS value
+      |  FROM lineitem GROUP BY 1, 2, 3),
+      |th AS (
+      |  SELECT model, param_key, quantile_cont(abs(value), 0.8) AS th
+      |  FROM stacked GROUP BY model, param_key),
+      |masked AS (
+      |  SELECT s.model, s.param_key, s.idx,
+      |    CASE WHEN abs(s.value) >= th.th THEN s.value ELSE 0.0 END AS value
+      |  FROM stacked s JOIN th ON s.model = th.model AND s.param_key = th.param_key),
+      |gamma AS (
+      |  SELECT param_key, idx, sign(SUM(value)) AS gamma
+      |  FROM masked GROUP BY param_key, idx)
+      |SELECT m.param_key, m.idx,
+      |  round(SUM(CASE WHEN sign(m.value) = g.gamma AND m.value <> 0.0 THEN m.value ELSE 0.0 END)
+      |    / greatest(SUM(CASE WHEN sign(m.value) = g.gamma AND m.value <> 0.0 THEN 1 ELSE 0 END), 1), 6) AS merged
+      |FROM masked m JOIN gamma g ON m.param_key = g.param_key AND m.idx = g.idx
+      |GROUP BY m.param_key, m.idx
+      |ORDER BY m.param_key, m.idx""".stripMargin
+
+  // --------------------------------------- model-backed ops (rows-only)
+  /** Analysis map with the proxy model backend: ppl + embedding +
+    * reward per row via one mapPartitions (per-partition init). */
+  private def qProxyScores(implicit s: SparkSession, dir: String): DataFrame =
+    Scorers.withModelScores(
+        docs.select(col("doc_id"), col("text")), "text",
+        () => new Scorers.ProxyBackend(seed = 42L))
+      .select(col("doc_id"), round(col("ppl_ins_alone"), 6).as("ppl_ins_alone"),
+        size(col("emb_ins_alone")).as("emb_dim"),
+        round(col("score_rw"), 6).as("score_rw"))
+      .orderBy(col("doc_id"))
+
+  /** Full IFD pipeline over an alpaca view of the corpus (template →
+    * token losses → guarded ratio). */
+  private def qIfdFull(implicit s: SparkSession, dir: String): DataFrame = {
+    val alpaca = docs.select(
+      col("doc_id"),
+      substring(col("text"), 1, 60).as("instruction"),
+      when(col("source") === "src0", lit("")).otherwise(col("source")).as("input"),
+      col("text").as("output"))
+    Scorers.ifdPipeline(alpaca, () => new Scorers.ProxyBackend(42L))
+      .select(col("doc_id"), round(col("score_ifd"), 6).as("score_ifd"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** LESS-style selection: long-format pseudo-gradients, similarity
+    * against the mean validation gradient, top-20 examples. */
+  private def qGradientTopK(implicit s: SparkSession, dir: String): DataFrame = {
+    val grads = Scorers.gradientRows(
+      docs.select(col("doc_id"), col("text")), "doc_id", "text",
+      paramKeys = Seq("layer0.weight", "layer1.weight"), entriesPerKey = 8,
+      make = () => new Scorers.ProxyBackend(7L))
+    val valGrad = grads.where(col("example_id") % 10 === 0)
+      .groupBy(col("param_key"), col("idx"))
+      .agg(avg(col("value")).as("value"))
+    TaskVectors.gradientSimilarityTopK(grads, valGrad, 20)
+      .select(col("example_id"), round(col("sim"), 6).as("sim"))
+  }
+
+  override def queries: Seq[Q] = Seq(
+    Q("q_len_score", (s, d) => qLenScore(s, d), Some(qLenScoreSql)),
+    Q("q_prompt_template", (s, d) => qPromptTemplate(s, d), Some(qPromptTemplateSql)),
+    Q("q_ifd_ratio", (s, d) => qIfdRatio(s, d), Some(qIfdRatioSql)),
+    Q("q_cluster_select", (s, d) => qClusterSelect(s, d), Some(qClusterSelectSql)),
+    Q("q_sample_least_conf", (s, d) => qSampleLeastConf(s, d), Some(qSampleLeastConfSql)),
+    Q("q_sample_random", (s, d) => qSampleRandom(s, d), Some(qSampleRandomSql)),
+    Q("q_taskvector_diff", (s, d) => qTaskVectorDiff(s, d), Some(qTaskVectorDiffSql)),
+    Q("q_ties_merge", (s, d) => qTiesMerge(s, d), Some(qTiesMergeSql)),
+    Q("q_proxy_scores", (s, d) => qProxyScores(s, d), None),
+    Q("q_ifd_full", (s, d) => qIfdFull(s, d), None),
+    Q("q_gradient_topk", (s, d) => qGradientTopK(s, d), None))
+}
