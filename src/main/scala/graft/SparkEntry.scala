@@ -12,7 +12,8 @@ import graft.queries._
 object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     RelationalQueries,
-    DataSQueries)
+    DataSQueries,
+    NorthStarQueries)
 
   private lazy val all: Seq[Q] = {
     val qs = modules.flatMap(_.queries)

@@ -29,7 +29,7 @@ object TextFns {
     */
   def subwordCount(c: Column): Column =
     aggregate(tokens(c), lit(0L),
-      (acc, w) => acc + lit(1L) + (length(w).cast("long") / lit(6L)))
+      (acc, w) => acc + lit(1L) + floor(length(w) / lit(6.0)).cast("long"))
 
   /** Characters that are not alphanumeric or whitespace, as a ratio of
     * total length. */

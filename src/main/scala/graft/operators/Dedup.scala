@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Deduplication family for large-scale corpus curation (north-star
+  * extension; not in the reference): exact, MinHash+LSH, SimHash, and
+  * n-gram Jaccard.
+  *
+  * Scale posture:
+  *  - exact dedup is a grouped min over a content hash — one shuffle
+  *    on the 64-bit hash, never on the text;
+  *  - MinHash signatures come from one explode + one grouped
+  *    aggregation; LSH banding turns all-pairs O(n²) into a bucket
+  *    join where only same-bucket candidates pair up;
+  *  - the scalable path derives shingle ids with `xxhash64` (no
+  *    global vocabulary); the `vocabIds` variant (rank-based, needed
+  *    for cross-engine oracle parity) globally sorts only the
+  *    VOCABULARY, which is sublinear in the corpus, but prefer the
+  *    hash path at 100 TB;
+  *  - candidate verification (true Jaccard) joins shingle SETS back
+  *    only for candidate pairs — a vanishing fraction of n².
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest id per distinct content hash.
+    * Hashing (xxhash64) keeps the shuffle key 8 bytes regardless of
+    * document size; collisions at 64 bit are ~n²/2⁶⁵. */
+  def exactDedup(df: DataFrame, idCol: String, contentCols: Seq[String]): DataFrame = {
+    val h = xxhash64(contentCols.map(col): _*)
+    df.withColumn("_h", h)
+      .withColumn("_keep", min(col(idCol)).over(Window.partitionBy(col("_h"))))
+      .where(col(idCol) === col("_keep"))
+      .drop("_h", "_keep")
+  }
+
+  /** Duplicate-group summary: one row per content group with >1 member. */
+  def dupGroups(df: DataFrame, idCol: String, contentCols: Seq[String]): DataFrame =
+    df.groupBy(contentCols.map(col): _*)
+      .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keeper"))
+      .where(col("n_dups") > 1)
+
+  /** Rank-based shingle vocabulary: (shingle → dense id) by sorted
+    * order. Deterministic across engines (the oracle path); the
+    * global sort touches only distinct shingles. */
+  def vocabIds(shingled: DataFrame, shingleCol: String): DataFrame =
+    shingled.select(explode(col(shingleCol)).as("sh")).distinct()
+      .withColumn("wid", row_number().over(Window.orderBy(col("sh"))).cast("long"))
+
+  /** MinHash signature per document from shingle ids: k universal-hash
+    * permutations h_i(x) = (a_i·x + b_i) mod P, one grouped min each.
+    * One explode + one aggregation — no per-permutation pass. */
+  val P: Long = 1000000007L
+  def hashCoeffs(k: Int): Seq[(Long, Long)] =
+    (0 until k).map(i => (2L * i + 3L, 5L * i + 7L))
+
+  def minhashSignatures(docShingleIds: DataFrame, idCol: String,
+                        widCol: String, k: Int): DataFrame = {
+    val mins = hashCoeffs(k).zipWithIndex.map { case ((a, b), i) =>
+      min((col(widCol) * a + b) % P).as(s"mh_$i")
+    }
+    docShingleIds.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding: split the k-wide signature into bands of r rows;
+    * docs sharing any (band, band-signature) bucket become candidate
+    * pairs. Returns distinct (id_a < id_b) pairs. */
+  def lshCandidatePairs(signatures: DataFrame, idCol: String,
+                        bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = (0 until bands).map { b =>
+      val sig = concat_ws("_",
+        (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*)
+      signatures.select(col(idCol), lit(b).as("band"), sig.as("bsig"))
+    }.reduce(_ unionAll _)
+    banded.alias("x").join(banded.alias("y"), Seq("band", "bsig"))
+      .where(col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** True n-gram Jaccard for given pairs: join the distinct-shingle
+    * sets back and compare. */
+  def jaccardForPairs(pairs: DataFrame, shingleSets: DataFrame,
+                      idCol: String, setCol: String): DataFrame =
+    pairs
+      .join(shingleSets.select(col(idCol).as("id_a"), col(setCol).as("_sa")), "id_a")
+      .join(shingleSets.select(col(idCol).as("id_b"), col(setCol).as("_sb")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("_sa"), col("_sb"))).cast("double") /
+          size(array_union(col("_sa"), col("_sb"))))
+      .drop("_sa", "_sb")
+
+  /** End-to-end scalable MinHash+LSH near-dup pairs (xxhash64 shingle
+    * ids — no vocabulary): shingle → sign → band → candidate → verify
+    * ≥ threshold. */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, k: Int = 12, bands: Int = 4,
+                   threshold: Double = 0.5): DataFrame = {
+    val sets = df.select(col(idCol),
+      array_distinct(TextFns.shingles(col(textCol), n)).as("shset"))
+    val ids = sets.select(col(idCol), explode(col("shset")).as("sh"))
+      .withColumn("wid", pmod(xxhash64(col("sh")), lit(P)))
+    val sigs = minhashSignatures(ids, idCol, "wid", k)
+    val cands = lshCandidatePairs(sigs, idCol, bands, k / bands)
+    jaccardForPairs(cands, sets, idCol, "shset")
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** SimHash fingerprint per document over shingle/token ids: each of
+    * `bits` bit-positions votes ±1 per element; the sign vector packs
+    * into one long. One explode + posexplode-free bit loop + one
+    * grouped sum. */
+  def simhashFingerprints(docShingleIds: DataFrame, idCol: String,
+                          widCol: String, bits: Int = 16): DataFrame = {
+    // small LCG: keeps wid*a+b inside BIGINT under ANSI overflow
+    // checks and is reproducible in DuckDB (which errors on overflow
+    // rather than wrapping)
+    val h = (col(widCol) * 1103515245L + 12345L) % 2147483648L
+    val bitVotes = (0 until bits).map { b =>
+      sum(when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v_$b")
+    }
+    val fp = (0 until bits).map { b =>
+      when(col(s"v_$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    docShingleIds.groupBy(col(idCol))
+      .agg(bitVotes.head, bitVotes.tail: _*)
+      .withColumn("simhash", fp)
+      .select(col(idCol), col("simhash"))
+  }
+
+  /** Near-dup candidates by SimHash: pairs within `maxHamming` bits.
+    * Self-join blocked on the fingerprint's high byte to avoid n²
+    * (real deployments use 4-segment pigeonhole blocking). */
+  def simhashPairs(fps: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+    val blocked = fps.withColumn("_blk", shiftright(col("simhash"), 8))
+    blocked.alias("x").join(blocked.alias("y"), "_blk")
+      .where(col(s"x.$idCol") < col(s"y.$idCol"))
+      .withColumn("hamming",
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        col("hamming"))
+  }
+}

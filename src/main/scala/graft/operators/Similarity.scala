@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (north-star extension):
+  * brute-force cosine top-k as the exact baseline, IVF (coarse
+  * centroid probe) and random-hyperplane LSH as the scale paths, and
+  * greedy k-center selection (the reference's KCenterSampling
+  * contract, `main.py:11,57–69`).
+  *
+  * Scale posture: queries broadcast (they are few); the corpus is
+  * scanned once per search. IVF prunes the scan to `probes/nlist` of
+  * the corpus; LSH prunes to matching buckets. The driver-side loop in
+  * k-center is the MLlib pattern (one action per round, vectors never
+  * collected except the single chosen center).
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns, computed in double.
+    * zip_with + ordered fold → bit-identical across engines. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Exact brute-force top-k: broadcast the query set, scan the corpus
+    * once, rank per query. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     qId: String, cId: String, embCol: String,
+                     k: Int): DataFrame = {
+    val scored = corpus.alias("c")
+      .join(broadcast(queries.alias("q")))
+      .withColumn("sim", round(cosine(col(s"q.$embCol"), col(s"c.$embCol")), 6))
+      .select(col(s"q.$qId").as("query_id"), col(s"c.$cId").as("vec_id"),
+        col("sim"))
+      .where(col("query_id") =!= col("vec_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+
+  /** IVF-style probe: coarse cells given by `cellCol` (precomputed
+    * cluster labels or KMeans output); rank cells by centroid
+    * similarity, brute-force only within the top `probes` cells.
+    * Centroids are computed relationally (posexplode + grouped avg) —
+    * no driver materialization. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              qId: String, cId: String, embCol: String, cellCol: String,
+              probes: Int, k: Int): DataFrame = {
+    val centDim = corpus
+      .select(col(cellCol), posexplode(col(embCol)).as(Seq("pos", "v")))
+      .groupBy(col(cellCol), col("pos"))
+      .agg(avg(col("v")).as("cv"))
+    // query·centroid via the long format: one join + grouped sum
+    val qDim = queries.select(col(qId).as("query_id"),
+      posexplode(col(embCol)).as(Seq("pos", "qv")))
+    val cellScore = qDim.join(centDim, "pos")
+      .groupBy(col("query_id"), col(cellCol))
+      .agg(sum(col("qv") * col("cv")).as("cell_sim"))
+    val wCell = Window.partitionBy(col("query_id"))
+      .orderBy(col("cell_sim").desc, col(cellCol))
+    val probed = cellScore.withColumn("crk", row_number().over(wCell))
+      .where(col("crk") <= probes)
+      .select(col("query_id"), col(cellCol))
+    val scored = corpus.alias("c")
+      .join(broadcast(probed), corpus(cellCol) === probed(cellCol))
+      .join(broadcast(queries.alias("q")),
+        col("query_id") === col(s"q.$qId"))
+      .withColumn("sim", round(cosine(col(s"q.$embCol"), col(s"c.$embCol")), 6))
+      .select(col("query_id"), col(s"c.$cId").as("vec_id"), col("sim"))
+      .where(col("query_id") =!= col("vec_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+
+  /** Random-hyperplane LSH bucket id for one hash table: `planes`
+    * sign bits of deterministic pseudo-random projections. Plane p of
+    * table t uses global plane index g = t·planes + p; coefficients
+    * come from an arithmetic formula so the oracle can reproduce them.
+    */
+  def hyperplaneBucket(emb: Column, planes: Int, table: Int): Column =
+    (0 until planes).map { p =>
+      val g = table * planes + p
+      // plane g, dim j (1-based) coefficient: (j·(2g+3)) mod 17 − 8
+      val proj = aggregate(
+        zip_with(emb, sequence(lit(1), size(emb)), (x, j) =>
+          x.cast("double") * (((j * (2 * g + 3)) % 17) - 8)),
+        lit(0.0), (a, v) => a + v)
+      when(proj > 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** ANN via multi-table hyperplane LSH: a candidate is any vector
+    * sharing a bucket with the query in ANY of the `tables` hash
+    * tables (union-of-tables is the standard recall lever — one wide
+    * table has vanishing collision probability for moderate-cosine
+    * neighbors); exact cosine re-rank over the candidate union.
+    * Measured on the synthetic embeddings: 6×3 ⇒ ~0.74 recall@10
+    * scanning ~0.6 of the corpus (near-uniform vectors are an
+    * adversarial case for LSH). */
+  def lshTopK(queries: DataFrame, corpus: DataFrame,
+              qId: String, cId: String, embCol: String,
+              planes: Int, k: Int, tables: Int = 6): DataFrame = {
+    val cands = (0 until tables).map { t =>
+      val qb = queries.select(col(qId).as("query_id"),
+        hyperplaneBucket(col(embCol), planes, t).as("_bkt"))
+      val cb = corpus.select(col(cId).as("vec_id"),
+        hyperplaneBucket(col(embCol), planes, t).as("_bkt"))
+      cb.join(broadcast(qb), Seq("_bkt"))
+        .select(col("query_id"), col("vec_id"))
+    }.reduce(_ unionAll _)
+      .where(col("query_id") =!= col("vec_id"))
+      .distinct()
+    val scored = cands
+      .join(queries.select(col(qId).as("query_id"),
+        col(embCol).as("_qe")), "query_id")
+      .join(corpus.select(col(cId).as("vec_id"),
+        col(embCol).as("_ce")), "vec_id")
+      .withColumn("sim", round(cosine(col("_qe"), col("_ce")), 6))
+      .select(col("query_id"), col("vec_id"), col("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+
+  /** Greedy k-center (farthest-point) selection — the reference's
+    * KCenterSampling. One Spark action per round (the MLlib idiom):
+    * track each point's distance to its nearest chosen center, pick
+    * the farthest point, update. Only the single chosen vector ever
+    * reaches the driver. */
+  def kcenterGreedy(df: DataFrame, idCol: String, embCol: String,
+                    k: Int, seedId: Long): Seq[Long] = {
+    val spark = df.sparkSession
+    def sqdistTo(center: Array[Double]): Column = {
+      val c = lit(center)
+      aggregate(zip_with(col(embCol), c, (x, y) => {
+        val d = x.cast("double") - y
+        d * d
+      }), lit(0.0), (a, v) => a + v)
+    }
+    def vecOf(id: Long): Array[Double] =
+      df.where(col(idCol) === id).select(col(embCol)).head()
+        .getSeq[Float](0).map(_.toDouble).toArray
+
+    var chosen = Vector(seedId)
+    var state = df.select(col(idCol), col(embCol))
+      .withColumn("_mind", sqdistTo(vecOf(seedId)))
+      .localCheckpoint()
+    while (chosen.size < k) {
+      val next = state.orderBy(col("_mind").desc, col(idCol)).select(col(idCol))
+        .head().getLong(0)
+      chosen = chosen :+ next
+      state = state
+        .withColumn("_mind", least(col("_mind"), sqdistTo(vecOf(next))))
+        .localCheckpoint()
+    }
+    chosen
+  }
+}

@@ -1,0 +1,352 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFns
+import graft.operators.{Dedup, Selection, Similarity}
+
+/** North-star extensions (BASELINE.json): the large-scale
+  * training-data-pipeline operators the reference lacks —
+  * deduplication (exact / MinHash+LSH / SimHash / n-gram Jaccard),
+  * similarity search (brute-force / LSH / IVF), and text analysis
+  * (language ID, quality, token counts, fingerprints).
+  *
+  * Oracle-parity notes: the LSH/MinHash oracle queries use the
+  * rank-based shingle vocabulary ([[Dedup.vocabIds]]) because DuckDB
+  * cannot reproduce xxhash64; the library's scalable variants
+  * (xxhash64, no global vocab) are registered rows-only.
+  */
+object NorthStarQueries extends QueryModule {
+
+  private def docs(implicit s: SparkSession, dir: String) = Tables.documents(s, dir)
+  private def embs(implicit s: SparkSession, dir: String) = Tables.embeddings(s, dir)
+
+  // ------------------------------------------------------- exact dedup
+  /** Exact dedup over a normalized content key (40-char prefix — the
+    * corpus's planted near-dups share it): duplicate groups with the
+    * kept representative. */
+  private def qDedupExact(implicit s: SparkSession, dir: String): DataFrame =
+    Dedup.dupGroups(
+        docs.withColumn("content_key", substring(col("text"), 1, 40)),
+        "doc_id", Seq("content_key"))
+      .orderBy(col("content_key"))
+
+  private val qDedupExactSql =
+    """SELECT substr(text, 1, 40) AS content_key, COUNT(*) AS n_dups,
+      |  MIN(doc_id) AS keeper
+      |FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+      |ORDER BY content_key""".stripMargin
+
+  // ---------------------------------------------------- shingle plumbing
+  private def shingleSets(implicit s: SparkSession, dir: String): DataFrame =
+    docs.select(col("doc_id"),
+      array_distinct(TextFns.shingles(col("text"), 3)).as("shset"))
+
+  /** Shared SQL CTE prefix: 3-gram shingle sets + rank vocabulary +
+    * doc→shingle-id rows. */
+  private val shingleCtes =
+    """toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |sets AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |      ELSE list_transform(range(1, len(t) - 1),
+      |             i -> array_to_string(list_slice(t, i, i + 2), ' ')) END) AS shset
+      |  FROM toks),
+      |vocab AS (
+      |  SELECT sh, CAST(row_number() OVER (ORDER BY sh) AS BIGINT) AS wid
+      |  FROM (SELECT DISTINCT unnest(shset) AS sh FROM sets)),
+      |docw AS (
+      |  SELECT e.doc_id, v.wid
+      |  FROM (SELECT doc_id, unnest(shset) AS sh FROM sets) e
+      |  JOIN vocab v ON e.sh = v.sh)""".stripMargin
+
+  // ------------------------------------------------- MinHash + LSH dedup
+  private val MhK = 12
+  private val MhBands = 4
+
+  /** MinHash(12) + LSH(4×3) near-dup pairs with true-Jaccard
+    * verification ≥ 0.5 — full recall on the planted dups including
+    * cross-language ones (no blocking key). */
+  private def qDedupMinhashLsh(implicit s: SparkSession, dir: String): DataFrame = {
+    val sets  = shingleSets
+    val vocab = Dedup.vocabIds(sets, "shset")
+    val docw  = sets.select(col("doc_id"), explode(col("shset")).as("sh"))
+      .join(vocab, "sh").select(col("doc_id"), col("wid"))
+    val sigs  = Dedup.minhashSignatures(docw, "doc_id", "wid", MhK)
+    val cands = Dedup.lshCandidatePairs(sigs, "doc_id", MhBands, MhK / MhBands)
+    Dedup.jaccardForPairs(cands, sets, "doc_id", "shset")
+      .where(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val qDedupMinhashLshSql = {
+    val mhCols = Dedup.hashCoeffs(MhK).zipWithIndex.map { case ((a, b), i) =>
+      s"min((wid * $a + $b) %% ${Dedup.P}) AS mh_$i"
+    }.mkString(", ").replace("%%", "%")
+    val bandSelects = (0 until MhBands).map { bnd =>
+      val sig = (0 until MhK / MhBands)
+        .map(r => s"CAST(mh_${bnd * (MhK / MhBands) + r} AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $bnd AS band, $sig AS bsig FROM sigs"
+    }.mkString(" UNION ALL ")
+    s"""WITH $shingleCtes,
+       |sigs AS (SELECT doc_id, $mhCols FROM docw GROUP BY doc_id),
+       |banded AS ($bandSelects),
+       |cands AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id)
+       |SELECT id_a, id_b,
+       |  round(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+       |    / len(list_distinct(list_concat(a.shset, b.shset))), 6) AS jaccard
+       |FROM cands JOIN sets a ON cands.id_a = a.doc_id
+       |           JOIN sets b ON cands.id_b = b.doc_id
+       |WHERE CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+       |    / len(list_distinct(list_concat(a.shset, b.shset))) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ------------------------------------------------ n-gram Jaccard dedup
+  /** Blocked all-pairs n-gram Jaccard (the non-LSH contrast): block on
+    * the 16-char prefix, verify ≥ 0.5. Blocking trades recall
+    * (cross-prefix dups are the LSH query's job) for a tiny candidate
+    * set. */
+  private def qDedupNgramJaccard(implicit s: SparkSession, dir: String): DataFrame = {
+    val sets = docs.select(col("doc_id"),
+      substring(col("text"), 1, 16).as("blk"),
+      array_distinct(TextFns.shingles(col("text"), 3)).as("shset"))
+    sets.alias("a").join(sets.alias("b"), "blk")
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .withColumn("jaccard",
+        round(size(array_intersect(col("a.shset"), col("b.shset"))).cast("double") /
+          size(array_union(col("a.shset"), col("b.shset"))), 6))
+      .where(col("jaccard") >= 0.5)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val qDedupNgramJaccardSql =
+    s"""WITH $shingleCtes,
+       |blocked AS (
+       |  SELECT s.doc_id, substr(d.text, 1, 16) AS blk, s.shset
+       |  FROM sets s JOIN documents d ON s.doc_id = d.doc_id)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  round(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+       |    / len(list_distinct(list_concat(a.shset, b.shset))), 6) AS jaccard
+       |FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
+       |WHERE round(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+       |    / len(list_distinct(list_concat(a.shset, b.shset))), 6) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ----------------------------------------------------- SimHash dedup
+  /** SimHash(16-bit) candidate pairs within Hamming ≤ 3, high-byte
+    * blocked. Fingerprints vote over 3-gram shingle ids; the small
+    * LCG multiplier keeps the hash inside BIGINT on both engines. */
+  private def qDedupSimhash(implicit s: SparkSession, dir: String): DataFrame = {
+    val sets  = shingleSets
+    val vocab = Dedup.vocabIds(sets, "shset")
+    val docw  = sets.select(col("doc_id"), explode(col("shset")).as("sh"))
+      .join(vocab, "sh").select(col("doc_id"), col("wid"))
+    val fps = Dedup.simhashFingerprints(docw, "doc_id", "wid", bits = 16)
+    Dedup.simhashPairs(fps, "doc_id", maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val qDedupSimhashSql = {
+    val votes = (0 until 16).map { b =>
+      s"SUM(CASE WHEN ((wid * 1103515245 + 12345) % 2147483648 >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v_$b"
+    }.mkString(", ")
+    val fp = (0 until 16).map(b => s"CASE WHEN v_$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $shingleCtes,
+       |votes AS (SELECT doc_id, $votes FROM docw GROUP BY doc_id),
+       |fps AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM votes),
+       |blocked AS (SELECT doc_id, simhash, simhash >> 8 AS blk FROM fps)
+       |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+       |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+       |FROM blocked x JOIN blocked y ON x.blk = y.blk AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ------------------------------------------------- similarity search
+  private def queryVecs(implicit s: SparkSession, dir: String): DataFrame =
+    embs.where(col("vec_id") < 5)
+
+  private def qCosineTopK(implicit s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(queryVecs, embs, "vec_id", "vec_id", "embedding", 10)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("sim"))
+      .orderBy(col("query_id"), col("rk"))
+
+  private val cosineSqlExpr =
+    """round(
+      |  list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
+      |    p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum')
+      |  / (sqrt(list_aggregate(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))
+      |     * sqrt(list_aggregate(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))), 6)""".stripMargin
+
+  private val qCosineTopKSql =
+    s"""WITH q AS (SELECT * FROM embeddings WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+       |    $cosineSqlExpr AS sim
+       |  FROM q CROSS JOIN embeddings c WHERE q.vec_id <> c.vec_id)
+       |SELECT query_id, rk, vec_id, sim FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, vec_id) AS INTEGER) AS rk FROM scored)
+       |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+
+  /** ANN via deterministic multi-table random-hyperplane LSH (6
+    * tables × 3 planes, ~0.74 recall@10 on these near-uniform
+    * vectors): per-table bucket join, candidate union, exact cosine
+    * re-rank. */
+  private val LshTables = 6
+  private val LshPlanes = 3
+  private def qAnnLsh(implicit s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(queryVecs, embs, "vec_id", "vec_id", "embedding",
+        planes = LshPlanes, k = 10, tables = LshTables)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("sim"))
+      .orderBy(col("query_id"), col("rk"))
+
+  private val qAnnLshSql = {
+    def bucket(t: Int) = (0 until LshPlanes).map { p =>
+      val g = t * LshPlanes + p
+      s"""CASE WHEN list_aggregate(list_transform(embedding,
+         |  (x, j) -> CAST(x AS DOUBLE) * ((j * ${2 * g + 3}) % 17 - 8)), 'sum') > 0
+         |  THEN ${1L << p} ELSE 0 END""".stripMargin
+    }.mkString(" + ")
+    val tableCands = (0 until LshTables).map { t =>
+      s"""SELECT q.vec_id AS query_id, c.vec_id AS vec_id
+         |FROM (SELECT vec_id, CAST(${bucket(t)} AS BIGINT) AS bkt FROM embeddings WHERE vec_id < 5) q
+         |JOIN (SELECT vec_id, CAST(${bucket(t)} AS BIGINT) AS bkt FROM embeddings) c
+         |  ON q.bkt = c.bkt AND q.vec_id <> c.vec_id""".stripMargin
+    }.mkString(" UNION ")
+    s"""WITH cands AS ($tableCands),
+       |scored AS (
+       |  SELECT cands.query_id, cands.vec_id,
+       |    $cosineSqlExpr AS sim
+       |  FROM cands
+       |  JOIN embeddings q ON cands.query_id = q.vec_id
+       |  JOIN embeddings c ON cands.vec_id = c.vec_id)
+       |SELECT query_id, rk, vec_id, sim FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, vec_id) AS INTEGER) AS rk FROM scored)
+       |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+  }
+
+  /** IVF probe search over the precomputed label cells (rows-only:
+    * float-avg centroid ordering is not bit-stable across engines). */
+  private def qIvfTopK(implicit s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(queryVecs, embs, "vec_id", "vec_id", "embedding",
+        "label", probes = 2, k = 10)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("sim"))
+      .orderBy(col("query_id"), col("rk"))
+
+  /** Greedy k-center selection (KCenterSampling) — 8 centers over the
+    * corpus; driver-looped farthest-point, rows-only. */
+  private def qKCenter(implicit s: SparkSession, dir: String): DataFrame = {
+    val chosen = Similarity.kcenterGreedy(embs, "vec_id", "embedding",
+      k = 8, seedId = 0L)
+    import s.implicits._
+    chosen.zipWithIndex.map { case (id, i) => (i + 1, id) }
+      .toDF("rk", "vec_id")
+  }
+
+  // ------------------------------------------------------ text analysis
+  private def qLangId(implicit s: SparkSession, dir: String): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+        TextFns.langId(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id"))
+
+  private val qLangIdSql = {
+    def hits(markers: Seq[String]) = markers.map { w =>
+      s"(length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $w ', ''))) // ${w.length + 2}"
+    }.mkString(" + ")
+    val scores = TextFns.LangMarkers.map { case (l, ms) => s"(${hits(ms)}) AS s_$l" }
+      .mkString(", ")
+    val langs = TextFns.LangMarkers.map(_._1)
+    val m = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val pick = langs.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+    s"""SELECT doc_id, lang, CASE $pick END AS lang_pred FROM (
+       |  SELECT doc_id, lang, $m AS m, ${langs.map("s_" + _).mkString(", ")} FROM (
+       |    SELECT doc_id, lang, $scores FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  private def qQualityScore(implicit s: SparkSession, dir: String): DataFrame =
+    docs.select(col("doc_id"),
+        TextFns.qualityScore(col("text")).as("quality"),
+        round(TextFns.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        round(TextFns.punctRatio(col("text")), 6).as("punct_ratio"))
+      .orderBy(col("doc_id"))
+
+  private val qQualityScoreSql = {
+    val tokCount = """len(string_split_regex(trim(text), '\s+'))"""
+    val stopHits = TextFns.Stopwords.map { w =>
+      s"(length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $w ', ''))) // ${w.length + 2}"
+    }.mkString(" + ")
+    val punct = s"CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)"
+    val wordLen = s"CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / $tokCount"
+    val stopRatio = s"CAST($stopHits AS DOUBLE) / $tokCount"
+    s"""SELECT doc_id,
+       |  round(least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.4
+       |    + (1.0 - $punct) * 0.2
+       |    + least($stopRatio * 5.0, 1.0) * 0.2
+       |    + (CASE WHEN $wordLen BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality,
+       |  round($stopRatio, 6) AS stopword_ratio,
+       |  round($punct, 6) AS punct_ratio
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  private def qTokenCounts(implicit s: SparkSession, dir: String): DataFrame =
+    docs.select(col("doc_id"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextFns.subwordCount(col("text")).as("n_subwords"),
+        round(TextFns.avgWordLen(col("text")), 6).as("avg_word_len"))
+      .orderBy(col("doc_id"))
+
+  private val qTokenCountsSql =
+    """SELECT doc_id,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |  CAST(list_aggregate(list_transform(string_split_regex(trim(text), '\s+'),
+      |    w -> 1 + length(w) // 6), 'sum') AS BIGINT) AS n_subwords,
+      |  round(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+      |    / len(string_split_regex(trim(text), '\s+')), 6) AS avg_word_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private def qFingerprint(implicit s: SparkSession, dir: String): DataFrame =
+    docs.select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  private val qFingerprintSql =
+    s"""SELECT doc_id, ${TextFns.fingerprintSql("text")} AS fp
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------- scalable rows-only path
+  /** The xxhash64 (vocabulary-free) MinHash+LSH variant — the 100 TB
+    * path, not oracle-reproducible. */
+  private def qDedupMinhashScalable(implicit s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupPairs(docs, "doc_id", "text", n = 3, k = 12, bands = 4,
+        threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  override def queries: Seq[Q] = Seq(
+    Q("q_dedup_exact", (s, d) => qDedupExact(s, d), Some(qDedupExactSql)),
+    Q("q_dedup_minhash_lsh", (s, d) => qDedupMinhashLsh(s, d), Some(qDedupMinhashLshSql)),
+    Q("q_dedup_ngram_jaccard", (s, d) => qDedupNgramJaccard(s, d), Some(qDedupNgramJaccardSql)),
+    Q("q_dedup_simhash", (s, d) => qDedupSimhash(s, d), Some(qDedupSimhashSql)),
+    Q("q_dedup_minhash_scalable", (s, d) => qDedupMinhashScalable(s, d), None),
+    Q("q_embed_cosine_topk", (s, d) => qCosineTopK(s, d), Some(qCosineTopKSql)),
+    Q("q_embed_ann_lsh", (s, d) => qAnnLsh(s, d), Some(qAnnLshSql)),
+    Q("q_embed_ivf", (s, d) => qIvfTopK(s, d), None),
+    Q("q_kcenter_select", (s, d) => qKCenter(s, d), None),
+    Q("q_lang_id", (s, d) => qLangId(s, d), Some(qLangIdSql)),
+    Q("q_quality_score", (s, d) => qQualityScore(s, d), Some(qQualityScoreSql)),
+    Q("q_token_counts", (s, d) => qTokenCounts(s, d), Some(qTokenCountsSql)),
+    Q("q_fingerprint", (s, d) => qFingerprint(s, d), Some(qFingerprintSql)))
+}
