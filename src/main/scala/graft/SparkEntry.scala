@@ -13,7 +13,8 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     RelationalQueries,
     DataSQueries,
-    NorthStarQueries)
+    NorthStarQueries,
+    MlQueries)
 
   private lazy val all: Seq[Q] = {
     val qs = modules.flatMap(_.queries)

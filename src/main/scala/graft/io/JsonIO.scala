@@ -42,17 +42,31 @@ object JsonIO {
   def readJsonAuto(spark: SparkSession, path: String,
                    schema: StructType = AlpacaSchema): DataFrame = {
     val corrupt = schema.add("_corrupt_record", StringType)
+    // Unlike Python's json.load (the reference sniff), Spark's
+    // multiLine parser accepts a JSONL file by silently reading ONLY
+    // its first record — so "no corrupt rows" is not enough. Parse
+    // both ways and keep whichever yields more valid rows (ties →
+    // array). Both caches are fine: the sniff path is for small
+    // reference-style files; production readers pin one format.
+    // (Raw-JSON frames can't be filtered on just the corrupt column —
+    // hence the caches.)
     val asArray = spark.read.schema(corrupt)
       .option("multiLine", "true").option("mode", "PERMISSIVE")
-      .json(path)
-    val arrayOk =
-      try asArray.limit(1).collect().headOption.exists(r =>
-        r.isNullAt(r.fieldIndex("_corrupt_record")))
-      catch { case _: Throwable => false }
-    val parsed =
-      if (arrayOk) asArray
-      else spark.read.schema(corrupt).option("mode", "PERMISSIVE").json(path)
-    parsed.where(parsed("_corrupt_record").isNull).drop("_corrupt_record")
+      .json(path).cache()
+    val arrayValid =
+      try if (asArray.where(asArray("_corrupt_record").isNotNull).isEmpty)
+        asArray.count() else -1L
+      catch { case _: Throwable => -1L }
+    val jl = spark.read.schema(corrupt)
+      .option("mode", "PERMISSIVE").json(path).cache()
+    val jlValid =
+      try jl.where(jl("_corrupt_record").isNull).count()
+      catch { case _: Throwable => -1L }
+    if (arrayValid >= jlValid) { jl.unpersist(); asArray.drop("_corrupt_record") }
+    else {
+      asArray.unpersist()
+      jl.where(jl("_corrupt_record").isNull).drop("_corrupt_record")
+    }
   }
 
   def readAlpaca(spark: SparkSession, path: String): DataFrame =

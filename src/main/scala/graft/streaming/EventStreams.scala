@@ -1,0 +1,128 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table (SURVEY.md §2b
+  * streaming row — an engine capability the reference lacks).
+  *
+  * The batch and streaming versions of the hourly aggregation share
+  * semantics: `window(ts, "1 hour")` on the stream ≡
+  * `date_trunc('hour', ts)` in batch, so the streaming result is
+  * oracle-checkable against the same DuckDB SQL.
+  *
+  * Scale posture: watermark + windowed aggregation is incremental
+  * state (per open window per key), not a full-table hold;
+  * flatMapGroupsWithState keeps one session struct per active user.
+  */
+object EventStreams {
+
+  /** Raw parquet schema of events (ts as nanos-long, see
+    * `Tables.events`). */
+  val RawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** The events parquet as a bounded stream (drives the streaming
+    * operators synchronously in tests/verify). The file-stream source
+    * requires a DIRECTORY; the single-file test fixture is staged via
+    * a /tmp symlink (production sources are directories already). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val staged = Paths.get("/tmp/graft_stream",
+      dir.replaceAll("[^a-zA-Z0-9]", "_"))
+    Files.createDirectories(staged)
+    val link = staged.resolve("events.parquet")
+    if (!Files.exists(link))
+      Files.createSymbolicLink(link, Paths.get(s"$dir/events.parquet"))
+    spark.readStream.schema(RawSchema)
+      .parquet(staged.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour windowed aggregation with a 2-hour watermark. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast(DecimalType(30, 4))).cast("double"), 2)
+          .as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Run a streaming aggregation to completion over the bounded
+    * source and return the final result as a batch DataFrame
+    * (memory sink, complete mode). */
+  def runToCompletion(spark: SparkSession, agg: DataFrame,
+                      name: String): DataFrame = {
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+
+  /** The full streaming hourly pipeline, batch-oracle-comparable. */
+  def streamingHourly(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_hourly_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    runToCompletion(spark, hourlyAgg(eventsStream(spark, dir)), name)
+  }
+
+  // ------------------------------------------------------- sessionize
+  case class Ev(user_id: Long, tsMicros: Long, event_type: String)
+  case class SessionState(start: Long, last: Long, n: Int)
+  case class UserSession(user_id: Long, session_start: Long,
+                         session_end: Long, n_events: Int)
+
+  /** Stateful sessionization: per-user sessions closed after a 30-min
+    * inactivity gap (flatMapGroupsWithState with processing-time
+    * timeout on the bounded source). */
+  def sessionize(spark: SparkSession, dir: String,
+                 gapMinutes: Long = 30): DataFrame = {
+    import spark.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+    val evs = eventsStream(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"),
+        col("event_type"))
+      .as[Ev]
+
+    def fn(userId: Long, events: Iterator[Ev],
+           state: GroupState[SessionState]): Iterator[UserSession] = {
+      var out = Vector.empty[UserSession]
+      var cur = state.getOption
+      events.toSeq.sortBy(_.tsMicros).foreach { e =>
+        cur match {
+          case Some(st) if e.tsMicros - st.last <= gapMicros =>
+            cur = Some(st.copy(last = e.tsMicros, n = st.n + 1))
+          case Some(st) =>
+            out :+= UserSession(userId, st.start, st.last, st.n)
+            cur = Some(SessionState(e.tsMicros, e.tsMicros, 1))
+          case None =>
+            cur = Some(SessionState(e.tsMicros, e.tsMicros, 1))
+        }
+      }
+      cur.foreach(state.update)
+      out.iterator
+    }
+
+    val name = s"sessions_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val q = evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("exactDedup keeps the smallest id per content") {
+    val df = Seq((3L, "x"), (1L, "x"), (2L, "y")).toDF("id", "text")
+    val out = Dedup.exactDedup(df, "id", Seq("text"))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(1L, 2L))
+  }
+
+  test("nearDupPairs finds a planted near-duplicate, skips distinct") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = base.replace("today", "tonight")
+    val other = "completely different words in this sentence about spark engines running fast"
+    val df = Seq((1L, base), (2L, near), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairs(df, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash: identical shingle sets → identical fingerprints") {
+    val ids = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 99L))
+      .toDF("doc_id", "wid")
+    val fps = Dedup.simhashFingerprints(ids, "doc_id", "wid")
+      .as[(Long, Long)].collect().toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("minhash signature similarity tracks jaccard") {
+    val a = (1L to 40L).map((1L, _))
+    val b = (1L to 40L).map((2L, _))            // identical to a
+    val c = (100L to 140L).map((3L, _))         // disjoint
+    val df = (a ++ b ++ c).toDF("doc_id", "wid")
+    val sigs = Dedup.minhashSignatures(df, "doc_id", "wid", 8).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+}

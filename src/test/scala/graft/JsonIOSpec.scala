@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.JsonIO
+
+class JsonIOSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val arrayJson =
+    """[{"instruction": "i1", "input": "", "output": "o1"},
+      | {"instruction": "i2", "input": "ctx", "output": "o2"}]""".stripMargin
+  private val jsonl =
+    """{"instruction": "i1", "input": "", "output": "o1"}
+      |{"instruction": "i2", "input": "ctx", "output": "o2"}""".stripMargin
+
+  private def write(name: String, content: String): String = {
+    val d = Files.createTempDirectory("graft_io")
+    val p = d.resolve(name)
+    Files.writeString(p, content)
+    p.toString
+  }
+
+  test("readJsonAuto handles whole-file JSON arrays") {
+    val df = JsonIO.readAlpaca(spark, write("a.json", arrayJson))
+    assert(df.count() == 2)
+    assert(df.columns.toSeq == Seq("instruction", "input", "output"))
+  }
+
+  test("readJsonAuto falls back to JSONL") {
+    val df = JsonIO.readAlpaca(spark, write("a.jsonl", jsonl))
+    assert(df.count() == 2)
+  }
+
+  test("sharegpt schema reads nested conversations") {
+    val sg =
+      """{"conversation_id": "c1", "category": "qa",
+        | "conversation": [{"human": "hi", "assistant": "hello"}]}""".stripMargin
+      .replace("\n", " ")
+    val df = JsonIO.readSharegpt(spark, write("s.jsonl", sg))
+    assert(df.count() == 1)
+    val conv = df.selectExpr("conversation[0].assistant").head().getString(0)
+    assert(conv == "hello")
+  }
+
+  test("checkpoint writes once and reuses") {
+    val out = Files.createTempDirectory("graft_ckpt").resolve("stage").toString
+    import spark.implicits._
+    var builds = 0
+    def df = { builds += 1; Seq(1, 2, 3).toDF("x") }
+    assert(JsonIO.checkpoint(spark, df, out).count() == 3)
+    assert(JsonIO.checkpoint(spark, df, out).count() == 3)
+    assert(builds == 1) // second call reused the artifact
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Selection
+
+class SelectionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fixture = Seq(
+    // group a: 10 rows conf 1..10 → p25=3.25, p75=7.75 → band {4..7}
+    (1 to 10).map(i => ("a", i.toLong, i.toDouble)),
+    // group b: 3 rows (below minGroupSize) → passthrough
+    Seq(("b", 100L, 1.0), ("b", 101L, 50.0), ("b", 102L, 99.0))
+  ).flatten.toDF("grp", "id", "conf")
+
+  test("percentileBand keeps the 25–75 band, linear interpolation") {
+    val out = Selection.percentileBand(fixture, "grp", "conf",
+      minGroupSize = 5)
+    val a = out.where($"grp" === "a").select("id").as[Long].collect().sorted
+    assert(a.toSeq == Seq(4L, 5L, 6L, 7L))
+  }
+
+  test("percentileBand passes small groups through whole") {
+    val out = Selection.percentileBand(fixture, "grp", "conf",
+      minGroupSize = 5)
+    assert(out.where($"grp" === "b").count() == 3)
+  }
+
+  test("strideSample takes every len/n-th in order, at most n") {
+    val df = (1 to 20).map(i => ("g", i.toLong)).toDF("grp", "id")
+    val out = Selection.strideSample(df, "grp", "id", 5)
+      .select("id").as[Long].collect().sorted.toSeq
+    // step = 20/5 = 4 → ids 1, 5, 9, 13, 17
+    assert(out == Seq(1L, 5L, 9L, 13L, 17L))
+  }
+
+  test("strideSample passes groups smaller than n") {
+    val df = (1 to 3).map(i => ("g", i.toLong)).toDF("grp", "id")
+    assert(Selection.strideSample(df, "grp", "id", 5).count() == 3)
+  }
+
+  test("poolSplit partitions the pool") {
+    val pool = (1L to 100L).toDF("id")
+    val sel = Seq(3L, 7L, 9L).toDF("id")
+    val (lab, unlab) = Selection.poolSplit(pool, sel, "id")
+    assert(lab.count() == 3 && unlab.count() == 97)
+    assert(lab.intersect(unlab).count() == 0)
+  }
+
+  test("sliceRows honors [start, end) and -1") {
+    val df = (1L to 10L).toDF("id")
+    assert(Selection.sliceRows(df, "id", 2, 5).as[Long].collect().sorted.toSeq
+      == Seq(3L, 4L, 5L))
+    assert(Selection.sliceRows(df, "id", 8, -1).count() == 2)
+  }
+
+  test("sampleByStrategy orders by metric") {
+    val df = Seq((1L, 5.0), (2L, 1.0), (3L, 3.0)).toDF("id", "m")
+    val least = Selection.sampleByStrategy(df, "LeastConfidence", 2, $"m")
+      .select("id").as[Long].collect().toSet
+    assert(least == Set(2L, 3L))
+  }
+}

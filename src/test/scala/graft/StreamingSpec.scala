@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.streaming.EventStreams
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streaming hourly agg equals its batch twin") {
+    val streamed = EventStreams.streamingHourly(spark, TestSpark.SfDir)
+      .select($"hour", $"event_type", $"n", $"total_value")
+    val batch = Tables.events(spark, TestSpark.SfDir)
+      .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"value".cast("decimal(30,4)")).cast("double"), 2)
+          .as("total_value"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+  }
+
+  test("sessionize closes sessions on the 30-min gap") {
+    val sessions = EventStreams.sessionize(spark, TestSpark.SfDir, 30)
+    assert(sessions.count() > 0)
+    // sessions are per existing user and internally consistent
+    val users = Tables.events(spark, TestSpark.SfDir)
+      .select($"user_id").distinct().as[Long].collect().toSet
+    val bad = sessions
+      .where(!$"user_id".isin(users.toSeq: _*) ||
+        $"session_end" < $"session_start" || $"n_events" < 1)
+    assert(bad.count() == 0)
+  }
+}
