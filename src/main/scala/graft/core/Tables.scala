@@ -18,7 +18,14 @@ object Tables {
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.adaptive.enabled" -> "true",
-    "spark.sql.parquet.compression.codec" -> "snappy")
+    "spark.sql.parquet.compression.codec" -> "snappy",
+    // The test fixtures are single small parquet files; with the 128MB
+    // default every scan is ONE task and per-row-expensive pipelines
+    // run single-threaded. 2MB splits restore scan parallelism at
+    // bench scale (a production corpus has thousands of splits and
+    // keeps the default).
+    "spark.sql.files.maxPartitionBytes" -> "2097152",
+    "spark.sql.files.openCostInBytes" -> "262144")
 
   val All: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
@@ -43,6 +50,14 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame =
     table(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  /** documents/embeddings feed per-row-EXPENSIVE operators (shingling,
+    * hashing, lambda folds over 64-dim arrays). The fixture is one
+    * small file — a single row-group parquet can't split below file
+    * level, so scan parallelism alone isn't enough; an explicit
+    * repartition (cheap: the whole table is <1 MB here) restores row
+    * parallelism, which a real many-split corpus gets for free. */
+  def documents(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents").repartition(s.sparkContext.defaultParallelism)
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    table(s, d, "embeddings").repartition(s.sparkContext.defaultParallelism)
 }

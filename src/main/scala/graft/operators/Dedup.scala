@@ -67,14 +67,24 @@ object Dedup {
 
   /** LSH banding: split the k-wide signature into bands of r rows;
     * docs sharing any (band, band-signature) bucket become candidate
-    * pairs. Returns distinct (id_a < id_b) pairs. */
+    * pairs. Returns distinct (id_a < id_b) pairs.
+    *
+    * One explode (not a bands-way union — a union evaluates the
+    * signature subtree once PER BAND per join side); the banded frame
+    * is cached because the self-join references it twice and
+    * signatures are k longs per doc — negligible even at 100 TB of
+    * source text. */
   def lshCandidatePairs(signatures: DataFrame, idCol: String,
                         bands: Int, rowsPerBand: Int): DataFrame = {
-    val banded = (0 until bands).map { b =>
-      val sig = concat_ws("_",
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"), concat_ws("_",
         (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*)
-      signatures.select(col(idCol), lit(b).as("band"), sig.as("bsig"))
-    }.reduce(_ unionAll _)
+        .as("bsig"))
+    }
+    val banded = signatures
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+      .cache()
     banded.alias("x").join(banded.alias("y"), Seq("band", "bsig"))
       .where(col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
@@ -99,8 +109,11 @@ object Dedup {
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, k: Int = 12, bands: Int = 4,
                    threshold: Double = 0.5): DataFrame = {
+    // sets feeds both candidate generation and pair verification;
+    // cached so the shingling runs once (ids + 2 verification joins)
     val sets = df.select(col(idCol),
       array_distinct(TextFns.shingles(col(textCol), n)).as("shset"))
+      .cache()
     val ids = sets.select(col(idCol), explode(col("shset")).as("sh"))
       .withColumn("wid", pmod(xxhash64(col("sh")), lit(P)))
     val sigs = minhashSignatures(ids, idCol, "wid", k)
@@ -136,7 +149,9 @@ object Dedup {
     * Self-join blocked on the fingerprint's high byte to avoid n²
     * (real deployments use 4-segment pigeonhole blocking). */
   def simhashPairs(fps: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
-    val blocked = fps.withColumn("_blk", shiftright(col("simhash"), 8))
+    // fingerprints are one long per doc; cache before the self-join so
+    // the voting pipeline isn't recomputed per side
+    val blocked = fps.withColumn("_blk", shiftright(col("simhash"), 8)).cache()
     blocked.alias("x").join(blocked.alias("y"), "_blk")
       .where(col(s"x.$idCol") < col(s"y.$idCol"))
       .withColumn("hamming",

@@ -105,14 +105,19 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               qId: String, cId: String, embCol: String,
               planes: Int, k: Int, tables: Int = 6): DataFrame = {
-    val cands = (0 until tables).map { t =>
-      val qb = queries.select(col(qId).as("query_id"),
-        hyperplaneBucket(col(embCol), planes, t).as("_bkt"))
-      val cb = corpus.select(col(cId).as("vec_id"),
-        hyperplaneBucket(col(embCol), planes, t).as("_bkt"))
-      cb.join(broadcast(qb), Seq("_bkt"))
-        .select(col("query_id"), col("vec_id"))
-    }.reduce(_ unionAll _)
+    // all table buckets in ONE corpus pass (a per-table union would
+    // rescan + re-project the corpus `tables` times), then explode to
+    // (table, bucket) join keys
+    def allBuckets(df: DataFrame, id: String, as: String) = {
+      val bkts = (0 until tables).map(t =>
+        struct(lit(t).as("tbl"),
+          hyperplaneBucket(col(embCol), planes, t).as("bkt")))
+      df.select(col(id).as(as), explode(array(bkts: _*)).as("tb"))
+        .select(col(as), col("tb.tbl").as("tbl"), col("tb.bkt").as("_bkt"))
+    }
+    val cands = allBuckets(corpus, cId, "vec_id")
+      .join(broadcast(allBuckets(queries, qId, "query_id")), Seq("tbl", "_bkt"))
+      .select(col("query_id"), col("vec_id"))
       .where(col("query_id") =!= col("vec_id"))
       .distinct()
     val scored = cands

@@ -77,7 +77,10 @@ object TaskVectors {
     * the elected one; mean divides by the matching non-zero count;
     * max takes the largest magnitude re-signed (`merging.py:239–267`).
     */
-  def disjointMerge(stacked: DataFrame, method: String = "mean"): DataFrame = {
+  def disjointMerge(stackedIn: DataFrame, method: String = "mean"): DataFrame = {
+    // referenced twice (values + sign election) — cache the long
+    // format once rather than recomputing its upstream per side
+    val stacked = stackedIn.cache()
     val matches = signum(col("value")) === col("gamma") && col("value") =!= 0.0
     val masked  = when(matches, col("value")).otherwise(lit(0.0))
     val agg: Column = method match {
@@ -102,7 +105,8 @@ object TaskVectors {
   /** Full TIES (`merging.py:270+` shape): mask per model, resolve
     * signs, disjoint-merge. `stacked` carries (model, param_key, idx,
     * value). */
-  def tiesMerge(stacked: DataFrame, keep: Double, method: String = "mean"): DataFrame = {
+  def tiesMerge(stackedIn: DataFrame, keep: Double, method: String = "mean"): DataFrame = {
+    val stacked = stackedIn.cache() // feeds threshold agg AND value join
     val masked = stacked.groupBy(col("model"), col("param_key"))
       .agg(percentile(abs(col("value")), lit(1.0 - keep)).as("_th"))
       .join(stacked, Seq("model", "param_key"))

@@ -40,9 +40,12 @@ object NorthStarQueries extends QueryModule {
       |ORDER BY content_key""".stripMargin
 
   // ---------------------------------------------------- shingle plumbing
+  /** Cached: every dedup query reads this 2–3 times (explode for
+    * signatures/votes + twice for pair verification). */
   private def shingleSets(implicit s: SparkSession, dir: String): DataFrame =
     docs.select(col("doc_id"),
       array_distinct(TextFns.shingles(col("text"), 3)).as("shset"))
+      .cache()
 
   /** Shared SQL CTE prefix: 3-gram shingle sets + rank vocabulary +
     * doc→shingle-id rows. */
@@ -119,6 +122,7 @@ object NorthStarQueries extends QueryModule {
     val sets = docs.select(col("doc_id"),
       substring(col("text"), 1, 16).as("blk"),
       array_distinct(TextFns.shingles(col("text"), 3)).as("shset"))
+      .cache() // self-joined
     sets.alias("a").join(sets.alias("b"), "blk")
       .where(col("a.doc_id") < col("b.doc_id"))
       .withColumn("jaccard",

@@ -318,7 +318,51 @@ object RelationalQueries extends QueryModule {
       |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // -------------------------------------------------------------- cube
+  /** Full CUBE over order status × priority (rollup's sibling —
+    * SURVEY §2b grouping-sets row). */
+  private def qCube(implicit s: SparkSession, dir: String): DataFrame =
+    t("orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  private val qCubeSql =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE), 2) AS total
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  // --------------------------------------------------------- row slice
+  /** Row-range slice by explicit order (reference S3,
+    * `main.py:157–159`) through [[graft.operators.Selection.sliceRows]]. */
+  private def qRowSlice(implicit s: SparkSession, dir: String): DataFrame =
+    graft.operators.Selection
+      .sliceRows(t("orders").select(col("o_orderkey"), col("o_totalprice")),
+        "o_orderkey", 100, 120)
+      .orderBy(col("o_orderkey"))
+
+  private val qRowSliceSql =
+    """SELECT o_orderkey, o_totalprice FROM
+      |  (SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey
+      |   LIMIT 20 OFFSET 100)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ------------------------------------------------------ HLL distinct
+  /** approx_count_distinct (HyperLogLog++) — the at-scale variant of
+    * q_distinct; rows-only (sketch estimates are engine-specific). */
+  private def qApproxDistinct(implicit s: SparkSession, dir: String): DataFrame =
+    t("lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      .orderBy(col("l_returnflag"))
+
   override def queries: Seq[Q] = Seq(
+    Q("q_cube", (s, d) => qCube(s, d), Some(qCubeSql)),
+    Q("q_row_slice", (s, d) => qRowSlice(s, d), Some(qRowSliceSql)),
+    Q("q_approx_distinct", (s, d) => qApproxDistinct(s, d), None),
     Q("q1_pricing_summary", (s, d) => q1(s, d), Some(q1Sql)),
     Q("q3_shipping_priority", (s, d) => q3(s, d), Some(q3Sql)),
     Q("q5_local_supplier", (s, d) => q5(s, d), Some(q5Sql)),
