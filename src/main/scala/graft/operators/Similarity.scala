@@ -18,9 +18,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns, computed in double.
-    * zip_with + ordered fold → bit-identical across engines. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity of two float-array columns, computed in double
+    * via the codegen'd native expression [[graft.plans.ArrayCosineSim]]
+    * (bit-identical to the HOF formulation and the DuckDB oracle, but
+    * a tight generated loop instead of interpreted per-element
+    * closures). */
+  def cosine(a: Column, b: Column): Column =
+    graft.plans.ArrayCosineSim(a, b)
+
+  /** The higher-order-function formulation (kept as the readable
+    * reference implementation; same IEEE result as [[cosine]]). */
+  def cosineHof(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column) =
       aggregate(zip_with(x, y, (p, q) => p.cast("double") * q),
         lit(0.0), (acc, v) => acc + v)

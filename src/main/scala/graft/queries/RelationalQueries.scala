@@ -359,7 +359,39 @@ object RelationalQueries extends QueryModule {
         approx_count_distinct(col("l_orderkey")).as("approx_orders"))
       .orderBy(col("l_returnflag"))
 
+  // ---------------------------------------------------------- as-of join
+  /** As-of join (events → latest order at or before the event, per
+    * user) via [[graft.operators.AsofJoin]]'s union+window
+    * composition; DuckDB's native ASOF JOIN is the oracle. The right
+    * side is deduplicated per (custkey, orderdate) — both engines
+    * would otherwise pick an arbitrary row among equal timestamps. */
+  private def qAsofJoin(implicit s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_id"),
+      col("user_id"), col("ts"))
+    val ord = t("orders")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"),
+        max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+    graft.operators.AsofJoin.asofJoin(ev, ord,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTs = "ts", rightTs = "o_orderdate",
+        rightPayload = Seq("o_orderkey", "o_totalprice"))
+      .select(col("event_id"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
+  private val qAsofJoinSql =
+    """WITH ord AS (
+      |  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey,
+      |    max_by(o_totalprice, o_orderkey) AS o_totalprice
+      |  FROM orders GROUP BY o_custkey, o_orderdate)
+      |SELECT event_id, o_orderkey, o_totalprice
+      |FROM events ASOF JOIN ord
+      |  ON events.user_id = ord.o_custkey AND events.ts >= ord.o_orderdate
+      |ORDER BY event_id""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("q_asof_join", (s, d) => qAsofJoin(s, d), Some(qAsofJoinSql)),
     Q("q_cube", (s, d) => qCube(s, d), Some(qCubeSql)),
     Q("q_row_slice", (s, d) => qRowSlice(s, d), Some(qRowSliceSql)),
     Q("q_approx_distinct", (s, d) => qApproxDistinct(s, d), None),

@@ -1,0 +1,55 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AsofJoin, Similarity}
+import graft.plans.ArrayCosineSim
+
+class PlansSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("ArrayCosineSim equals the HOF formulation bit-for-bit on real data") {
+    val embs = graft.core.Tables.embeddings(spark, TestSpark.SfDir).limit(100)
+    val diff = embs.alias("a").join(embs.alias("b"),
+        $"a.vec_id" < $"b.vec_id")
+      .select(
+        ArrayCosineSim($"a.embedding", $"b.embedding").as("native"),
+        Similarity.cosineHof($"a.embedding", $"b.embedding").as("hof"))
+      .where($"native" =!= $"hof")
+    assert(diff.count() == 0)
+  }
+
+  test("ArrayCosineSim participates in whole-stage codegen") {
+    val embs = graft.core.Tables.embeddings(spark, TestSpark.SfDir).limit(5)
+    val df = embs.select(ArrayCosineSim($"embedding", $"embedding"))
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark operators inside a WholeStageCodegen stage
+    assert(plan.contains(") Project [arraycosinesim") && plan.contains("*("),
+      s"expected codegen'd project in:\n$plan")
+  }
+
+  test("asofJoin picks the most recent right row at or before left ts") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val trades = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:30")),
+      (2L, 10L, ts("2024-01-01 10:02:00")),
+      (3L, 20L, ts("2024-01-01 10:00:10")),
+      (4L, 30L, ts("2024-01-01 09:00:00"))) // before any quote → drops
+      .toDF("trade_id", "sym", "t")
+    val quotes = Seq(
+      (10L, ts("2024-01-01 10:00:00"), 100.0),
+      (10L, ts("2024-01-01 10:01:00"), 101.0),
+      (10L, ts("2024-01-01 10:02:00"), 102.0), // equal ts → inclusive
+      (20L, ts("2024-01-01 10:00:10"), 200.0))
+      .toDF("qsym", "qt", "px")
+    val out = AsofJoin.asofJoin(trades, quotes, "sym", "qsym", "t", "qt",
+        Seq("px"))
+      .select("trade_id", "px").as[(Long, Double)].collect().toMap
+    assert(out == Map(1L -> 100.0, 2L -> 102.0, 3L -> 200.0))
+  }
+}
