@@ -101,11 +101,16 @@ object TextFns {
 
   /** Order-aware document fingerprint: position-weighted character sum
     * mod 1e9+7. A rolling-hash stand-in that both Spark and DuckDB can
-    * compute exactly (integer math only).
+    * compute exactly (integer math only). Implemented as the native
+    * codegen'd [[graft.plans.TextFingerprint]] (the HOF formulation,
+    * kept below as [[fingerprintHof]], allocates a row per character).
     * Spark transform() lambda index is 0-based; the DuckDB oracle uses
     * its 1-based index minus one.
     */
-  def fingerprint(c: Column): Column = {
+  def fingerprint(c: Column): Column = graft.plans.TextFingerprint(c)
+
+  /** Reference HOF formulation of [[fingerprint]] (same values). */
+  def fingerprintHof(c: Column): Column = {
     val chars = split(c, "")
     val weighted = transform(chars, (ch, i) =>
       ascii(ch).cast("long") * ((i.cast("long") % lit(31L)) + lit(1L)))

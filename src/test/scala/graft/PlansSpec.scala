@@ -33,6 +33,20 @@ class PlansSpec extends AnyFunSuite {
       s"expected codegen'd project in:\n$plan")
   }
 
+  test("TextFingerprint equals the HOF formulation on the corpus") {
+    val docs = graft.core.Tables.documents(spark, TestSpark.SfDir)
+    val diff = docs.select(
+        graft.functions.TextFns.fingerprint($"text").as("native"),
+        graft.functions.TextFns.fingerprintHof($"text").as("hof"))
+      .where($"native" =!= $"hof")
+    assert(diff.count() == 0)
+    // non-ASCII code points weigh like ascii() (first code point value)
+    val uni = Seq("héllo wörld ✓").toDF("text").select(
+      graft.functions.TextFns.fingerprint($"text").as("n"),
+      graft.functions.TextFns.fingerprintHof($"text").as("h")).head()
+    assert(uni.getLong(0) == uni.getLong(1))
+  }
+
   test("asofJoin picks the most recent right row at or before left ts") {
     def ts(s: String) = Timestamp.valueOf(s)
     val trades = Seq(
