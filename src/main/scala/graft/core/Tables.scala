@@ -55,9 +55,14 @@ object Tables {
     * small file — a single row-group parquet can't split below file
     * level, so scan parallelism alone isn't enough; an explicit
     * repartition (cheap: the whole table is <1 MB here) restores row
-    * parallelism, which a real many-split corpus gets for free. */
+    * parallelism, which a real many-split corpus gets for free.
+    * Partition count follows DATA size, not core count: these fixture
+    * tables are a few thousand rows, and 32-way splits mean ~60-row
+    * tasks whose scheduling overhead dominates — worse, iterative
+    * consumers (KMeans) barrier on every tiny task each iteration. */
+  private val FixtureSplits = 8
   def documents(s: SparkSession, d: String): DataFrame =
-    table(s, d, "documents").repartition(s.sparkContext.defaultParallelism)
+    table(s, d, "documents").repartition(FixtureSplits)
   def embeddings(s: SparkSession, d: String): DataFrame =
-    table(s, d, "embeddings").repartition(s.sparkContext.defaultParallelism)
+    table(s, d, "embeddings").repartition(FixtureSplits)
 }
