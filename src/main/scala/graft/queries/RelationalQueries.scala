@@ -390,7 +390,38 @@ object RelationalQueries extends QueryModule {
       |  ON events.user_id = ord.o_custkey AND events.ts >= ord.o_orderdate
       |ORDER BY event_id""".stripMargin
 
+  // --------------------------------------------------------- range join
+  /** Range (theta) join: events matched to the same user's orders
+    * within a ±2-year window around the order date. The equi key
+    * (user) carries the join through a hash join; the range predicate
+    * filters inside it — the standard way to keep a theta join off the
+    * nested-loop path. */
+  private def qRangeJoin(implicit s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val ord = t("orders").select(col("o_custkey"), col("o_orderkey"),
+      col("o_orderdate"))
+    ev.join(ord,
+        col("user_id") === col("o_custkey") &&
+          col("ts") >= col("o_orderdate") &&
+          col("ts") <= col("o_orderdate") + expr("INTERVAL 12000 DAYS"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("user_id"))
+  }
+
+  private val qRangeJoinSql =
+    """SELECT user_id, COUNT(*) AS n_pairs,
+      |  COUNT(DISTINCT o_orderkey) AS n_orders
+      |FROM events JOIN orders
+      |  ON user_id = o_custkey
+      | AND ts >= o_orderdate
+      | AND ts <= o_orderdate + INTERVAL 12000 DAYS
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("q_range_join", (s, d) => qRangeJoin(s, d), Some(qRangeJoinSql)),
     Q("q_asof_join", (s, d) => qAsofJoin(s, d), Some(qAsofJoinSql)),
     Q("q_cube", (s, d) => qCube(s, d), Some(qCubeSql)),
     Q("q_row_slice", (s, d) => qRowSlice(s, d), Some(qRowSliceSql)),
