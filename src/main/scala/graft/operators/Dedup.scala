@@ -131,15 +131,18 @@ object Dedup {
                           widCol: String, bits: Int = 16): DataFrame = {
     // small LCG: keeps wid*a+b inside BIGINT under ANSI overflow
     // checks and is reproducible in DuckDB (which errors on overflow
-    // rather than wrapping)
-    val h = (col(widCol) * 1103515245L + 12345L) % 2147483648L
+    // rather than wrapping). Projected ONCE — the 16 per-bit vote
+    // aggregates share `_h` instead of re-evaluating the LCG each.
+    val hashed = docShingleIds.withColumn("_h",
+      (col(widCol) * 1103515245L + 12345L) % 2147483648L)
     val bitVotes = (0 until bits).map { b =>
-      sum(when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v_$b")
+      sum(when(shiftright(col("_h"), b).bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L)).as(s"v_$b")
     }
     val fp = (0 until bits).map { b =>
       when(col(s"v_$b") > 0, lit(1L << b)).otherwise(0L)
     }.reduce(_ + _)
-    docShingleIds.groupBy(col(idCol))
+    hashed.groupBy(col(idCol))
       .agg(bitVotes.head, bitVotes.tail: _*)
       .withColumn("simhash", fp)
       .select(col(idCol), col("simhash"))

@@ -23,6 +23,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.except(streamed).count() == 0)
   }
 
+  test("append mode with watermark emits only closed windows") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val agg = EventStreams.hourlyAgg(
+      EventStreams.eventsStream(spark, TestSpark.SfDir))
+    val name = s"wm_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    val appended = spark.table(name)
+    val total = EventStreams.streamingHourly(spark, TestSpark.SfDir)
+    // append emits windows closed by the watermark: a strict subset
+    // that excludes at least the last (still-open) window
+    assert(appended.count() < total.count())
+    assert(appended.except(total).count() == 0)
+    val maxAppended = appended.agg(max($"hour")).head().getTimestamp(0)
+    val maxTotal = total.agg(max($"hour")).head().getTimestamp(0)
+    assert(maxAppended.before(maxTotal))
+  }
+
   test("sessionize closes sessions on the 30-min gap") {
     val sessions = EventStreams.sessionize(spark, TestSpark.SfDir, 30)
     assert(sessions.count() > 0)
