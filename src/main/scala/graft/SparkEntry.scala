@@ -14,7 +14,8 @@ object SparkEntry {
     RelationalQueries,
     DataSQueries,
     NorthStarQueries,
-    MlQueries)
+    MlQueries,
+    SessionQueries)
 
   private lazy val all: Seq[Q] = {
     val qs = modules.flatMap(_.queries)

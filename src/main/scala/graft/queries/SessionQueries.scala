@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFns
+
+/** Batch sessionization (the lag/cumulative-sum idiom, oracle-exact —
+  * complements the stateful streaming q_sessionize which emits only
+  * watermark-closed sessions) and the remaining sampling strategies
+  * (entropy, margin) with real per-strategy metrics.
+  */
+object SessionQueries extends QueryModule {
+
+  /** Sessions = runs of per-user events with gaps ≤ 30 min: lag marks
+    * session starts, a running sum numbers them, then a grouped
+    * aggregate per session. One shuffle on user_id total. */
+  private def qSessionizeBatch(implicit s: SparkSession, dir: String): DataFrame = {
+    val w  = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"))
+      .withColumn("_prev", lag(col("ts"), 1).over(w))
+      .withColumn("_new", when(col("_prev").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("_prev")) > 1800L * 1000000L,
+        1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("_new")).over(wc))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("n_events"),
+        date_trunc("second", min(col("ts"))).as("sess_start"),
+        date_trunc("second", max(col("ts"))).as("sess_end"))
+      .orderBy(col("user_id"), col("sess_id"))
+  }
+
+  private val qSessionizeBatchSql =
+    """WITH m AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |          OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts, SUM(new_sess) OVER (
+      |    PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM m)
+      |SELECT user_id, sess_id, COUNT(*) AS n_events,
+      |  date_trunc('second', MIN(ts)) AS sess_start,
+      |  date_trunc('second', MAX(ts)) AS sess_end
+      |FROM s GROUP BY user_id, sess_id
+      |ORDER BY user_id, sess_id""".stripMargin
+
+  // ------------------------------------------------- entropy sampling
+  /** EntropySampling (reference K2): entropy of the per-language
+    * marker-hit distribution; most-uncertain (highest entropy) docs
+    * first. */
+  private def qSampleEntropy(implicit s: SparkSession, dir: String): DataFrame = {
+    val hits = TextFns.LangMarkers.map { case (l, ms) =>
+      TextFns.langMarkerHits(col("text"), ms).cast("double").as(s"s_$l")
+    }
+    val scored = Tables.documents(s, dir).select(col("doc_id") +: hits: _*)
+    val total = TextFns.LangMarkers.map(m => col(s"s_${m._1}")).reduce(_ + _)
+    val entropy = TextFns.LangMarkers.map { case (l, _) =>
+      val p = col(s"s_$l") / col("_total")
+      when(col(s"s_$l") > 0, -p * log(p)).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    scored.withColumn("_total", total)
+      .where(col("_total") > 0)
+      .withColumn("entropy", round(entropy, 6))
+      .orderBy(col("entropy").desc, col("doc_id"))
+      .limit(50)
+      .select(col("doc_id"), col("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qSampleEntropySql = {
+    def hitsSql(markers: Seq[String]) = markers.map { w =>
+      s"(length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $w ', ''))) // ${w.length + 2}"
+    }.mkString(" + ")
+    val scores = TextFns.LangMarkers
+      .map { case (l, ms) => s"CAST(${hitsSql(ms)} AS DOUBLE) AS s_$l" }
+      .mkString(", ")
+    val langs = TextFns.LangMarkers.map(_._1)
+    val total = langs.map("s_" + _).mkString(" + ")
+    val entropy = langs.map { l =>
+      s"CASE WHEN s_$l > 0 THEN -(s_$l / _total) * ln(s_$l / _total) ELSE 0.0 END"
+    }.mkString(" + ")
+    s"""SELECT doc_id, entropy FROM (
+       |  SELECT doc_id, round($entropy, 6) AS entropy FROM (
+       |    SELECT doc_id, ($total) AS _total, ${langs.map("s_" + _).mkString(", ")} FROM (
+       |      SELECT doc_id, $scores FROM documents))
+       |  WHERE _total > 0
+       |  ORDER BY entropy DESC, doc_id LIMIT 50)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------- margin sampling
+  /** MarginSampling (reference K2): smallest margin between the two
+    * leading class scores (en vs es markers here) = most ambiguous. */
+  private def qSampleMargin(implicit s: SparkSession, dir: String): DataFrame = {
+    val sEn = TextFns.langMarkerHits(col("text"), TextFns.LangMarkers.head._2)
+    val sEs = TextFns.langMarkerHits(col("text"), TextFns.LangMarkers(1)._2)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), abs(sEn - sEs).cast("long").as("margin"))
+      .orderBy(col("margin"), col("doc_id"))
+      .limit(50)
+      .orderBy(col("doc_id"))
+  }
+
+  private val qSampleMarginSql = {
+    def hitsSql(markers: Seq[String]) = markers.map { w =>
+      s"(length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $w ', ''))) // ${w.length + 2}"
+    }.mkString(" + ")
+    val en = hitsSql(TextFns.LangMarkers.head._2)
+    val es = hitsSql(TextFns.LangMarkers(1)._2)
+    s"""SELECT doc_id, margin FROM (
+       |  SELECT doc_id, CAST(abs(($en) - ($es)) AS BIGINT) AS margin
+       |  FROM documents ORDER BY margin, doc_id LIMIT 50)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  override def queries: Seq[Q] = Seq(
+    Q("q_sessionize_batch", (s, d) => qSessionizeBatch(s, d), Some(qSessionizeBatchSql)),
+    Q("q_sample_entropy", (s, d) => qSampleEntropy(s, d), Some(qSampleEntropySql)),
+    Q("q_sample_margin", (s, d) => qSampleMargin(s, d), Some(qSampleMarginSql)))
+}
