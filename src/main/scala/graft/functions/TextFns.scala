@@ -119,8 +119,8 @@ object TextFns {
 
   /** DuckDB-side SQL fragment equivalent of [[fingerprint]]. */
   def fingerprintSql(col: String): String =
-    s"list_aggregate(list_transform(string_split($col, ''), " +
-      s"(ch, i) -> ascii(ch)::BIGINT * ((((i - 1) % 31) + 1)::BIGINT)), 'sum') % 1000000007"
+    s"CAST(list_aggregate(list_transform(string_split($col, ''), " +
+      s"(ch, i) -> ascii(ch)::BIGINT * ((((i - 1) % 31) + 1)::BIGINT)), 'sum') % 1000000007 AS BIGINT)"
 
   /** Word n-gram shingles (space-joined), for Jaccard/MinHash dedup. */
   def shingles(c: Column, n: Int): Column = {

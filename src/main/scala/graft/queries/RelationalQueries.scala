@@ -279,7 +279,7 @@ object RelationalQueries extends QueryModule {
       .orderBy(col("event_type"))
 
   private val qJsonExtractSql =
-    """SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+    """SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  COUNT(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
@@ -313,7 +313,7 @@ object RelationalQueries extends QueryModule {
 
   private val qCaseAggSql =
     """SELECT o_orderpriority, COUNT(*) AS n,
-      |  SUM(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END) AS n_big,
+      |  CAST(SUM(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
       |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE), 2) AS sum_price,
       |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin

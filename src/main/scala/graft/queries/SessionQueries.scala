@@ -46,7 +46,7 @@ object SessionQueries extends QueryModule {
       |    PARTITION BY user_id ORDER BY ts
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
       |  FROM m)
-      |SELECT user_id, sess_id, COUNT(*) AS n_events,
+      |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, COUNT(*) AS n_events,
       |  date_trunc('second', MIN(ts)) AS sess_start,
       |  date_trunc('second', MAX(ts)) AS sess_end
       |FROM s GROUP BY user_id, sess_id

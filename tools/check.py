@@ -40,18 +40,29 @@ def canon(cols, rows):
 fails = 0
 for name in sorted(oracle):
     path = f"{outdir}/{name}"
-    files = glob.glob(f"{path}/*.parquet")
+    files = sorted(glob.glob(f"{path}/*.parquet"))
     if not files:
         print(f"FAIL {name}: no spark result at {path}")
         fails += 1
         continue
-    spark_t = pq.read_table(files[0])
+    import pyarrow as pa
+    spark_t = pa.concat_tables([pq.read_table(f) for f in files])
     s_cols = spark_t.column_names
     s_rows = [tuple(c[i].as_py() for c in spark_t.columns)
               for i in range(spark_t.num_rows)]
     try:
         rel = con.sql(oracle[name])
         d_cols = rel.columns
+        # The driver materializes DuckDB results through pandas/Arrow,
+        # where HUGEINT (SUM of ints, list_aggregate 'sum') becomes
+        # float64/Decimal and stringifies as "3.0" != Spark's "3".
+        # Force oracle SQL to emit driver-safe types instead.
+        bad_types = [f"{c}:{t}" for c, t in zip(d_cols, rel.types)
+                     if str(t) in ("HUGEINT", "UHUGEINT") or str(t).startswith("DECIMAL")]
+        if bad_types:
+            print(f"FAIL {name}: oracle emits pandas-lossy types {bad_types} — CAST them (BIGINT/DOUBLE)")
+            fails += 1
+            continue
         d_rows = rel.fetchall()
     except Exception as e:
         print(f"FAIL {name}: duckdb error: {str(e).splitlines()[0][:200]}")
