@@ -42,14 +42,24 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // per-query caches don't leak across queries
+    // Profiling aids (unset in driver runs → full suite, one pass):
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the query set;
+    // SPARK_GRAFT_ITERS=3 repeats each query, reporting the MINIMUM
+    // (the host suffers CPU-steal jitter; min is the real cost).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "1").toInt
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
+      val dt = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        spark.catalog.clearCache() // per-query caches don't leak across queries
+        (System.nanoTime() - t0) / 1e9
+      }.min
       name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }

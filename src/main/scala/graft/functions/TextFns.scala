@@ -26,8 +26,12 @@ object TextFns {
   /** BPE-ish subword count proxy: words plus extra units for every 6
     * chars of a long word (a deterministic stand-in for a real BPE
     * vocab, which would live behind the same column contract).
-    */
-  def subwordCount(c: Column): Column =
+    * Native codegen'd ([[graft.plans.SubwordCount]]); the HOF
+    * formulation below is the readable contract. */
+  def subwordCount(c: Column): Column = graft.plans.SubwordCount(c)
+
+  /** Reference HOF formulation of [[subwordCount]] (same values). */
+  def subwordCountHof(c: Column): Column =
     aggregate(tokens(c), lit(0L),
       (acc, w) => acc + lit(1L) + floor(length(w) / lit(6.0)).cast("long"))
 
@@ -122,8 +126,19 @@ object TextFns {
     s"CAST(list_aggregate(list_transform(string_split($col, ''), " +
       s"(ch, i) -> ascii(ch)::BIGINT * ((((i - 1) % 31) + 1)::BIGINT)), 'sum') % 1000000007 AS BIGINT)"
 
-  /** Word n-gram shingles (space-joined), for Jaccard/MinHash dedup. */
-  def shingles(c: Column, n: Int): Column = {
+  /** Word n-gram shingles (space-joined), for Jaccard/MinHash dedup.
+    * Native codegen'd ([[graft.plans.WordShingles]]); [[shinglesHof]]
+    * is the readable contract both it and the DuckDB oracle follow. */
+  def shingles(c: Column, n: Int): Column =
+    graft.plans.WordShingles(c, n)
+
+  /** Distinct shingles (array_distinct fused into the same pass —
+    * first-occurrence order). */
+  def shinglesDistinct(c: Column, n: Int): Column =
+    graft.plans.WordShingles(c, n, distinct = true)
+
+  /** Reference HOF formulation of [[shingles]] (same values). */
+  def shinglesHof(c: Column, n: Int): Column = {
     val toks = tokens(c)
     when(size(toks) < n, array(concat_ws(" ", toks)))
       .otherwise(transform(

@@ -112,7 +112,7 @@ object Dedup {
     // sets feeds both candidate generation and pair verification;
     // cached so the shingling runs once (ids + 2 verification joins)
     val sets = df.select(col(idCol),
-      array_distinct(TextFns.shingles(col(textCol), n)).as("shset"))
+      TextFns.shinglesDistinct(col(textCol), n).as("shset"))
       .cache()
     val ids = sets.select(col(idCol), explode(col("shset")).as("sh"))
       .withColumn("wid", pmod(xxhash64(col("sh")), lit(P)))

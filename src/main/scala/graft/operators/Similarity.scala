@@ -114,15 +114,15 @@ object Similarity {
               qId: String, cId: String, embCol: String,
               planes: Int, k: Int, tables: Int = 6): DataFrame = {
     // all table buckets in ONE corpus pass (a per-table union would
-    // rescan + re-project the corpus `tables` times), then explode to
-    // (table, bucket) join keys
-    def allBuckets(df: DataFrame, id: String, as: String) = {
-      val bkts = (0 until tables).map(t =>
-        struct(lit(t).as("tbl"),
-          hyperplaneBucket(col(embCol), planes, t).as("bkt")))
-      df.select(col(id).as(as), explode(array(bkts: _*)).as("tb"))
-        .select(col(as), col("tb.tbl").as("tbl"), col("tb.bkt").as("_bkt"))
-    }
+    // rescan + re-project the corpus `tables` times), then posexplode
+    // to (table, bucket) join keys. The per-row bucket computation is
+    // the native codegen'd [[graft.plans.HyperplaneBuckets]] (the
+    // per-plane zip_with/aggregate folds in [[hyperplaneBucket]] are
+    // interpreted and were the hot path of the LSH search).
+    def allBuckets(df: DataFrame, id: String, as: String) =
+      df.select(col(id).as(as),
+          posexplode(graft.plans.HyperplaneBuckets(col(embCol), planes, tables))
+            .as(Seq("tbl", "_bkt")))
     val cands = allBuckets(corpus, cId, "vec_id")
       .join(broadcast(allBuckets(queries, qId, "query_id")), Seq("tbl", "_bkt"))
       .select(col("query_id"), col("vec_id"))

@@ -94,10 +94,10 @@ object DataSQueries extends QueryModule {
   private def qClusterSelect(implicit s: SparkSession, dir: String): DataFrame = {
     // ppl-proxy confidence: position-weighted projection of the
     // embedding (its plain L2 norm is degenerate — vectors are unit-
-    // normalized). Spark lambda index is 0-based, DuckDB's 1-based.
-    val conf = round(aggregate(
-      transform(col("embedding"), (x, i) => x.cast("double") * (i + 1)),
-      lit(0.0), (a, x) => a + x), 6)
+    // normalized). Native codegen'd fold, identical to
+    // `aggregate(transform(e, (x,i) -> x·(i+1)), 0.0, +)` and the
+    // oracle's 1-based list_transform.
+    val conf = round(graft.plans.PosWeightedSum(col("embedding")), 6)
     val scored = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"), conf.as("conf"))
     val band = Selection.percentileBand(scored, "label", "conf",

@@ -28,9 +28,7 @@ object MlQueries extends QueryModule {
   /** The reference's ACTUAL EP1 flow with computed clusters: KMeans →
     * per-cluster percentile band → stride sample. */
   private def qKmeansSelect(implicit s: SparkSession, dir: String): DataFrame = {
-    val conf = round(aggregate(
-      transform(col("embedding"), (x, i) => x.cast("double") * (i + 1)),
-      lit(0.0), (a, x) => a + x), 6)
+    val conf = round(graft.plans.PosWeightedSum(col("embedding")), 6)
     val scored = embs.select(col("vec_id"), col("embedding"), conf.as("conf"))
     Clustering.clusterAndSelect(scored, "vec_id", "embedding", "conf",
         k = 10, sampleNum = 5, seed = 0L)

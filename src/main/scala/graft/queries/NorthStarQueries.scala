@@ -44,7 +44,7 @@ object NorthStarQueries extends QueryModule {
     * signatures/votes + twice for pair verification). */
   private def shingleSets(implicit s: SparkSession, dir: String): DataFrame =
     docs.select(col("doc_id"),
-      array_distinct(TextFns.shingles(col("text"), 3)).as("shset"))
+      TextFns.shinglesDistinct(col("text"), 3).as("shset"))
       .cache()
 
   /** Shared SQL CTE prefix: 3-gram shingle sets + rank vocabulary +
@@ -121,7 +121,7 @@ object NorthStarQueries extends QueryModule {
   private def qDedupNgramJaccard(implicit s: SparkSession, dir: String): DataFrame = {
     val sets = docs.select(col("doc_id"),
       substring(col("text"), 1, 16).as("blk"),
-      array_distinct(TextFns.shingles(col("text"), 3)).as("shset"))
+      TextFns.shinglesDistinct(col("text"), 3).as("shset"))
       .cache() // self-joined
     sets.alias("a").join(sets.alias("b"), "blk")
       .where(col("a.doc_id") < col("b.doc_id"))

@@ -47,6 +47,51 @@ class PlansSpec extends AnyFunSuite {
     assert(uni.getLong(0) == uni.getLong(1))
   }
 
+  test("WordShingles equals the HOF formulation on the corpus and edge cases") {
+    import graft.functions.TextFns
+    val docs = graft.core.Tables.documents(spark, TestSpark.SfDir)
+      .select($"text")
+      .unionAll(Seq("", " ", "one", "a b", "a b c", "a  b\tc d", "\ta b c")
+        .toDF("text"))
+    for (n <- Seq(2, 3, 5)) {
+      val diff = docs.select(
+          TextFns.shingles($"text", n).as("native"),
+          TextFns.shinglesHof($"text", n).as("hof"),
+          TextFns.shinglesDistinct($"text", n).as("nd"),
+          array_distinct(TextFns.shinglesHof($"text", n)).as("hd"))
+        .where($"native" =!= $"hof" || $"nd" =!= $"hd")
+      assert(diff.count() == 0, s"n=$n")
+    }
+  }
+
+  test("SubwordCount and PosWeightedSum equal their HOF formulations") {
+    import graft.functions.TextFns
+    val docs = graft.core.Tables.documents(spark, TestSpark.SfDir)
+    assert(docs.select(TextFns.subwordCount($"text").as("n"),
+        TextFns.subwordCountHof($"text").as("h"))
+      .where($"n" =!= $"h").count() == 0)
+    val embs = graft.core.Tables.embeddings(spark, TestSpark.SfDir)
+    val hof = aggregate(
+      transform($"embedding", (x, i) => x.cast("double") * (i + 1)),
+      lit(0.0), (a, x) => a + x)
+    assert(embs.select(graft.plans.PosWeightedSum($"embedding").as("n"),
+        hof.as("h"))
+      .where($"n" =!= $"h").count() == 0)
+  }
+
+  test("HyperplaneBuckets equals the per-table HOF buckets") {
+    val embs = graft.core.Tables.embeddings(spark, TestSpark.SfDir).limit(200)
+    val tables = 6; val planes = 3
+    val native = embs.select($"vec_id",
+      graft.plans.HyperplaneBuckets($"embedding", planes, tables).as("bkts"))
+    val hof = embs.select($"vec_id" +: (0 until tables).map(t =>
+      Similarity.hyperplaneBucket($"embedding", planes, t).as(s"b$t")): _*)
+    val joined = native.join(hof, "vec_id")
+    val diff = joined.where((0 until tables).map(t =>
+      element_at($"bkts", t + 1) =!= col(s"b$t")).reduce(_ || _))
+    assert(diff.count() == 0)
+  }
+
   test("asofJoin picks the most recent right row at or before left ts") {
     def ts(s: String) = Timestamp.valueOf(s)
     val trades = Seq(
