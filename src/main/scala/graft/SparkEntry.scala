@@ -12,6 +12,7 @@ import graft.queries._
 object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     RelationalQueries,
+    TpchQueries,
     DataSQueries,
     NorthStarQueries,
     MlQueries,
