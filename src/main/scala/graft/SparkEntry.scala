@@ -13,6 +13,7 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     RelationalQueries,
     TpchQueries,
+    EngineSurfaceQueries,
     DataSQueries,
     NorthStarQueries,
     MlQueries,

@@ -1,0 +1,256 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType, StringType, StructField, StructType}
+
+import graft.core.Tables
+import graft.io.JsonIO
+import graft.operators.ExactMoments
+import graft.streaming.EventStreams
+
+/** Engine-surface breadth beyond the relational core: the SQL entry
+  * point (temp views + GROUPING SETS), pivot, exact percentiles,
+  * statistical aggregates, a custom typed UDAF, the JSON sink→scan
+  * round trip (reference S2/S4), batch+streaming hopping windows,
+  * streaming dedup, and embedding-cosine near-dup pairs.
+  */
+object EngineSurfaceQueries extends QueryModule {
+
+  private def dsum(c: Column, scale: Int = 4): Column =
+    round(sum(c.cast(DecimalType(30, scale))).cast("double"), 2)
+
+  private def t(n: String)(implicit s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, n)
+
+  // ------------------------------------------------- SQL entry point
+  /** GROUPING SETS with grouping() flags — exercised through
+    * `spark.sql` over a registered temp view (the engine's SQL door;
+    * everything else in the suite uses the DataFrame DSL). */
+  private def qGroupingSets(implicit s: SparkSession, dir: String): DataFrame = {
+    t("orders").createOrReplaceTempView("orders_gs")
+    s.sql("""
+      SELECT o_orderstatus, o_orderpriority,
+        CAST(grouping(o_orderstatus) AS INT) AS g_st,
+        CAST(grouping(o_orderpriority) AS INT) AS g_pr,
+        COUNT(*) AS n,
+        ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE), 2) AS total
+      FROM orders_gs
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                              (o_orderstatus, o_orderpriority), ())
+      ORDER BY g_st, g_pr, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
+  }
+
+  private val qGroupingSetsSql =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(grouping(o_orderstatus) AS INT) AS g_st,
+      |  CAST(grouping(o_orderpriority) AS INT) AS g_pr,
+      |  COUNT(*) AS n,
+      |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE), 2) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+      |                        (o_orderstatus, o_orderpriority), ())
+      |ORDER BY g_st, g_pr, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  // ------------------------------------------------------------ pivot
+  private val Priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+    "4-NOT SPECIFIED", "5-LOW")
+  private val PriorityAliases = Seq("p_urgent", "p_high", "p_medium",
+    "p_notspec", "p_low")
+
+  /** Pivot order counts: status × priority matrix via the DataFrame
+    * pivot API with PINNED values (no extra distinct-values job — the
+    * at-scale form). */
+  private def qPivot(implicit s: SparkSession, dir: String): DataFrame = {
+    val pv = t("orders")
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", Priorities)
+      .agg(count(lit(1)))
+    pv.select(col("o_orderstatus") +:
+        Priorities.zip(PriorityAliases).map { case (v, a) =>
+          coalesce(col(s"`$v`"), lit(0L)).as(a)
+        }: _*)
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val qPivotSql = {
+    val cases = Priorities.zip(PriorityAliases).map { case (v, a) =>
+      s"CAST(SUM(CASE WHEN o_orderpriority = '$v' THEN 1 ELSE 0 END) AS BIGINT) AS $a"
+    }.mkString(",\n  ")
+    s"""SELECT o_orderstatus, $cases
+       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  }
+
+  // ------------------------------------------------ exact percentiles
+  /** Exact percentiles (linear interpolation — `percentile`, not the
+    * approximate sketch) per priority. At 100 TB exact percentiles
+    * need a full sort per group; the approx variant is
+    * `percentile_approx` behind the same shape. */
+  private def qPercentiles(implicit s: SparkSession, dir: String): DataFrame =
+    t("orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+      .orderBy(col("o_orderpriority"))
+
+  private val qPercentilesSql =
+    """SELECT o_orderpriority,
+      |  ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+      |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      |  ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // --------------------------------------------- statistical aggregates
+  /** Builtin statistical aggregates (stddev/covar/corr). These use
+    * merge-order-dependent double accumulation, so the comparison grid
+    * is coarser than the money sums (see [[ExactMoments]] for the
+    * order-free alternative). */
+  private def qStatsAgg(implicit s: SparkSession, dir: String): DataFrame =
+    t("lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2)
+          .as("cov_qty_price"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+          .as("corr_qty_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  private val qStatsAggSql =
+    """SELECT l_returnflag,
+      |  ROUND(stddev_samp(l_extendedprice), 2) AS sd_price,
+      |  ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price,
+      |  ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ------------------------------------------------------ custom UDAF
+  /** The typed-Aggregator UDAF: exact decimal moments per priority,
+    * derived stats on the shared double grid. */
+  private def qUdafMoments(implicit s: SparkSession, dir: String): DataFrame =
+    t("orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(ExactMoments(col("o_totalprice")).as("m"))
+      .select(col("o_orderpriority"), col("m.n").as("n"),
+        round(col("m.mean"), 4).as("mean_price"),
+        round(sqrt(col("m.var_samp")), 2).as("sd_price"))
+      .orderBy(col("o_orderpriority"))
+
+  private val qUdafMomentsSql = {
+    val (n, mean, v) = ExactMoments.oracleSqlParts("o_totalprice")
+    s"""SELECT o_orderpriority, $n AS n,
+       |  ROUND($mean, 4) AS mean_price,
+       |  ROUND(sqrt($v), 2) AS sd_price
+       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  }
+
+  // ------------------------------------------------ JSON sink → scan
+  /** Reference S4+S2 in the query path: JSONL sink, pinned-schema
+    * JSONL scan back, then aggregate — proves the round trip is
+    * lossless (the oracle reads the original parquet). */
+  private def qJsonRoundtrip(implicit s: SparkSession, dir: String): DataFrame = {
+    val out = "/tmp/graft_json_rt/" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    JsonIO.writeJson(
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+      out)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType)))
+    s.read.schema(schema).json(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy(col("lang"))
+  }
+
+  private val qJsonRoundtripSql =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ------------------------------------------------- hopping windows
+  /** Batch hopping window (1 h window, 30 min hop): every event lands
+    * in exactly two windows; expressed as a window() groupBy, which
+    * Spark expands to the same two-rows-per-event explode the oracle
+    * writes out. */
+  private def qHoppingWindow(implicit s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy(col("win_start"), col("event_type"))
+
+  private val hopOracleSql =
+    """WITH hops AS (
+      |  SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000) AS win_start,
+      |    event_type, value FROM events
+      |  UNION ALL
+      |  SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000)
+      |      - INTERVAL 30 MINUTE AS win_start,
+      |    event_type, value FROM events)
+      |SELECT win_start, event_type, COUNT(*) AS n,
+      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE), 2) AS total_value
+      |FROM hops GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+
+  /** Streaming twin of the hopping window (watermark + sliding
+    * window state), checked against the SAME batch oracle. */
+  private def qStreamSliding(implicit s: SparkSession, dir: String): DataFrame =
+    EventStreams.streamingSliding(s, dir)
+      .orderBy(col("win_start"), col("event_type"))
+
+  // ---------------------------------------------------- stream dedup
+  /** Streaming dropDuplicates on a semantic key with watermark-bounded
+    * state; oracle is the batch DISTINCT. */
+  private def qStreamDedup(implicit s: SparkSession, dir: String): DataFrame =
+    EventStreams.streamingDedupCounts(s, dir)
+      .orderBy(col("event_type"))
+
+  private val qStreamDedupSql =
+    """SELECT event_type, COUNT(*) AS n_distinct FROM (
+      |  SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour, event_type
+      |  FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------- embedding near-dup pairs
+  /** Embedding-cosine near-dup: the 50 most-similar vector pairs by
+    * exact cosine (the synthetic corpus plants no true dups, so the
+    * operator reports the top of the similarity distribution rather
+    * than a fixed threshold). Brute force here is the oracle-exact
+    * baseline; the LSH-bucketed scale path is q_embed_ann_lsh. */
+  private def qDedupEmbedCosine(implicit s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    e.alias("a").join(e.alias("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(graft.operators.Similarity.cosine(
+          col("a.embedding"), col("b.embedding")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("id_a"), col("id_b"))
+      .limit(50)
+  }
+
+  private val qDedupEmbedCosineSql =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(
+      |    list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+      |      p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum')
+      |    / (sqrt(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))
+      |       * sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))), 6) AS sim
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |ORDER BY sim DESC, id_a, id_b LIMIT 50""".stripMargin
+
+  override def queries: Seq[Q] = Seq(
+    Q("q_grouping_sets", (s, d) => qGroupingSets(s, d), Some(qGroupingSetsSql)),
+    Q("q_pivot", (s, d) => qPivot(s, d), Some(qPivotSql)),
+    Q("q_percentiles", (s, d) => qPercentiles(s, d), Some(qPercentilesSql)),
+    Q("q_stats_agg", (s, d) => qStatsAgg(s, d), Some(qStatsAggSql)),
+    Q("q_udaf_moments", (s, d) => qUdafMoments(s, d), Some(qUdafMomentsSql)),
+    Q("q_json_roundtrip", (s, d) => qJsonRoundtrip(s, d), Some(qJsonRoundtripSql)),
+    Q("q_hopping_window", (s, d) => qHoppingWindow(s, d), Some(hopOracleSql)),
+    Q("q_stream_sliding", (s, d) => qStreamSliding(s, d), Some(hopOracleSql)),
+    Q("q_stream_dedup", (s, d) => qStreamDedup(s, d), Some(qStreamDedupSql)),
+    Q("q_dedup_embed_cosine", (s, d) => qDedupEmbedCosine(s, d), Some(qDedupEmbedCosineSql)))
+}

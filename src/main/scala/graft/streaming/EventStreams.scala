@@ -78,6 +78,42 @@ object EventStreams {
     runToCompletion(spark, hourlyAgg(eventsStream(spark, dir)), name)
   }
 
+  /** Hopping (sliding) 1-hour window advancing every 30 minutes —
+    * each event lands in two overlapping windows; state is two open
+    * windows per key instead of one. */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast(DecimalType(30, 4))).cast("double"), 2)
+          .as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** The full streaming sliding-window pipeline, batch-oracle-
+    * comparable (every window start is a 30-minute grid point). */
+  def streamingSliding(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_sliding_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    runToCompletion(spark, slidingAgg(eventsStream(spark, dir)), name)
+  }
+
+  /** Streaming exact deduplication: dropDuplicates on a semantic key
+    * (user, hour, type) with a watermark bounding the dedup state,
+    * then a per-type count — the streaming twin of
+    * `SELECT DISTINCT … GROUP BY`. */
+  def streamingDedupCounts(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_dedup_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val deduped = eventsStream(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"), col("ts"))
+      .dropDuplicates("user_id", "hour", "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_distinct"))
+    runToCompletion(spark, deduped, name)
+  }
+
   // ------------------------------------------------------- sessionize
   case class Ev(user_id: Long, tsMicros: Long, event_type: String)
   case class SessionState(start: Long, last: Long, n: Int)
