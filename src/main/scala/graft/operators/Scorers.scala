@@ -45,39 +45,53 @@ object Scorers {
     def tokenLoss(prompt: String, completion: String): Array[Double]
   }
 
-  /** Deterministic proxy backend: seeded 64-bit mixing over the text,
+  /** Deterministic proxy backend: seeded md5 hashing over the text,
     * mapped into plausible score ranges. Stands in for the reference's
     * Llama/Yi/deberta calls in CI and at any scale.
-    */
+    *
+    * The hash is the first 60 bits of `md5("<seed>:<tag>:<payload>")`
+    * --- chosen over a custom LCG because both the JVM and SQL engines
+    * (DuckDB included) compute identical md5 digests natively, which
+    * makes every score this backend emits expressible in the DuckDB
+    * oracle (see [[ProxyBackend.h15Sql]]). */
   final class ProxyBackend(seed: Long, dim: Int = 64) extends ModelBackend {
-    private def mix(z0: Long): Long = {
-      var z = z0 + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
+    @transient private lazy val md =
+      java.security.MessageDigest.getInstance("MD5")
+    /** First 15 hex digits of the seeded md5 -> non-negative 60-bit long. */
+    private def h15(s: String): Long = {
+      val hex = md.digest((seed.toString + ":" + s).getBytes("UTF-8"))
+        .take(8).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
     }
-    private def h(s: String, salt: Long): Long = {
-      var x = seed ^ mix(salt)
-      var i = 0
-      while (i < s.length) {
-        x = x * 6364136223846793005L + s.charAt(i).toLong
-        i += 1
-      }
-      mix(x)
-    }
-    private def unit(x: Long): Double = (x >>> 11).toDouble / (1L << 53).toDouble
+    private def unit(x: Long): Double = x.toDouble / (1L << 60).toDouble
 
-    override def ppl(text: String): Double = 2.0 + 30.0 * unit(h(text, 1L))
+    override def ppl(text: String): Double =
+      2.0 + 30.0 * unit(h15("ppl:" + text))
     override def embed(text: String): Array[Float] =
-      Array.tabulate(dim)(j => (2.0 * unit(h(text, 100L + j)) - 1.0).toFloat)
+      Array.tabulate(dim)(j =>
+        (2.0 * unit(h15("emb:" + j + "#" + text)) - 1.0).toFloat)
     override def reward(prompt: String, completion: String): Double =
-      4.0 * unit(h(prompt + "" + completion, 2L)) - 2.0
+      4.0 * unit(h15("rw:" + prompt + "#" + completion)) - 2.0
     override def tokenLoss(prompt: String, completion: String): Array[Double] = {
       val toks = completion.trim.split("\\s+")
       toks.zipWithIndex.map { case (t, i) =>
-        0.05 + 4.0 * unit(h(t, mix(h(prompt, 3L)) + i))
+        0.05 + 4.0 * unit(h15("tl:" + prompt + "#" + t + "#" + i))
       }
     }
+  }
+
+  object ProxyBackend {
+    /** DuckDB fragment computing h15 of a SQL string expression:
+      * first 15 hex digits of the seeded md5, folded into a 60-bit
+      * BIGINT. */
+    def h15Sql(seed: Long, expr: String): String =
+      s"""list_reduce(list_transform(
+         |      string_split(substr(md5('$seed:' || $expr), 1, 15), ''),
+         |      c -> CAST(strpos('0123456789abcdef', c) AS BIGINT) - 1),
+         |      (a, b) -> a * 16 + b)""".stripMargin
+    /** unit(): the 60-bit hash scaled into [0, 1). */
+    def unitSql(seed: Long, expr: String): String =
+      s"(CAST(${h15Sql(seed, expr)} AS DOUBLE) / 1152921504606846976.0)"
   }
 
   /** Analysis map (reference EP1 step 5): adds `ppl_ins_alone`,

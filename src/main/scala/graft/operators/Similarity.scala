@@ -54,21 +54,35 @@ object Similarity {
   /** IVF-style probe: coarse cells given by `cellCol` (precomputed
     * cluster labels or KMeans output); rank cells by centroid
     * similarity, brute-force only within the top `probes` cells.
-    * Centroids are computed relationally (posexplode + grouped avg) —
-    * no driver materialization. */
+    * Centroids are computed relationally (posexplode + grouped sum) —
+    * no driver materialization.
+    *
+    * Determinism: the query·centroid score is assembled from EXACT
+    * decimal sums (addition-order-free) and divided/rounded once at
+    * the end, so the probed-cell choice is reproducible across
+    * partitionings and engines — a float centroid average would make
+    * the probe order depend on merge order. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               qId: String, cId: String, embCol: String, cellCol: String,
               probes: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    // centroid NUMERATOR per (cell, dim): exact decimal sum of the
+    // members' components; the /n happens once, in double, at the end
     val centDim = corpus
       .select(col(cellCol), posexplode(col(embCol)).as(Seq("pos", "v")))
       .groupBy(col(cellCol), col("pos"))
-      .agg(avg(col("v")).as("cv"))
-    // query·centroid via the long format: one join + grouped sum
+      .agg(sum(col("v").cast("double").cast(DecimalType(18, 10)))
+        .cast(DecimalType(18, 10)).as("cn"),
+        count(lit(1)).as("n"))
+    // query·centroid via the long format: one join + grouped sum;
+    // (12,10)·(18,10) products stay inside 38 digits, summed exactly
     val qDim = queries.select(col(qId).as("query_id"),
       posexplode(col(embCol)).as(Seq("pos", "qv")))
     val cellScore = qDim.join(centDim, "pos")
       .groupBy(col("query_id"), col(cellCol))
-      .agg(sum(col("qv") * col("cv")).as("cell_sim"))
+      .agg(round(
+        sum(col("qv").cast("double").cast(DecimalType(12, 10)) * col("cn"))
+          .cast("double") / max(col("n")), 6).as("cell_sim"))
     val wCell = Window.partitionBy(col("query_id"))
       .orderBy(col("cell_sim").desc, col(cellCol))
     val probed = cellScore.withColumn("crk", row_number().over(wCell))

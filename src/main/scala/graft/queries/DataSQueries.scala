@@ -228,9 +228,11 @@ object DataSQueries extends QueryModule {
       |GROUP BY m.param_key, m.idx
       |ORDER BY m.param_key, m.idx""".stripMargin
 
-  // --------------------------------------- model-backed ops (rows-only)
+  // ------------------------------- model-backed ops (md5-proxy oracle)
   /** Analysis map with the proxy model backend: ppl + embedding +
-    * reward per row via one mapPartitions (per-partition init). */
+    * reward per row via one mapPartitions (per-partition init). The
+    * md5-based proxy hash is natively computable by DuckDB, so even
+    * the "model-backed" path gets an exact oracle. */
   private def qProxyScores(implicit s: SparkSession, dir: String): DataFrame =
     Scorers.withModelScores(
         docs.select(col("doc_id"), col("text")), "text",
@@ -239,6 +241,15 @@ object DataSQueries extends QueryModule {
         size(col("emb_ins_alone")).as("emb_dim"),
         round(col("score_rw"), 6).as("score_rw"))
       .orderBy(col("doc_id"))
+
+  private val qProxyScoresSql = {
+    import Scorers.ProxyBackend.unitSql
+    s"""SELECT doc_id,
+       |  round(2.0 + 30.0 * ${unitSql(42L, "'ppl:' || text")}, 6) AS ppl_ins_alone,
+       |  CAST(64 AS INTEGER) AS emb_dim,
+       |  round(4.0 * ${unitSql(42L, "'rw:#' || text")} - 2.0, 6) AS score_rw
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
 
   /** Full IFD pipeline over an alpaca view of the corpus (template →
     * token losses → guarded ratio). */
@@ -251,6 +262,37 @@ object DataSQueries extends QueryModule {
     Scorers.ifdPipeline(alpaca, () => new Scorers.ProxyBackend(42L))
       .select(col("doc_id"), round(col("score_ifd"), 6).as("score_ifd"))
       .orderBy(col("doc_id"))
+  }
+
+  private val qIfdFullSql = {
+    import Scorers.ProxyBackend.unitSql
+    val t1 = TextFns.TemplateNoInput.replace("'", "''")
+    val t2 = TextFns.TemplateWithInput.replace("'", "''")
+    def losses(prompt: String) =
+      s"""list_transform(toks, (t, i) ->
+         |      0.05 + 4.0 * ${unitSql(42L, s"'tl:' || $prompt || '#' || t || '#' || (i - 1)")})""".stripMargin
+    s"""WITH alp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN COALESCE(NULLIF(source, 'src0'), '') = ''
+       |      THEN printf('$t1', substr(text, 1, 60))
+       |      ELSE printf('$t2', substr(text, 1, 60), source)
+       |    END AS prompt,
+       |    string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |sc AS (
+       |  SELECT doc_id,
+       |    ${losses("''")} AS la,
+       |    ${losses("prompt")} AS lc
+       |  FROM alp),
+       |r AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(la) = 0 OR len(lc) = 0 THEN NULL
+       |      ELSE (list_aggregate(lc, 'sum') / len(lc))
+       |         / (list_aggregate(la, 'sum') / len(la)) END AS score
+       |  FROM sc)
+       |SELECT doc_id, round(score, 6) AS score_ifd FROM r
+       |WHERE score IS NULL OR score <= 1.0
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** LESS-style selection: long-format pseudo-gradients, similarity
@@ -267,6 +309,33 @@ object DataSQueries extends QueryModule {
       .select(col("example_id"), round(col("sim"), 6).as("sim"))
   }
 
+  private val qGradientTopKSql = {
+    import Scorers.ProxyBackend.unitSql
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |losses AS (
+       |  SELECT doc_id,
+       |    list_transform(toks, (t, i) ->
+       |      0.05 + 4.0 * ${unitSql(7L, "'tl:#' || t || '#' || (i - 1)")}) AS ll
+       |  FROM tok),
+       |grads AS (
+       |  SELECT doc_id AS example_id, param_key, idx,
+       |    ll[(idx % len(ll)) + 1] * (1.0 / (1 + idx)) - 0.5 AS value
+       |  FROM losses
+       |  CROSS JOIN (SELECT unnest(['layer0.weight', 'layer1.weight']) AS param_key)
+       |  CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS idx)),
+       |vg AS (
+       |  SELECT param_key, idx, avg(value) AS value
+       |  FROM grads WHERE example_id % 10 = 0 GROUP BY 1, 2),
+       |sims AS (
+       |  SELECT g.example_id, SUM(g.value * v.value) AS sim
+       |  FROM grads g JOIN vg v ON g.param_key = v.param_key AND g.idx = v.idx
+       |  GROUP BY 1)
+       |SELECT example_id, round(sim, 6) AS sim FROM sims
+       |ORDER BY sim DESC, example_id LIMIT 20""".stripMargin
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q_len_score", (s, d) => qLenScore(s, d), Some(qLenScoreSql)),
     Q("q_prompt_template", (s, d) => qPromptTemplate(s, d), Some(qPromptTemplateSql)),
@@ -276,7 +345,7 @@ object DataSQueries extends QueryModule {
     Q("q_sample_random", (s, d) => qSampleRandom(s, d), Some(qSampleRandomSql)),
     Q("q_taskvector_diff", (s, d) => qTaskVectorDiff(s, d), Some(qTaskVectorDiffSql)),
     Q("q_ties_merge", (s, d) => qTiesMerge(s, d), Some(qTiesMergeSql)),
-    Q("q_proxy_scores", (s, d) => qProxyScores(s, d), None),
-    Q("q_ifd_full", (s, d) => qIfdFull(s, d), None),
-    Q("q_gradient_topk", (s, d) => qGradientTopK(s, d), None))
+    Q("q_proxy_scores", (s, d) => qProxyScores(s, d), Some(qProxyScoresSql)),
+    Q("q_ifd_full", (s, d) => qIfdFull(s, d), Some(qIfdFullSql)),
+    Q("q_gradient_topk", (s, d) => qGradientTopK(s, d), Some(qGradientTopKSql)))
 }

@@ -60,15 +60,43 @@ object MlQueries extends QueryModule {
 
   /** Stateful sessionization (30-min gap) via flatMapGroupsWithState;
     * emits closed sessions only (open sessions stay in state — the
-    * streaming-correct behavior on an unbounded source). */
+    * streaming-correct behavior on an unbounded source). On the
+    * bounded single-batch source that means exactly "every session
+    * but each user's last", which the batch oracle expresses
+    * relationally. */
   private def qSessionize(implicit s: SparkSession, dir: String): DataFrame =
     EventStreams.sessionize(s, dir, gapMinutes = 30)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
       .orderBy(col("user_id"))
 
+  private val qSessionizeSql =
+    """WITH m AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |          OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, SUM(new_sess) OVER (
+      |    PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM m),
+      |g AS (
+      |  SELECT user_id, sess_id, COUNT(*) AS n_events
+      |  FROM s GROUP BY user_id, sess_id),
+      |last AS (SELECT user_id, MAX(sess_id) AS last_sess FROM g GROUP BY user_id)
+      |SELECT g.user_id, COUNT(*) AS n_sessions,
+      |  CAST(SUM(n_events) AS BIGINT) AS n_events
+      |FROM g JOIN last ON g.user_id = last.user_id
+      |WHERE g.sess_id < last.last_sess
+      |GROUP BY g.user_id ORDER BY g.user_id""".stripMargin
+
   /** Multimodal: synthetic media table → stub decode → features +
-    * frame sampling; aggregated per kind. */
+    * frame sampling; aggregated per kind. Oracle-exact: the corpus is
+    * pure ASCII so payload bytes equal code points, and the oracle
+    * replays the stub decoder's FLOAT accumulation order with per-step
+    * REAL casts. */
   private def qMultimodal(implicit s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.syntheticMedia(Tables.documents(s, dir), "doc_id", "text")
     val feats = Multimodal.extractFeatures(media)
@@ -81,11 +109,41 @@ object MlQueries extends QueryModule {
       .orderBy(col("kind"))
   }
 
+  private val qMultimodalSql =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+      |    length(text) AS n_bytes,
+      |    string_split(text, '') AS chars
+      |  FROM documents),
+      |f AS (
+      |  SELECT kind,
+      |    CASE kind WHEN 'video' THEN CAST(greatest(1, n_bytes // 64) AS INTEGER)
+      |              WHEN 'audio' THEN CAST(greatest(1, n_bytes // 16) AS INTEGER)
+      |              ELSE 1 END AS n_frames,
+      |    CASE WHEN n_bytes = 0 THEN CAST(0 AS REAL)
+      |      ELSE CAST(list_reduce(
+      |             list_transform(range(1, len(chars) + 1, 8),
+      |               i -> CAST(CAST(ascii(chars[i]) AS REAL) / CAST(255 AS REAL) AS REAL)),
+      |             (a, b) -> CAST(a + b AS REAL)) / CAST(n_bytes AS REAL) AS REAL)
+      |    END AS f0
+      |  FROM m),
+      |g AS (
+      |  SELECT kind, n_frames, CAST(f0 AS DOUBLE) AS f0,
+      |    CASE WHEN n_frames > 1 THEN least(8, (n_frames - 1) // 4 + 1)
+      |         ELSE 1 END AS n_sampled
+      |  FROM f)
+      |SELECT kind, COUNT(*) AS n_media,
+      |  round(avg(n_frames), 4) AS avg_frames,
+      |  round(avg(f0), 6) AS avg_f0,
+      |  round(avg(n_sampled), 4) AS avg_sampled
+      |FROM g GROUP BY kind ORDER BY kind""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q_kmeans", (s, d) => qKmeans(s, d), None),
     Q("q_kmeans_select", (s, d) => qKmeansSelect(s, d), None),
     Q("q_pca_energy", (s, d) => qPca(s, d), None),
     Q("q_stream_hourly", (s, d) => qStreamHourly(s, d), Some(qStreamHourlySql)),
-    Q("q_sessionize", (s, d) => qSessionize(s, d), None),
-    Q("q_multimodal_features", (s, d) => qMultimodal(s, d), None))
+    Q("q_sessionize", (s, d) => qSessionize(s, d), Some(qSessionizeSql)),
+    Q("q_multimodal_features", (s, d) => qMultimodal(s, d), Some(qMultimodalSql)))
 }

@@ -243,22 +243,95 @@ object NorthStarQueries extends QueryModule {
        |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
   }
 
-  /** IVF probe search over the precomputed label cells (rows-only:
-    * float-avg centroid ordering is not bit-stable across engines). */
+  /** IVF probe search over the precomputed label cells. Oracle-exact:
+    * cell ranking uses exact decimal centroid numerators (see
+    * [[Similarity.ivfTopK]]), so the probed cells and the final
+    * rounded cosines are cross-engine deterministic. */
   private def qIvfTopK(implicit s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(queryVecs, embs, "vec_id", "vec_id", "embedding",
         "label", probes = 2, k = 10)
       .select(col("query_id"), col("rk"), col("vec_id"), col("sim"))
       .orderBy(col("query_id"), col("rk"))
 
+  private val qIvfTopKSql =
+    s"""WITH longfmt AS (
+       |  SELECT vec_id, label, unnest(embedding) AS v,
+       |    generate_subscripts(embedding, 1) AS pos
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT label, pos,
+       |    CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,10))) AS DECIMAL(18,10)) AS cn,
+       |    COUNT(*) AS n
+       |  FROM longfmt GROUP BY 1, 2),
+       |qdim AS (
+       |  SELECT vec_id AS query_id, v AS qv, pos FROM longfmt WHERE vec_id < 5),
+       |cs AS (
+       |  SELECT query_id, label,
+       |    round(CAST(SUM(CAST(CAST(qv AS DOUBLE) AS DECIMAL(12,10)) * cn) AS DOUBLE)
+       |      / MAX(n), 6) AS cell_sim
+       |  FROM qdim JOIN cent ON qdim.pos = cent.pos
+       |  GROUP BY 1, 2),
+       |probed AS (
+       |  SELECT query_id, label FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cell_sim DESC, label) AS crk FROM cs)
+       |  WHERE crk <= 2),
+       |scored AS (
+       |  SELECT p.query_id, c.vec_id,
+       |    $cosineSqlExpr AS sim
+       |  FROM probed p
+       |  JOIN embeddings c ON c.label = p.label AND c.vec_id <> p.query_id
+       |  JOIN embeddings q ON q.vec_id = p.query_id)
+       |SELECT query_id, rk, vec_id, sim FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, vec_id) AS INTEGER) AS rk FROM scored)
+       |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+
   /** Greedy k-center selection (KCenterSampling) — 8 centers over the
-    * corpus; driver-looped farthest-point, rows-only. */
+    * corpus; driver-looped farthest-point. Oracle-exact: both engines
+    * compute squared distances as sequential left folds over the
+    * vector (bit-identical doubles), and ties break on vec_id, so the
+    * 8-round greedy choice is reproducible — the oracle unrolls the
+    * same loop as chained CTEs. */
   private def qKCenter(implicit s: SparkSession, dir: String): DataFrame = {
     val chosen = Similarity.kcenterGreedy(embs, "vec_id", "embedding",
       k = 8, seedId = 0L)
     import s.implicits._
     chosen.zipWithIndex.map { case (id, i) => (i + 1, id) }
       .toDF("rk", "vec_id")
+      .orderBy(col("rk"))
+  }
+
+  private val qKCenterSql = {
+    def sq(a: String, b: String) =
+      s"""list_aggregate(list_transform(list_zip($a, $b),
+         |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         |         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum')""".stripMargin
+    val rounds = (1 until 8).map { i =>
+      val prevD = if (i == 1) "d1" else s"d$i"
+      val centerOf =
+        s"(SELECT e2.embedding FROM e e2 WHERE e2.vec_id = (SELECT vec_id FROM p$i))"
+      val nextD =
+        s"""d${i + 1} AS (
+           |  SELECT d.vec_id, least(d.mind, ${sq("e.embedding", centerOf)}) AS mind
+           |  FROM $prevD d JOIN e ON e.vec_id = d.vec_id)""".stripMargin
+      val pick =
+        s"""p$i AS (
+           |  SELECT vec_id FROM $prevD ORDER BY mind DESC, vec_id LIMIT 1)""".stripMargin
+      s"$pick,\n$nextD"
+    }.mkString(",\n")
+    val sel = (1 until 8)
+      .map(i => s"SELECT CAST(${i + 1} AS INTEGER) AS rk, vec_id FROM p$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |d1 AS (
+       |  SELECT e.vec_id,
+       |    ${sq("e.embedding", "(SELECT embedding FROM e WHERE vec_id = 0)")} AS mind
+       |  FROM e),
+       |$rounds
+       |SELECT CAST(1 AS INTEGER) AS rk, CAST(0 AS BIGINT) AS vec_id
+       |UNION ALL $sel
+       |ORDER BY rk""".stripMargin
   }
 
   // ------------------------------------------------------ text analysis
@@ -347,8 +420,8 @@ object NorthStarQueries extends QueryModule {
     Q("q_dedup_minhash_scalable", (s, d) => qDedupMinhashScalable(s, d), None),
     Q("q_embed_cosine_topk", (s, d) => qCosineTopK(s, d), Some(qCosineTopKSql)),
     Q("q_embed_ann_lsh", (s, d) => qAnnLsh(s, d), Some(qAnnLshSql)),
-    Q("q_embed_ivf", (s, d) => qIvfTopK(s, d), None),
-    Q("q_kcenter_select", (s, d) => qKCenter(s, d), None),
+    Q("q_embed_ivf", (s, d) => qIvfTopK(s, d), Some(qIvfTopKSql)),
+    Q("q_kcenter_select", (s, d) => qKCenter(s, d), Some(qKCenterSql)),
     Q("q_lang_id", (s, d) => qLangId(s, d), Some(qLangIdSql)),
     Q("q_quality_score", (s, d) => qQualityScore(s, d), Some(qQualityScoreSql)),
     Q("q_token_counts", (s, d) => qTokenCounts(s, d), Some(qTokenCountsSql)),
