@@ -228,6 +228,73 @@ object DataSQueries extends QueryModule {
       |GROUP BY m.param_key, m.idx
       |ORDER BY m.param_key, m.idx""".stripMargin
 
+  // ------------------------------------- T1 apply / weighted merge
+  /** TaskVector algebra breadth (reference `merging.py:52–95`):
+    * base + scale · weightedMerge(0.6·tv, 0.4·(−tv)) — exercises
+    * negate, the union+grouped-sum weighted merge, and apply. All
+    * inputs are integer-derived doubles, so the double arithmetic is
+    * exact-identical across engines. */
+  private def qTaskVectorApply(implicit s: SparkSession, dir: String): DataFrame = {
+    val tv = TaskVectors.diff(modelVec("F"), modelVec("O"))
+    val merged = TaskVectors.weightedMerge(
+      Seq((tv, 0.6), (TaskVectors.negate(tv), 0.4)))
+    TaskVectors.applyTo(modelVec("O"), merged, scale = 2.0)
+      .select(col("param_key"), col("idx"), round(col("value"), 6).as("value"))
+      .orderBy(col("param_key"), col("idx"))
+  }
+
+  private val qTaskVectorApplySql =
+    s"""WITH f AS (${modelVecSql("F")}), o AS (${modelVecSql("O")}),
+       |tv AS (
+       |  SELECT f.param_key, f.idx, f.value - o.value AS value
+       |  FROM f JOIN o ON f.param_key = o.param_key AND f.idx = o.idx),
+       |merged AS (
+       |  SELECT param_key, idx, 0.6 * value + 0.4 * (-value) AS value FROM tv)
+       |SELECT o.param_key, o.idx,
+       |  round(o.value + 2.0 * COALESCE(m.value, 0.0), 6) AS value
+       |FROM o LEFT JOIN merged m
+       |  ON o.param_key = m.param_key AND o.idx = m.idx
+       |ORDER BY o.param_key, o.idx""".stripMargin
+
+  // ------------------------------------------------ T4 max-merge TIES
+  /** TIES with the max-by-magnitude disjoint merge (`merging.py:261–263`)
+    * — the sibling of q_ties_merge's mean. */
+  private def qTiesMergeMax(implicit s: SparkSession, dir: String): DataFrame = {
+    val stacked = li.groupBy(
+        col("l_returnflag").as("model"),
+        concat(lit("p"), col("l_suppkey") % 4).as("param_key"),
+        (col("l_partkey") % 32).cast("long").as("idx"))
+      .agg(sum(when(col("l_orderkey") % 2 === 0, col("l_quantity"))
+        .otherwise(-col("l_quantity"))).cast("long").cast("double").as("value"))
+    TaskVectors.tiesMerge(stacked, keep = 0.2, method = "max")
+      .select(col("param_key"), col("idx"), round(col("value"), 6).as("merged"))
+      .orderBy(col("param_key"), col("idx"))
+  }
+
+  private val qTiesMergeMaxSql =
+    """WITH stacked AS (
+      |  SELECT l_returnflag AS model,
+      |    'p' || CAST(l_suppkey % 4 AS VARCHAR) AS param_key,
+      |    l_partkey % 32 AS idx,
+      |    CAST(CAST(SUM(CASE WHEN l_orderkey % 2 = 0 THEN l_quantity ELSE -l_quantity END) AS BIGINT) AS DOUBLE) AS value
+      |  FROM lineitem GROUP BY 1, 2, 3),
+      |th AS (
+      |  SELECT model, param_key, quantile_cont(abs(value), 0.8) AS th
+      |  FROM stacked GROUP BY model, param_key),
+      |masked AS (
+      |  SELECT s.model, s.param_key, s.idx,
+      |    CASE WHEN abs(s.value) >= th.th THEN s.value ELSE 0.0 END AS value
+      |  FROM stacked s JOIN th ON s.model = th.model AND s.param_key = th.param_key),
+      |gamma AS (
+      |  SELECT param_key, idx, sign(SUM(value)) AS gamma
+      |  FROM masked GROUP BY param_key, idx)
+      |SELECT m.param_key, m.idx,
+      |  round(MAX(CASE WHEN sign(m.value) = g.gamma AND m.value <> 0.0
+      |                 THEN abs(m.value) ELSE 0.0 END) * g.gamma, 6) AS merged
+      |FROM masked m JOIN gamma g ON m.param_key = g.param_key AND m.idx = g.idx
+      |GROUP BY m.param_key, m.idx, g.gamma
+      |ORDER BY m.param_key, m.idx""".stripMargin
+
   // ------------------------------- model-backed ops (md5-proxy oracle)
   /** Analysis map with the proxy model backend: ppl + embedding +
     * reward per row via one mapPartitions (per-partition init). The
@@ -344,7 +411,9 @@ object DataSQueries extends QueryModule {
     Q("q_sample_least_conf", (s, d) => qSampleLeastConf(s, d), Some(qSampleLeastConfSql)),
     Q("q_sample_random", (s, d) => qSampleRandom(s, d), Some(qSampleRandomSql)),
     Q("q_taskvector_diff", (s, d) => qTaskVectorDiff(s, d), Some(qTaskVectorDiffSql)),
+    Q("q_taskvector_apply", (s, d) => qTaskVectorApply(s, d), Some(qTaskVectorApplySql)),
     Q("q_ties_merge", (s, d) => qTiesMerge(s, d), Some(qTiesMergeSql)),
+    Q("q_ties_merge_max", (s, d) => qTiesMergeMax(s, d), Some(qTiesMergeMaxSql)),
     Q("q_proxy_scores", (s, d) => qProxyScores(s, d), Some(qProxyScoresSql)),
     Q("q_ifd_full", (s, d) => qIfdFull(s, d), Some(qIfdFullSql)),
     Q("q_gradient_topk", (s, d) => qGradientTopK(s, d), Some(qGradientTopKSql)))

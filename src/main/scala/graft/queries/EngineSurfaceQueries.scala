@@ -216,6 +216,26 @@ object EngineSurfaceQueries extends QueryModule {
       |  FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------- stream-stream join
+  /** Watermarked stream–stream interval join (clicks → purchases of
+    * the same user within 1 h), aggregated per user after the join
+    * completes on the bounded source. */
+  private def qStreamJoin(implicit s: SparkSession, dir: String): DataFrame =
+    EventStreams.streamStreamJoin(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("buy_id")).as("n_buys"))
+      .orderBy(col("user_id"))
+
+  private val qStreamJoinSql =
+    """SELECT c.user_id, COUNT(*) AS n_pairs,
+      |  COUNT(DISTINCT b.event_id) AS n_buys
+      |FROM events c JOIN events b
+      |  ON c.user_id = b.user_id
+      | AND c.event_type = 'click' AND b.event_type = 'purchase'
+      | AND b.ts >= c.ts AND b.ts <= c.ts + INTERVAL 1 HOUR
+      |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
+
   // ------------------------------------------- embedding near-dup pairs
   /** Embedding-cosine near-dup: the 50 most-similar vector pairs by
     * exact cosine (the synthetic corpus plants no true dups, so the
@@ -252,5 +272,6 @@ object EngineSurfaceQueries extends QueryModule {
     Q("q_hopping_window", (s, d) => qHoppingWindow(s, d), Some(hopOracleSql)),
     Q("q_stream_sliding", (s, d) => qStreamSliding(s, d), Some(hopOracleSql)),
     Q("q_stream_dedup", (s, d) => qStreamDedup(s, d), Some(qStreamDedupSql)),
+    Q("q_stream_join", (s, d) => qStreamJoin(s, d), Some(qStreamJoinSql)),
     Q("q_dedup_embed_cosine", (s, d) => qDedupEmbedCosine(s, d), Some(qDedupEmbedCosineSql)))
 }

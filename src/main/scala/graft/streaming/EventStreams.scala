@@ -114,6 +114,34 @@ object EventStreams {
     runToCompletion(spark, deduped, name)
   }
 
+  /** Stream–stream inner join: clicks joined to the same user's
+    * purchases within [0, 1 h] after the click. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * state is evictable — the canonical watermarked interval join. */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val base = eventsStream(spark, dir)
+    val clicks = base
+      .where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val buys = base
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("buy_id"), col("user_id").as("buy_user"),
+        col("ts").as("buy_ts"))
+      .withWatermark("buy_ts", "2 hours")
+    val joined = clicks.join(buys,
+      col("user_id") === col("buy_user") &&
+        col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+    val name = s"stream_join_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+
   // ------------------------------------------------------- sessionize
   case class Ev(user_id: Long, tsMicros: Long, event_type: String)
   case class SessionState(start: Long, last: Long, n: Int)
