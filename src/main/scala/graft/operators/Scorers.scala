@@ -57,11 +57,19 @@ object Scorers {
   final class ProxyBackend(seed: Long, dim: Int = 64) extends ModelBackend {
     @transient private lazy val md =
       java.security.MessageDigest.getInstance("MD5")
-    /** First 15 hex digits of the seeded md5 -> non-negative 60-bit long. */
+    /** First 15 hex digits of the seeded md5 -> non-negative 60-bit
+      * long. Computed directly from the first 8 digest bytes (the
+      * big-endian 64-bit value >>> 4) — identical to parsing the hex
+      * prefix, without the string round trip (this is the per-token
+      * hot path of the IFD pipeline). */
     private def h15(s: String): Long = {
-      val hex = md.digest((seed.toString + ":" + s).getBytes("UTF-8"))
-        .take(8).map(b => f"$b%02x").mkString
-      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      val d = md.digest((seed.toString + ":" + s).getBytes("UTF-8"))
+      val be =
+        ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+      be >>> 4
     }
     private def unit(x: Long): Double = x.toDouble / (1L << 60).toDouble
 
