@@ -57,18 +57,34 @@ object EventStreams {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Stateful operators create one state store instance per shuffle
+    * partition and checkpoint each per batch; at test scale that
+    * fixed cost dominates, so streaming queries run with a smaller
+    * state parallelism (the partition count is pinned per query at
+    * its first batch — batch queries in the same session are
+    * unaffected because the conf is restored immediately). A real
+    * deployment sizes this to keys÷memory, not cores. */
+  def withStreamParallelism[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, old)
+  }
+
   /** Run a streaming aggregation to completion over the bounded
     * source and return the final result as a batch DataFrame
     * (memory sink, complete mode). */
   def runToCompletion(spark: SparkSession, agg: DataFrame,
                       name: String): DataFrame = {
-    val q = agg.writeStream
-      .outputMode(OutputMode.Complete)
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStreamParallelism(spark, 4) {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Complete)
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     spark.table(name)
   }
 
@@ -135,10 +151,12 @@ object EventStreams {
         col("buy_ts") >= col("click_ts") &&
         col("buy_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
     val name = s"stream_join_${java.util.UUID.randomUUID.toString.replace("-", "")}"
-    val q = joined.writeStream.outputMode(OutputMode.Append)
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStreamParallelism(spark, 4) {
+      val q = joined.writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     spark.table(name)
   }
 
@@ -180,13 +198,15 @@ object EventStreams {
     }
 
     val name = s"sessions_${java.util.UUID.randomUUID.toString.replace("-", "")}"
-    val q = evs.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(fn)
-      .writeStream.outputMode(OutputMode.Append)
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStreamParallelism(spark, 4) {
+      val q = evs.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.NoTimeout)(fn)
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     spark.table(name)
   }
 }
