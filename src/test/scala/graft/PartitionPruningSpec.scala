@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partitioned-layout story: a sink partitioned by a filter column
+  * lets every downstream query prune whole directories at planning
+  * time (PartitionFilters, not data filters) — at 100 TB the
+  * difference between scanning one partition and scanning the lake.
+  */
+class PartitionPruningSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("a partitionBy sink prunes partitions for an equality filter") {
+    val out = "/tmp/graft_part_events"
+    graft.core.Tables.events(spark, TestSpark.SfDir)
+      .write.mode("overwrite")
+      .partitionBy("event_type")
+      .parquet(out)
+
+    val q = spark.read.parquet(out)
+      .where(col("event_type") === "click")
+      .agg(count(lit(1)).as("n"))
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+
+    assert(p.contains("PartitionFilters: [isnotnull(event_type"),
+      s"filter did not reach partition pruning:\n$p")
+    // the partition column filter must NOT appear as a data filter —
+    // pruning happens at file listing, not per row
+    assert(!p.contains("PushedFilters: [IsNotNull(event_type)"), p)
+
+    // and the pruned count matches the unpruned predicate
+    val expected = graft.core.Tables.events(spark, TestSpark.SfDir)
+      .where(col("event_type") === "click").count()
+    val got = spark.read.parquet(out)
+      .where(col("event_type") === "click").count()
+    assert(got == expected)
+  }
+}
