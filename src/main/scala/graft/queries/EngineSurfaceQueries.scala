@@ -216,6 +216,99 @@ object EngineSurfaceQueries extends QueryModule {
       |  FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------- NULL-aware anti join
+  /** NOT IN vs NOT EXISTS under NULLs — the classic engine-semantics
+    * corner: one NULL in the subquery makes NOT IN three-valued
+    * (no row qualifies), while NOT EXISTS ignores it. Spark plans the
+    * former as a null-aware anti join (through the SQL door). */
+  private def qNullSemantics(implicit s: SparkSession, dir: String): DataFrame = {
+    t("customer").createOrReplaceTempView("customer_ns")
+    t("orders").createOrReplaceTempView("orders_ns")
+    s.sql("""
+      SELECT
+        (SELECT COUNT(*) FROM customer_ns
+         WHERE c_custkey NOT IN
+           (SELECT nullif(o_custkey, 1) FROM orders_ns)) AS n_not_in_nullable,
+        (SELECT COUNT(*) FROM customer_ns
+         WHERE c_custkey NOT IN
+           (SELECT o_custkey FROM orders_ns WHERE o_custkey IS NOT NULL)) AS n_not_in,
+        (SELECT COUNT(*) FROM customer_ns c
+         WHERE NOT EXISTS (SELECT 1 FROM orders_ns o
+                           WHERE nullif(o.o_custkey, 1) = c.c_custkey)) AS n_not_exists""")
+  }
+
+  private val qNullSemanticsSql =
+    """SELECT
+      |  (SELECT COUNT(*) FROM customer
+      |   WHERE c_custkey NOT IN
+      |     (SELECT nullif(o_custkey, 1) FROM orders)) AS n_not_in_nullable,
+      |  (SELECT COUNT(*) FROM customer
+      |   WHERE c_custkey NOT IN
+      |     (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)) AS n_not_in,
+      |  (SELECT COUNT(*) FROM customer c
+      |   WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                     WHERE nullif(o.o_custkey, 1) = c.c_custkey)) AS n_not_exists""".stripMargin
+
+  // --------------------------------------------- analytic window fns
+  /** Analytic window breadth: lag/lead/first/last with an explicit
+    * frame, per supplier over ship dates (deterministic total order
+    * inside each partition). */
+  private def qWindowAnalytic(implicit s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t("lineitem")
+      .where(col("l_suppkey") <= 2)
+      .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"),
+        lag(col("l_quantity"), 1).over(w).as("prev_qty"),
+        lead(col("l_quantity"), 1).over(w).as("next_qty"),
+        first(col("l_quantity")).over(wf).as("first_qty"),
+        last(col("l_quantity")).over(wf).as("last_qty"))
+      .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"))
+  }
+
+  private val qWindowAnalyticSql =
+    """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity,
+      |  lag(l_quantity, 1) OVER w AS prev_qty,
+      |  lead(l_quantity, 1) OVER w AS next_qty,
+      |  first_value(l_quantity) OVER wf AS first_qty,
+      |  last_value(l_quantity) OVER wf AS last_qty
+      |FROM lineitem WHERE l_suppkey <= 2
+      |WINDOW w AS (PARTITION BY l_suppkey
+      |             ORDER BY l_shipdate, l_orderkey, l_linenumber),
+      |       wf AS (PARTITION BY l_suppkey
+      |              ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin
+
+  // ------------------------------------------------- min_by / max_by
+  /** Per-type cheapest and priciest part via min_by/max_by. Retail
+    * prices repeat, so the comparison key is (price, partkey) — made
+    * unique by folding the key into the numeric (price·10⁶ + key
+    * stays exact in a double), which pins the argmin across engines. */
+  private def qMinBy(implicit s: SparkSession, dir: String): DataFrame =
+    t("part")
+      .groupBy(col("p_type"))
+      .agg(
+        min_by(col("p_partkey"),
+          col("p_retailprice") * 1000000.0 + col("p_partkey")).as("cheapest_part"),
+        round(min(col("p_retailprice")), 2).as("min_price"),
+        max_by(col("p_partkey"),
+          col("p_retailprice") * 1000000.0 + col("p_partkey")).as("priciest_part"),
+        round(max(col("p_retailprice")), 2).as("max_price"))
+      .orderBy(col("p_type"))
+
+  private val qMinBySql =
+    """SELECT p_type,
+      |  arg_min(p_partkey, p_retailprice * 1000000.0 + p_partkey) AS cheapest_part,
+      |  ROUND(MIN(p_retailprice), 2) AS min_price,
+      |  arg_max(p_partkey, p_retailprice * 1000000.0 + p_partkey) AS priciest_part,
+      |  ROUND(MAX(p_retailprice), 2) AS max_price
+      |FROM part GROUP BY p_type ORDER BY p_type""".stripMargin
+
   // ------------------------------------------- stream-stream join
   /** Watermarked stream–stream interval join (clicks → purchases of
     * the same user within 1 h), aggregated per user after the join
@@ -264,6 +357,9 @@ object EngineSurfaceQueries extends QueryModule {
 
   override def queries: Seq[Q] = Seq(
     Q("q_grouping_sets", (s, d) => qGroupingSets(s, d), Some(qGroupingSetsSql)),
+    Q("q_null_semantics", (s, d) => qNullSemantics(s, d), Some(qNullSemanticsSql)),
+    Q("q_window_analytic", (s, d) => qWindowAnalytic(s, d), Some(qWindowAnalyticSql)),
+    Q("q_min_by", (s, d) => qMinBy(s, d), Some(qMinBySql)),
     Q("q_pivot", (s, d) => qPivot(s, d), Some(qPivotSql)),
     Q("q_percentiles", (s, d) => qPercentiles(s, d), Some(qPercentilesSql)),
     Q("q_stats_agg", (s, d) => qStatsAgg(s, d), Some(qStatsAggSql)),
