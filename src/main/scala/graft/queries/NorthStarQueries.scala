@@ -396,6 +396,22 @@ object NorthStarQueries extends QueryModule {
       |    / len(string_split_regex(trim(text), '\s+')), 6) AS avg_word_len
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Distributed word count, top-20 — explode to tokens, grouped
+    * count, TakeOrderedAndProject (at 100 TB the explode is a narrow
+    * map and the count is one shuffle on the word). */
+  private def qWordcountTopk(implicit s: SparkSession, dir: String): DataFrame =
+    docs.select(explode(TextFns.tokens(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(20)
+
+  private val qWordcountTopkSql =
+    """SELECT word, COUNT(*) AS n FROM (
+      |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+      |  FROM documents)
+      |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin
+
   private def qFingerprint(implicit s: SparkSession, dir: String): DataFrame =
     docs.select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
@@ -425,5 +441,6 @@ object NorthStarQueries extends QueryModule {
     Q("q_lang_id", (s, d) => qLangId(s, d), Some(qLangIdSql)),
     Q("q_quality_score", (s, d) => qQualityScore(s, d), Some(qQualityScoreSql)),
     Q("q_token_counts", (s, d) => qTokenCounts(s, d), Some(qTokenCountsSql)),
-    Q("q_fingerprint", (s, d) => qFingerprint(s, d), Some(qFingerprintSql)))
+    Q("q_fingerprint", (s, d) => qFingerprint(s, d), Some(qFingerprintSql)),
+    Q("q_wordcount_topk", (s, d) => qWordcountTopk(s, d), Some(qWordcountTopkSql)))
 }
