@@ -1,0 +1,66 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL-door registration for the engine's native expressions, so
+  * `spark.sql("SELECT text_fingerprint(text) …")` works alongside the
+  * Column API. Two entry points:
+  *
+  *  - `spark.sql.extensions=graft.plans.GraftExtensions` at session
+  *    build (the SparkSessionExtensions injection path);
+  *  - `GraftFunctions.register(spark)` on a live session (same
+  *    registry, no restart).
+  *
+  * No optimizer Rule or Strategy is injected on purpose: every graft
+  * operator is expressible as a declarative plan over these
+  * expressions, so Catalyst's own planning stays authoritative
+  * (SURVEY.md §4 — "nothing in the reference requires a custom
+  * Rule/Strategy").
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.descriptions.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case lit if lit.foldable => lit.eval().asInstanceOf[Number].intValue()
+    case other => throw new IllegalArgumentException(
+      s"$name must be a literal integer, got $other")
+  }
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.plans." + name, null, name, usage, "")
+
+  val descriptions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("text_fingerprint"),
+      info("text_fingerprint", "text_fingerprint(str) - position-weighted rolling fingerprint mod 1e9+7"),
+      (es: Seq[Expression]) => TextFingerprint(es.head)),
+    (FunctionIdentifier("subword_count"),
+      info("subword_count", "subword_count(str) - BPE-ish subword count"),
+      (es: Seq[Expression]) => SubwordCount(es.head)),
+    (FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(str, n[, distinct]) - word n-gram shingles"),
+      (es: Seq[Expression]) => WordShingles(es.head, intArg(es(1), "n"),
+        es.length > 2 && es(2).eval().asInstanceOf[Boolean])),
+    (FunctionIdentifier("array_cosine_sim"),
+      info("array_cosine_sim", "array_cosine_sim(a, b) - cosine of two float arrays"),
+      (es: Seq[Expression]) => ArrayCosineSim(es.head, es(1))),
+    (FunctionIdentifier("pos_weighted_sum"),
+      info("pos_weighted_sum", "pos_weighted_sum(arr) - sum of x_i*(i+1)"),
+      (es: Seq[Expression]) => PosWeightedSum(es.head)),
+    (FunctionIdentifier("hyperplane_buckets"),
+      info("hyperplane_buckets", "hyperplane_buckets(arr, planes, tables) - LSH bucket per table"),
+      (es: Seq[Expression]) => HyperplaneBuckets(es.head,
+        intArg(es(1), "planes"), intArg(es(2), "tables"))))
+
+  /** Idempotent registration on a live session. */
+  def register(spark: SparkSession): Unit =
+    descriptions.foreach { case (id, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+    }
+}

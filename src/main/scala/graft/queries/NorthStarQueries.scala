@@ -396,6 +396,33 @@ object NorthStarQueries extends QueryModule {
       |    / len(string_split_regex(trim(text), '\s+')), 6) AS avg_word_len
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** The native expressions through the SQL door: registered via
+    * [[graft.plans.GraftFunctions]] (SparkSessionExtensions-
+    * compatible), then used from `spark.sql`. */
+  private def qSqlFunctions(implicit s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    docs.createOrReplaceTempView("documents_fn")
+    s.sql("""
+      SELECT doc_id,
+        text_fingerprint(text) AS fp,
+        subword_count(text) AS n_subwords,
+        size(word_shingles(text, 3, true)) AS n_shingles
+      FROM documents_fn ORDER BY doc_id""")
+  }
+
+  private val qSqlFunctionsSql =
+    s"""SELECT doc_id,
+       |  ${TextFns.fingerprintSql("text")} AS fp,
+       |  CAST(list_aggregate(list_transform(string_split_regex(trim(text), '\\s+'),
+       |    w -> 1 + length(w) // 6), 'sum') AS BIGINT) AS n_subwords,
+       |  CAST(len(list_distinct(CASE
+       |    WHEN len(string_split_regex(trim(text), '\\s+')) < 3
+       |      THEN [array_to_string(string_split_regex(trim(text), '\\s+'), ' ')]
+       |    ELSE list_transform(range(1, len(string_split_regex(trim(text), '\\s+')) - 1),
+       |      i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), i, i + 2), ' '))
+       |  END)) AS INTEGER) AS n_shingles
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Distributed word count, top-20 — explode to tokens, grouped
     * count, TakeOrderedAndProject (at 100 TB the explode is a narrow
     * map and the count is one shuffle on the word). */
@@ -442,5 +469,6 @@ object NorthStarQueries extends QueryModule {
     Q("q_quality_score", (s, d) => qQualityScore(s, d), Some(qQualityScoreSql)),
     Q("q_token_counts", (s, d) => qTokenCounts(s, d), Some(qTokenCountsSql)),
     Q("q_fingerprint", (s, d) => qFingerprint(s, d), Some(qFingerprintSql)),
-    Q("q_wordcount_topk", (s, d) => qWordcountTopk(s, d), Some(qWordcountTopkSql)))
+    Q("q_wordcount_topk", (s, d) => qWordcountTopk(s, d), Some(qWordcountTopkSql)),
+    Q("q_sql_functions", (s, d) => qSqlFunctions(s, d), Some(qSqlFunctionsSql)))
 }
