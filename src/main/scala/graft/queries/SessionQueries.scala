@@ -121,8 +121,36 @@ object SessionQueries extends QueryModule {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------- stratified sampling
+  /** Stratified (proportional) sampling: 10% per language stratum,
+    * deterministic via the md5 shuffle order ([[TextFns]] docs; same
+    * hex both engines). One window per stratum — at scale the strata
+    * are independent partitions, no global sort. */
+  private def qSampleStratified(implicit s: SparkSession, dir: String): DataFrame = {
+    val byLang = Window.partitionBy(col("lang"))
+    val w = byLang.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(byLang))
+      .where(col("rn") <= ceil(col("cnt") * 0.1))
+      .select(col("lang"), col("doc_id"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  private val qSampleStratifiedSql =
+    """SELECT lang, doc_id FROM (
+      |  SELECT lang, doc_id,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY lang) AS cnt
+      |  FROM documents)
+      |WHERE rn <= ceil(cnt * 0.1)
+      |ORDER BY lang, doc_id""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q_sessionize_batch", (s, d) => qSessionizeBatch(s, d), Some(qSessionizeBatchSql)),
+    Q("q_sample_stratified", (s, d) => qSampleStratified(s, d), Some(qSampleStratifiedSql)),
     Q("q_sample_entropy", (s, d) => qSampleEntropy(s, d), Some(qSampleEntropySql)),
     Q("q_sample_margin", (s, d) => qSampleMargin(s, d), Some(qSampleMarginSql)))
 }
