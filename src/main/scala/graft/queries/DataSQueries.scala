@@ -228,6 +228,49 @@ object DataSQueries extends QueryModule {
       |GROUP BY m.param_key, m.idx
       |ORDER BY m.param_key, m.idx""".stripMargin
 
+  // --------------------------------------- sharegpt multi-turn model
+  /** The reference's PLANNED multi-turn sharegpt format
+    * (`data/rawdata/readme.md:14–27`): conversation =
+    * array<struct<human, assistant>>. Built here from the corpus
+    * (text halves as one exchange), then flattened with posexplode
+    * and aggregated per role — the array-of-struct explode/aggregate
+    * path a conversation dataset needs. */
+  private def qSharegptTurns(implicit s: SparkSession, dir: String): DataFrame = {
+    val half = (length(col("text")) / 2).cast("int")
+    val conv = array(
+      struct(substring(col("text"), 1, 60).as("human"),
+        col("text").substr(half + 1, lit(60)).as("assistant")),
+      struct(col("source").as("human"), col("lang").as("assistant")))
+    docs.select(col("doc_id"), conv.as("conversation"))
+      .select(col("doc_id"),
+        posexplode(col("conversation")).as(Seq("turn", "ex")))
+      .select(col("doc_id"), col("turn"),
+        length(col("ex.human")).as("len_human"),
+        length(col("ex.assistant")).as("len_assistant"))
+      .groupBy(col("turn"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("len_human")).cast("long").as("chars_human"),
+        sum(col("len_assistant")).cast("long").as("chars_assistant"))
+      .orderBy(col("turn"))
+  }
+
+  private val qSharegptTurnsSql =
+    """WITH conv AS (
+      |  SELECT doc_id, [
+      |    struct_pack(human := substr(text, 1, 60),
+      |      assistant := substr(text, CAST(length(text) // 2 AS INTEGER) + 1, 60)),
+      |    struct_pack(human := source, assistant := lang)
+      |  ] AS conversation FROM documents),
+      |turns AS (
+      |  SELECT doc_id,
+      |    CAST(generate_subscripts(conversation, 1) - 1 AS INTEGER) AS turn,
+      |    unnest(conversation) AS ex
+      |  FROM conv)
+      |SELECT turn, COUNT(*) AS n,
+      |  CAST(SUM(length(ex.human)) AS BIGINT) AS chars_human,
+      |  CAST(SUM(length(ex.assistant)) AS BIGINT) AS chars_assistant
+      |FROM turns GROUP BY turn ORDER BY turn""".stripMargin
+
   // ------------------------------------- T1 apply / weighted merge
   /** TaskVector algebra breadth (reference `merging.py:52–95`):
     * base + scale · weightedMerge(0.6·tv, 0.4·(−tv)) — exercises
@@ -406,6 +449,7 @@ object DataSQueries extends QueryModule {
   override def queries: Seq[Q] = Seq(
     Q("q_len_score", (s, d) => qLenScore(s, d), Some(qLenScoreSql)),
     Q("q_prompt_template", (s, d) => qPromptTemplate(s, d), Some(qPromptTemplateSql)),
+    Q("q_sharegpt_turns", (s, d) => qSharegptTurns(s, d), Some(qSharegptTurnsSql)),
     Q("q_ifd_ratio", (s, d) => qIfdRatio(s, d), Some(qIfdRatioSql)),
     Q("q_cluster_select", (s, d) => qClusterSelect(s, d), Some(qClusterSelectSql)),
     Q("q_sample_least_conf", (s, d) => qSampleLeastConf(s, d), Some(qSampleLeastConfSql)),
