@@ -162,13 +162,10 @@ object Similarity {
   def kcenterGreedy(df: DataFrame, idCol: String, embCol: String,
                     k: Int, seedId: Long): Seq[Long] = {
     val spark = df.sparkSession
-    def sqdistTo(center: Array[Double]): Column = {
-      val c = lit(center)
-      aggregate(zip_with(col(embCol), c, (x, y) => {
-        val d = x.cast("double") - y
-        d * d
-      }), lit(0.0), (a, v) => a + v)
-    }
+    // native codegen'd fold — bit-identical to the HOF formulation
+    // `aggregate(zip_with(e, center, (x,y) -> (x-y)²), 0.0, +)`
+    def sqdistTo(center: Array[Double]): Column =
+      graft.plans.ArraySqDistToConst(col(embCol), center)
     def vecOf(id: Long): Array[Double] =
       df.where(col(idCol) === id).select(col(embCol)).head()
         .getSeq[Float](0).map(_.toDouble).toArray

@@ -80,6 +80,57 @@ object ArrayExprUtil {
   }
 }
 
+/** Squared Euclidean distance between a float-array column and a
+  * constant double-array center (the k-center inner loop): sequential
+  * left fold in index order, bit-identical to the zip_with/aggregate
+  * formulation and the oracle's list fold. */
+case class ArraySqDistToConst(child: Expression, center: Array[Double])
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"array_sqdist needs array<float>, got ${other.sql}")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), center.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - center(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centerRef = ctx.addReferenceObj("center", center, "double[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = Math.min($c.numElements(), $centerRef.length);
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (double) $c.getFloat($i) - $centerRef[$i];
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ArraySqDistToConst {
+  def apply(c: Column, center: Array[Double]): Column =
+    GraftShims.column(ArraySqDistToConst(GraftShims.expression(c), center))
+}
+
 /** Position-weighted sum of a float array (the deterministic
   * ppl-proxy confidence of the selection pipeline). */
 case class PosWeightedSum(child: Expression) extends UnaryExpression {

@@ -79,6 +79,21 @@ class PlansSpec extends AnyFunSuite {
       .where($"n" =!= $"h").count() == 0)
   }
 
+  test("ArraySqDistToConst equals the HOF formulation") {
+    val embs = graft.core.Tables.embeddings(spark, TestSpark.SfDir).limit(200)
+    val center = embs.orderBy($"vec_id").head()
+      .getSeq[Float](embs.schema.fieldIndex("embedding")).map(_.toDouble).toArray
+    val hof = aggregate(zip_with($"embedding", lit(center), (x, y) => {
+      val d = x.cast("double") - y
+      d * d
+    }), lit(0.0), (a, v) => a + v)
+    val diff = embs.select(
+        graft.plans.ArraySqDistToConst($"embedding", center).as("native"),
+        hof.as("hof"))
+      .where($"native" =!= $"hof")
+    assert(diff.count() == 0)
+  }
+
   test("HyperplaneBuckets equals the per-table HOF buckets") {
     val embs = graft.core.Tables.embeddings(spark, TestSpark.SfDir).limit(200)
     val tables = 6; val planes = 3
