@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-smoke: multiply the corpus N× (re-keyed ids) and time the
+  * text/dedup pipelines, to observe how their cost scales between the
+  * fixture size and a larger synthetic corpus. Usage:
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *   sbt "runMain graft.ScaleSmoke 20"
+  *
+  * Prints one JSON line per (query, multiplier) with wall seconds.
+  * This is evidence, not a gate: near-linear growth here means the
+  * operator has no hidden quadratic or driver-side choke point.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(20)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val builder = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+    graft.core.Tables.SessionConfigs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def docsX(n: Int) = {
+      val base = graft.core.Tables.documents(spark, sfDir)
+      (0 until n).map { i =>
+        base.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+      }.reduce(_ unionAll _).repartition(32).cache()
+    }
+
+    for (n <- Seq(1, mult)) {
+      val docs = docsX(n)
+      docs.count() // materialize the cache; timings below are compute-only
+      def time(name: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val rows = f
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"""{"scale_smoke":"$name","mult":$n,"rows":$rows,"sec":$dt%.2f}""")
+      }
+      time("exact_dedup") {
+        graft.operators.Dedup.dupGroups(
+          docs.withColumn("content_key", substring(col("text"), 1, 40)),
+          "doc_id", Seq("content_key")).count()
+      }
+      time("minhash_near_dup") {
+        graft.operators.Dedup.nearDupPairs(docs, "doc_id", "text").count()
+      }
+      time("minhash_after_exact") {
+        graft.operators.Dedup
+          .nearDupPairsAfterExact(docs, "doc_id", "text").count()
+      }
+      time("token_quality") {
+        docs.select(
+          graft.functions.TextFns.tokenCount(col("text")),
+          graft.functions.TextFns.qualityScore(col("text")),
+          graft.functions.TextFns.fingerprint(col("text"))).count()
+      }
+      docs.unpersist()
+    }
+    spark.stop()
+  }
+}

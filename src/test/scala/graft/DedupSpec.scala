@@ -26,6 +26,20 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("nearDupPairsAfterExact collapses exact copies to one representative") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = base.replace("today", "tonight")
+    // ids 1/5/9 are identical copies; 2 is a near-dup; 3 is distinct
+    val df = Seq((1L, base), (5L, base), (9L, base), (2L, near),
+      (3L, "completely different words in this sentence about spark engines"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairsAfterExact(df, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // only the representative (smallest id, 1) pairs with the near-dup;
+    // the exact copies 5/9 never reach the LSH join
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("simhash: identical shingle sets → identical fingerprints") {
     val ids = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 99L))
       .toDF("doc_id", "wid")
