@@ -99,8 +99,7 @@ object Dedup {
       .join(shingleSets.select(col(idCol).as("id_a"), col(setCol).as("_sa")), "id_a")
       .join(shingleSets.select(col(idCol).as("id_b"), col(setCol).as("_sb")), "id_b")
       .withColumn("jaccard",
-        size(array_intersect(col("_sa"), col("_sb"))).cast("double") /
-          size(array_union(col("_sa"), col("_sb"))))
+        graft.plans.StringArrayJaccard(col("_sa"), col("_sb")))
       .drop("_sa", "_sb")
 
   /** End-to-end scalable MinHash+LSH near-dup pairs (xxhash64 shingle

@@ -44,6 +44,23 @@ object ArrayExprUtil {
     acc
   }
 
+  /** |A∩B| / (|A|+|B|−|A∩B|) for element-distinct string arrays (see
+    * [[graft.plans.StringArrayJaccard]]). */
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val set = new java.util.HashSet[UTF8String](na * 2)
+    var i = 0
+    while (i < na) { set.add(a.getUTF8String(i)); i += 1 }
+    var inter = 0
+    var j = 0
+    while (j < nb) {
+      if (set.contains(b.getUTF8String(j))) inter += 1
+      j += 1
+    }
+    inter.toDouble / (na + nb - inter).toDouble
+  }
+
   /** All `tables` random-hyperplane LSH buckets of one embedding in a
     * single pass. Plane p of table t (global index g = t·planes + p)
     * projects with coefficient ((j·(2g+3)) mod 17 − 8) for 1-based dim
@@ -78,6 +95,42 @@ object ArrayExprUtil {
     }
     new GenericArrayData(out)
   }
+}
+
+/** Jaccard similarity of two element-distinct string arrays:
+  * |A∩B| / (|A|+|B|−|A∩B|), one hash build + one probe pass —
+  * replaces `size(array_intersect(a,b)) / size(array_union(a,b))`
+  * (two hash tables and two materialized arrays per pair), the hot
+  * verification step of every near-dup candidate join. Identical
+  * values: for distinct inputs both formulations reduce to the same
+  * integer counts divided in double (both-empty → NaN either way).
+  */
+case class StringArrayJaccard(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"string_array_jaccard needs two array<string> inputs, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ArrayExprUtil.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.ArrayExprUtil.jaccard($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object StringArrayJaccard {
+  def apply(a: Column, b: Column): Column =
+    GraftShims.column(
+      StringArrayJaccard(GraftShims.expression(a), GraftShims.expression(b)))
 }
 
 /** Squared Euclidean distance between a float-array column and a

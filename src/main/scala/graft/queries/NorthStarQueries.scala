@@ -126,8 +126,7 @@ object NorthStarQueries extends QueryModule {
     sets.alias("a").join(sets.alias("b"), "blk")
       .where(col("a.doc_id") < col("b.doc_id"))
       .withColumn("jaccard",
-        round(size(array_intersect(col("a.shset"), col("b.shset"))).cast("double") /
-          size(array_union(col("a.shset"), col("b.shset"))), 6))
+        round(graft.plans.StringArrayJaccard(col("a.shset"), col("b.shset")), 6))
       .where(col("jaccard") >= 0.5)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("jaccard"))

@@ -79,6 +79,22 @@ class PlansSpec extends AnyFunSuite {
       .where($"n" =!= $"h").count() == 0)
   }
 
+  test("StringArrayJaccard equals the intersect/union formulation") {
+    import graft.functions.TextFns
+    val sets = graft.core.Tables.documents(spark, TestSpark.SfDir)
+      .select($"doc_id", TextFns.shinglesDistinct($"text", 3).as("s"))
+      .limit(60).cache()
+    val pairs = sets.alias("a").join(sets.alias("b"),
+        $"a.doc_id" < $"b.doc_id")
+      .select(
+        graft.plans.StringArrayJaccard($"a.s", $"b.s").as("native"),
+        (size(array_intersect($"a.s", $"b.s")).cast("double") /
+          size(array_union($"a.s", $"b.s"))).as("hof"))
+      .where($"native" =!= $"hof")
+    assert(pairs.count() == 0)
+    sets.unpersist()
+  }
+
   test("ArraySqDistToConst equals the HOF formulation") {
     val embs = graft.core.Tables.embeddings(spark, TestSpark.SfDir).limit(200)
     val center = embs.orderBy($"vec_id").head()
