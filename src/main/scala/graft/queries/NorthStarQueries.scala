@@ -448,10 +448,12 @@ object NorthStarQueries extends QueryModule {
 
   // -------------------------------------------- scalable rows-only path
   /** The xxhash64 (vocabulary-free) MinHash+LSH variant — the 100 TB
-    * path, not oracle-reproducible. */
+    * path, not oracle-reproducible — composed the way production dedup
+    * runs: exact-collapse first, then near-dup over representatives
+    * ([[Dedup.nearDupPairsAfterExact]]). */
   private def qDedupMinhashScalable(implicit s: SparkSession, dir: String): DataFrame =
-    Dedup.nearDupPairs(docs, "doc_id", "text", n = 3, k = 12, bands = 4,
-        threshold = 0.5)
+    Dedup.nearDupPairsAfterExact(docs, "doc_id", "text", n = 3, k = 12,
+        bands = 4, threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
   override def queries: Seq[Q] = Seq(
