@@ -422,6 +422,39 @@ object NorthStarQueries extends QueryModule {
        |  END)) AS INTEGER) AS n_shingles
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Corpus-trained bigram LM score per document: pass 1 counts word
+    * bigrams over the whole corpus (one shuffle); pass 2 scores each
+    * document by its mean log(1 + corpus count) over its bigrams
+    * (broadcast-joinable count table at realistic vocabularies, since
+    * the bigram table is sublinear in corpus size). A deterministic
+    * stand-in for perplexity-style quality filtering — rounded before
+    * output because the per-doc sum is a grouped double fold. */
+  private def qBigramLmScore(implicit s: SparkSession, dir: String): DataFrame = {
+    val bigrams = docs.select(col("doc_id"),
+      explode(TextFns.shingles(col("text"), 2)).as("bg"))
+    val counts = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+    bigrams.join(counts, "bg")
+      .groupBy(col("doc_id"))
+      .agg(round(sum(log(col("c") + 1.0)) / count(lit(1)), 6).as("lm_score"),
+        count(lit(1)).as("n_bigrams"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qBigramLmScoreSql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |bg AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+      |    ELSE list_transform(range(1, len(t)),
+      |           i -> array_to_string(list_slice(t, i, i + 1), ' ')) END) AS bg
+      |  FROM toks),
+      |counts AS (SELECT bg, COUNT(*) AS c FROM bg GROUP BY bg)
+      |SELECT doc_id,
+      |  round(SUM(ln(c + 1.0)) / COUNT(*), 6) AS lm_score,
+      |  COUNT(*) AS n_bigrams
+      |FROM bg JOIN counts USING (bg)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Distributed word count, top-20 — explode to tokens, grouped
     * count, TakeOrderedAndProject (at 100 TB the explode is a narrow
     * map and the count is one shuffle on the word). */
@@ -471,5 +504,6 @@ object NorthStarQueries extends QueryModule {
     Q("q_token_counts", (s, d) => qTokenCounts(s, d), Some(qTokenCountsSql)),
     Q("q_fingerprint", (s, d) => qFingerprint(s, d), Some(qFingerprintSql)),
     Q("q_wordcount_topk", (s, d) => qWordcountTopk(s, d), Some(qWordcountTopkSql)),
+    Q("q_bigram_lm_score", (s, d) => qBigramLmScore(s, d), Some(qBigramLmScoreSql)),
     Q("q_sql_functions", (s, d) => qSqlFunctions(s, d), Some(qSqlFunctionsSql)))
 }
