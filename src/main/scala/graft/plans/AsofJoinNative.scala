@@ -1,0 +1,167 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftbridge.CatalystBridge
+
+/** The whole-operator custom-plan path for the as-of join (SURVEY.md §2b
+  * "joins: theta/range/as-of"): a logical node + planner Strategy +
+  * physical operator, the (c) tier of the engine's preference order.
+  * The composed union+window form ([[graft.operators.AsofJoin]]) stays
+  * as the (a)-tier contrast; both register against the same DuckDB
+  * `ASOF JOIN` oracle.
+  *
+  * Physical shape: both children hash-clustered on the join key and
+  * sorted within partitions by (key, time) — declared via
+  * `requiredChildDistribution` / `requiredChildOrdering`, so Catalyst's
+  * EnsureRequirements inserts (and can reuse or coalesce) the exchanges
+  * and sorts; the operator itself is a single streaming merge pass with
+  * O(1) state (the last-seen right row), never buffering a key group.
+  * Versus the union+window composition this avoids widening every right
+  * row to the unioned schema and carries exactly one candidate instead
+  * of a running `last(...)` window buffer — same shuffle lower bound,
+  * strictly less memory and no null-padding blowup at 100 TB.
+  */
+case class AsofJoinPlan(
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTs: Expression, rightTs: Expression,
+    left: LogicalPlan, right: LogicalPlan) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Inner as-of merge join: for each left row, the single latest right
+  * row with the same key and `rightTs <= leftTs`; left rows without a
+  * prior right row drop (inner semantics, matching DuckDB `ASOF JOIN`
+  * and [[graft.operators.AsofJoin.asofJoin]]). */
+case class AsofJoinExec(
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTs: Expression, rightTs: Expression,
+    left: SparkPlan, right: SparkPlan) extends SparkPlan with BinaryExecNode {
+
+  require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType) &&
+    leftTs.dataType == rightTs.dataType,
+    "as-of join sides must agree on key/time types")
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTs).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTs).map(SortOrder(_, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys :+ leftTs).map(SortOrder(_, Ascending))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val nKeys = leftKeys.length
+    val types = leftKeys.map(_.dataType) :+ leftTs.dataType
+    val lExprs = leftKeys :+ leftTs
+    val rExprs = rightKeys :+ rightTs
+    val lSchema = left.output
+    val rSchema = right.output
+    val outSchema = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lProj = UnsafeProjection.create(lExprs, lSchema)
+      val rProj = UnsafeProjection.create(rExprs, rSchema)
+      val resultProj = UnsafeProjection.create(outSchema, outSchema)
+      val ords = types.map(TypeUtils.getInterpretedOrdering)
+      // lexicographic compare of projected (key..., ts) rows on [from, until)
+      def cmp(a: InternalRow, b: InternalRow, from: Int, until: Int): Int = {
+        var i = from
+        while (i < until) {
+          val an = a.isNullAt(i); val bn = b.isNullAt(i)
+          if (an || bn) {
+            if (!bn) return -1
+            if (!an) return 1
+          } else {
+            val c = ords(i).compare(a.get(i, types(i)), b.get(i, types(i)))
+            if (c != 0) return c
+          }
+          i += 1
+        }
+        0
+      }
+      val joined = new JoinedRow
+      var rCurRow: InternalRow = null   // next unconsumed right row
+      var rCurKey: InternalRow = null   // its projected (key, ts) — copied
+      var matchRow: InternalRow = null  // latest right row at-or-before — copied
+      var matchKey: InternalRow = null
+      def advanceRight(): Unit =
+        if (rIter.hasNext) {
+          rCurRow = rIter.next()
+          rCurKey = rProj(rCurRow).copy()
+        } else { rCurRow = null; rCurKey = null }
+      advanceRight()
+      lIter.flatMap { lrow =>
+        val lk = lProj(lrow)
+        var keyCmp = if (rCurRow == null) 1 else cmp(rCurKey, lk, 0, nKeys)
+        while (rCurRow != null &&
+            (keyCmp < 0 || (keyCmp == 0 && cmp(rCurKey, lk, nKeys, nKeys + 1) <= 0))) {
+          matchRow = rCurRow.copy(); matchKey = rCurKey
+          advanceRight()
+          keyCmp = if (rCurRow == null) 1 else cmp(rCurKey, lk, 0, nKeys)
+        }
+        if (matchRow != null && cmp(matchKey, lk, 0, nKeys) == 0)
+          Some(resultProj(joined(lrow, matchRow)))
+        else None
+      }
+    }
+  }
+}
+
+/** Plans [[AsofJoinPlan]] to [[AsofJoinExec]]; injected via
+  * `spark.experimental.extraStrategies` (public API) by
+  * [[AsofJoinNative.asofJoin]], or via SparkSessionExtensions by
+  * [[GraftExtensions]]. */
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoinPlan(lk, rk, lts, rts, l, r) =>
+      AsofJoinExec(lk, rk, lts, rts, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+object AsofJoinNative {
+
+  /** As-of join `left` to the latest `right` row per key with
+    * `right.ts <= left.ts`, through the custom physical operator.
+    * Output columns: all of `left` then all of `right` (pre-project the
+    * right side to key + ts + payload — the custom node is opaque to
+    * Catalyst's column pruning, so pruning happens by construction).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTs: String, rightTs: String): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsofJoinStrategy
+    val lPlan = CatalystBridge.analyzed(left)
+    val rPlan = CatalystBridge.analyzed(right)
+    def attr(plan: LogicalPlan, n: String): Attribute =
+      plan.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $n not in ${plan.output.map(_.name).mkString(", ")}"))
+    CatalystBridge.ofRows(left, AsofJoinPlan(
+      Seq(attr(lPlan, leftKey)), Seq(attr(rPlan, rightKey)),
+      attr(lPlan, leftTs), attr(rPlan, rightTs), lPlan, rPlan))
+  }
+}

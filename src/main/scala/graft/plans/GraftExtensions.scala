@@ -13,15 +13,18 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - `GraftFunctions.register(spark)` on a live session (same
   *    registry, no restart).
   *
-  * No optimizer Rule or Strategy is injected on purpose: every graft
-  * operator is expressible as a declarative plan over these
-  * expressions, so Catalyst's own planning stays authoritative
-  * (SURVEY.md §4 — "nothing in the reference requires a custom
-  * Rule/Strategy").
+  * One planner Strategy is injected — [[AsofJoinStrategy]], planning
+  * the custom [[AsofJoinPlan]] whole-operator node (as-of join has no
+  * Spark builtin; see [[AsofJoinNative]]). No optimizer Rule: every
+  * other graft operator is expressible as a declarative plan over
+  * these expressions, so Catalyst's own planning stays authoritative
+  * (SURVEY.md §4).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptions.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => AsofJoinStrategy)
+  }
 }
 
 object GraftFunctions {

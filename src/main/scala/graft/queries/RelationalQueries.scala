@@ -390,6 +390,27 @@ object RelationalQueries extends QueryModule {
       |  ON events.user_id = ord.o_custkey AND events.ts >= ord.o_orderdate
       |ORDER BY event_id""".stripMargin
 
+  /** The same as-of join through the custom Catalyst operator
+    * ([[graft.plans.AsofJoinNative]]: logical node + Strategy +
+    * physical merge exec) — the (c)-tier contrast to the composed
+    * union+window form above; identical oracle. */
+  private def qAsofJoinNative(implicit s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_id"),
+      col("user_id"), col("ts"))
+    val ord = t("orders")
+      .groupBy(col("o_custkey"),
+        // NTZ parquet date → TimestampType, matching the events side
+        // (session timezone is pinned UTC, so the instant is identical)
+        col("o_orderdate").cast("timestamp").as("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"),
+        max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+    graft.plans.AsofJoinNative.asofJoin(ev, ord,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTs = "ts", rightTs = "o_orderdate")
+      .select(col("event_id"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
   // --------------------------------------------------------- range join
   /** Range (theta) join: events matched to the same user's orders
     * within a ±2-year window around the order date. The equi key
@@ -423,6 +444,7 @@ object RelationalQueries extends QueryModule {
   override def queries: Seq[Q] = Seq(
     Q("q_range_join", (s, d) => qRangeJoin(s, d), Some(qRangeJoinSql)),
     Q("q_asof_join", (s, d) => qAsofJoin(s, d), Some(qAsofJoinSql)),
+    Q("q_asof_join_native", (s, d) => qAsofJoinNative(s, d), Some(qAsofJoinSql)),
     Q("q_cube", (s, d) => qCube(s, d), Some(qCubeSql)),
     Q("q_row_slice", (s, d) => qRowSlice(s, d), Some(qRowSliceSql)),
     Q("q_approx_distinct", (s, d) => qApproxDistinct(s, d), None),

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.operators.AsofJoin
+import graft.plans.{AsofJoinExec, AsofJoinNative}
+
+/** The custom-physical-operator as-of join (AsofJoinPlan + Strategy +
+  * AsofJoinExec) must agree row-for-row with the composed union+window
+  * form, and must actually plan through the custom exec with the
+  * exchanges/sorts Catalyst inserts from its declared requirements. */
+class AsofJoinNativeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import TestSpark.SfDir
+
+  private def ev = Tables.events(spark, SfDir)
+    .select(col("event_id"), col("user_id"), col("ts"))
+  private def ord = Tables.orders(spark, SfDir)
+    .groupBy(col("o_custkey"),
+      col("o_orderdate").cast("timestamp").as("o_orderdate"))
+    .agg(max(col("o_orderkey")).as("o_orderkey"),
+      max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+
+  private def native = AsofJoinNative.asofJoin(ev, ord,
+      "user_id", "o_custkey", "ts", "o_orderdate")
+    .select(col("event_id"), col("o_orderkey"), col("o_totalprice"))
+
+  test("native as-of join matches the composed union+window form") {
+    val composed = AsofJoin.asofJoin(ev, ord,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTs = "ts", rightTs = "o_orderdate",
+        rightPayload = Seq("o_orderkey", "o_totalprice"))
+      .select(col("event_id"), col("o_orderkey"), col("o_totalprice"))
+    val n = native.orderBy("event_id").collect().toSeq
+    val c = composed.orderBy("event_id").collect().toSeq
+    assert(n.nonEmpty)
+    assert(n == c)
+  }
+
+  test("plans through AsofJoinExec") {
+    val df = native
+    df.collect() // finalize the AQE plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), plan)
+  }
+
+  test("ties on equal timestamps are inclusive (right.ts <= left.ts)") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, "e1"), (1L, 200L, "e2"), (2L, 50L, "e3"))
+      .toDF("k", "t", "ev")
+    val r = Seq((1L, 100L, "r100"), (1L, 150L, "r150"), (3L, 10L, "rx"))
+      .toDF("k", "t", "pay")
+    val out = AsofJoinNative.asofJoin(
+        l, r.withColumnRenamed("k", "rk").withColumnRenamed("t", "rt"),
+        "k", "rk", "t", "rt")
+      .select(col("ev"), col("pay")).collect().map(x => (x.getString(0), x.getString(1))).toSet
+    // e1 matches the equal-ts r100; e2 the later r150; e3 has no prior row → drops
+    assert(out == Set("e1" -> "r100", "e2" -> "r150"))
+  }
+}
