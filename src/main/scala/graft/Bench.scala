@@ -43,13 +43,15 @@ object Bench {
     } catch { case _: Throwable => () }
 
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the query set (profiling).
-    // Each query runs SPARK_GRAFT_ITERS times (default 2) and reports
+    // Each query runs SPARK_GRAFT_ITERS times (default 3) and reports
     // the MINIMUM: the host suffers intermittent CPU steal that
     // inflates a single pass by 10-80× on random queries (measured:
     // the same sub-second rollup at 0.55s and 46.5s in back-to-back
-    // suites), and the min of two passes is the reproducible cost.
+    // suites; round-2's driver run still reported 104s for a 1s query
+    // with min-of-2 — steal spanned both passes), so the min of three
+    // passes is the reproducible cost.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>

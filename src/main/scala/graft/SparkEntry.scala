@@ -17,7 +17,8 @@ object SparkEntry {
     DataSQueries,
     NorthStarQueries,
     MlQueries,
-    SessionQueries)
+    SessionQueries,
+    TrainDataQueries)
 
   private lazy val all: Seq[Q] = {
     val qs = modules.flatMap(_.queries)

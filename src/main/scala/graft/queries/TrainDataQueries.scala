@@ -1,0 +1,292 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFns
+
+/** Round-3 training-data-pipeline operators (BASELINE.json north star,
+  * beyond the reference surface): document chunking, sequence packing,
+  * benchmark decontamination, Gopher-style rule filtering, pattern
+  * redaction, mixture resampling, and quantile bucketing. All pure
+  * declarative plans; scale notes inline per query.
+  *
+  * Determinism: integer arithmetic end-to-end where possible; the two
+  * double ratios are single divisions rounded to 1e-6 (bit-identical
+  * across engines); "random" sampling is the md5-h15 60-bit hash
+  * (oracle-determinism rule: prefer md5 over custom LCGs).
+  */
+object TrainDataQueries extends QueryModule {
+
+  private def docs(implicit s: SparkSession, dir: String) = Tables.documents(s, dir)
+
+  // -------------------------------------------------- document chunking
+  /** RAG-style chunking: fixed 200-char windows at stride 150 (50-char
+    * overlap) with per-chunk offsets and content hashes. The explode is
+    * a narrow map — no shuffle; at 100 TB chunking parallelizes
+    * per-document with output ~1.3× input. */
+  private val ChunkLen = 200
+  private val ChunkStride = 150
+
+  private def qChunkDocuments(implicit s: SparkSession, dir: String): DataFrame =
+    docs.select(col("doc_id"), col("text"),
+        explode(sequence(lit(1L), length(col("text")).cast("long"),
+          lit(ChunkStride.toLong))).as("off"))
+      .withColumn("chunk", expr(s"substring(text, CAST(off AS INT), $ChunkLen)"))
+      .select(col("doc_id"),
+        ((col("off") - 1L) / ChunkStride).cast("int").as("chunk_idx"),
+        col("off"),
+        length(col("chunk")).cast("long").as("n_chunk_chars"),
+        md5(col("chunk").cast("binary")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private val qChunkDocumentsSql =
+    s"""SELECT doc_id, CAST((off - 1) // $ChunkStride AS INTEGER) AS chunk_idx, off,
+       |  CAST(length(substr(text, CAST(off AS INTEGER), $ChunkLen)) AS BIGINT) AS n_chunk_chars,
+       |  md5(substr(text, CAST(off AS INTEGER), $ChunkLen)) AS chunk_md5
+       |FROM (SELECT doc_id, text,
+       |        unnest(generate_series(1, CAST(length(text) AS BIGINT), $ChunkStride)) AS off
+       |      FROM documents)
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // -------------------------------------------------- sequence packing
+  /** Pretraining sequence packing, concat-and-chop: documents are
+    * concatenated in (source, doc_id) order and chopped into
+    * fixed-512-token context windows; each document reports its first
+    * bin, offset within it, and how many bins it spans. Packing is per
+    * source shard — the window partitions by source, so at 100 TB each
+    * shard packs independently (one narrow cumulative sum, no global
+    * order). Integer arithmetic throughout → oracle-exact. */
+  private val PackLen = 512L
+
+  private def qPackSequences(implicit s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"), col("source"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"start_tok div $PackLen").as("first_bin"),
+        (col("start_tok") % PackLen).as("offset_in_bin"),
+        (expr(s"(start_tok + n_tokens - 1) div $PackLen")
+          - expr(s"start_tok div $PackLen") + 1L).as("bins_spanned"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qPackSequencesSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |cum AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    CAST(coalesce(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+       |  FROM toks)
+       |SELECT doc_id, source, n_tokens,
+       |  CAST(start_tok // $PackLen AS BIGINT) AS first_bin,
+       |  CAST(start_tok % $PackLen AS BIGINT) AS offset_in_bin,
+       |  CAST((start_tok + n_tokens - 1) // $PackLen - start_tok // $PackLen + 1 AS BIGINT) AS bins_spanned
+       |FROM cum ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------- decontamination
+  /** Benchmark decontamination (GPT-3-style n-gram collision): flag
+    * training documents sharing ≥ 5 distinct 3-gram shingles with the
+    * held-out set (source = src0 plays the benchmark role). The eval
+    * side is tiny relative to training data, so its shingle set is
+    * broadcast — the training corpus never shuffles. */
+  private val DecontamMinShared = 5
+
+  private def qDecontaminate(implicit s: SparkSession, dir: String): DataFrame = {
+    val ex = docs.select(col("doc_id"), col("source"),
+      explode(TextFns.shinglesDistinct(col("text"), 3)).as("sh"))
+    val train = ex.where(col("source") =!= "src0")
+      .select(col("doc_id"), col("sh"))
+    val eval = ex.where(col("source") === "src0")
+      .select(col("sh"), col("doc_id").as("eval_id"))
+    train.join(broadcast(eval), "sh")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("sh")).as("n_shared"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .where(col("n_shared") >= DecontamMinShared)
+      .orderBy(col("doc_id"))
+  }
+
+  private val qDecontaminateSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       |sets AS (
+       |  SELECT doc_id, source,
+       |    list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |      ELSE list_transform(range(1, len(t) - 1),
+       |             i -> array_to_string(list_slice(t, i, i + 2), ' ')) END) AS shset
+       |  FROM toks),
+       |ex AS (SELECT doc_id, source, unnest(shset) AS sh FROM sets)
+       |SELECT t.doc_id, COUNT(DISTINCT t.sh) AS n_shared,
+       |  COUNT(DISTINCT e.doc_id) AS n_eval_docs
+       |FROM (SELECT doc_id, sh FROM ex WHERE source <> 'src0') t
+       |JOIN (SELECT doc_id, sh FROM ex WHERE source = 'src0') e ON t.sh = e.sh
+       |GROUP BY t.doc_id HAVING COUNT(DISTINCT t.sh) >= $DecontamMinShared
+       |ORDER BY t.doc_id""".stripMargin
+
+  // ------------------------------------------- Gopher-style rule filter
+  /** Rule-based quality filtering in the Gopher/MassiveText style:
+    * word count band, mean word length band, stopword floor, and a
+    * repetition ceiling (most-frequent-bigram share). One narrow pass
+    * plus one bigram aggregation keyed by doc — no corpus-wide state.
+    * Thresholds chosen to split this corpus (~54-word docs). */
+  private def qGopherQuality(implicit s: SparkSession, dir: String): DataFrame = {
+    val bg = docs.select(col("doc_id"),
+      explode(TextFns.shingles(col("text"), 2)).as("b"))
+    val rep = bg.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(round(max(col("c")).cast("double") / sum(col("c")), 6)
+        .as("top_bigram_frac"))
+    val base = docs.select(col("doc_id"), col("text"),
+        TextFns.tokens(col("text")).as("t"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_words"),
+        round(length(regexp_replace(col("text"), "\\s+", "")).cast("double")
+          / size(col("t")), 6).as("mean_wl"),
+        size(filter(col("t"), w => w.isin(TextFns.Stopwords: _*)))
+          .cast("long").as("stop_hits"))
+    base.join(rep, "doc_id")
+      .withColumn("passes",
+        (col("n_words").between(20L, 90L) && col("mean_wl").between(4.0, 5.0) &&
+          col("stop_hits") >= 2L && col("top_bigram_frac") <= 0.05)
+          .cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qGopherQualitySql = {
+    val stopList = TextFns.Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       |bg AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+       |    ELSE list_transform(range(1, len(t)),
+       |           i -> array_to_string(list_slice(t, i, i + 1), ' ')) END) AS b
+       |  FROM toks),
+       |rep AS (
+       |  SELECT doc_id, round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_bigram_frac
+       |  FROM (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2) GROUP BY doc_id),
+       |base AS (
+       |  SELECT doc_id,
+       |    CAST(len(t) AS BIGINT) AS n_words,
+       |    round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(t), 6) AS mean_wl,
+       |    CAST(len(list_filter(t, w -> w IN ($stopList))) AS BIGINT) AS stop_hits
+       |  FROM toks)
+       |SELECT base.doc_id, n_words, mean_wl, stop_hits, top_bigram_frac,
+       |  CAST(CASE WHEN n_words BETWEEN 20 AND 90 AND mean_wl BETWEEN 4.0 AND 5.0
+       |    AND stop_hits >= 2 AND top_bigram_frac <= 0.05 THEN 1 ELSE 0 END AS INTEGER) AS passes
+       |FROM base JOIN rep ON base.doc_id = rep.doc_id
+       |ORDER BY base.doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------- pattern redaction
+  /** PII-style pattern redaction: count and mask configured patterns
+    * (here a vocabulary mask standing in for email/phone patterns —
+    * this corpus has no digits — plus a real digit-run pattern that
+    * must count zero). A narrow projection; regex stays inside
+    * whole-stage codegen. */
+  private val RedactPat = "\\b(key|value)\\b"
+
+  private def qPiiRedact(implicit s: SparkSession, dir: String): DataFrame =
+    docs.select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(RedactPat), lit(0)))
+          .cast("long").as("n_masked"),
+        size(regexp_extract_all(col("text"), lit("[0-9]{3,}"), lit(0)))
+          .cast("long").as("n_digit_runs"),
+        md5(regexp_replace(col("text"), RedactPat, "<MASK>").cast("binary"))
+          .as("redacted_md5"))
+      .orderBy(col("doc_id"))
+
+  private val qPiiRedactSql =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '\b(key|value)\b')) AS BIGINT) AS n_masked,
+      |  CAST(len(regexp_extract_all(text, '[0-9]{3,}')) AS BIGINT) AS n_digit_runs,
+      |  md5(regexp_replace(text, '\b(key|value)\b', '<MASK>', 'g')) AS redacted_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- mixture resampling
+  /** Domain-mixture resampling: per-source target rates (1 / 0.5 /
+    * 0.25 / 0.1 cycling by source number), applied via the
+    * deterministic md5-h15 uniform per doc — the hash-based Bernoulli
+    * that keeps resampling reproducible and shuffle-free at any scale
+    * (each row decides locally; the only shuffle is the final
+    * per-source report). */
+  private val MixSeed = 42L
+
+  private def qMixtureResample(implicit s: SparkSession, dir: String): DataFrame = {
+    val u = conv(substring(
+        md5(concat(lit(s"$MixSeed:"), col("doc_id").cast("string")).cast("binary")),
+        1, 15), 16, 10).cast("long").cast("double") / lit(1152921504606846976.0)
+    val rate = element_at(
+      array(lit(1.0), lit(0.5), lit(0.25), lit(0.1)),
+      (substring(col("source"), 4, 10).cast("int") % 4) + 1)
+    docs.select(col("source"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_tokens"),
+        (u < rate).cast("int").as("kept"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("kept")).as("n_kept"),
+        sum(col("n_tokens") * col("kept")).as("tokens_kept"))
+      .orderBy(col("source"))
+  }
+
+  private val qMixtureResampleSql = {
+    val h15 = graft.operators.Scorers.ProxyBackend
+      .h15Sql(MixSeed, "CAST(doc_id AS VARCHAR)")
+    s"""WITH scored AS (
+       |  SELECT source,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       |    CASE WHEN CAST($h15 AS DOUBLE) / 1152921504606846976.0 <
+       |      (CASE CAST(substr(source, 4) AS INTEGER) % 4
+       |         WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 WHEN 2 THEN 0.25 ELSE 0.1 END)
+       |      THEN 1 ELSE 0 END AS kept
+       |  FROM documents)
+       |SELECT source, COUNT(*) AS n_total,
+       |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+       |  CAST(SUM(n_tokens * kept) AS BIGINT) AS tokens_kept
+       |FROM scored GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // ---------------------------------------------------- ntile buckets
+  /** Quantile bucketing: length quartile per language (ntile) — the
+    * windowed sibling of the percentile-band filter; deterministic via
+    * the unique (n_chars, doc_id) sort. */
+  private def qNtile(implicit s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+    docs.select(col("doc_id"), col("lang"), col("n_chars"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qNtileSql =
+    """SELECT doc_id, lang, n_chars,
+      |  CAST(ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS INTEGER) AS quartile
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------- approx percentile (rows-only)
+  /** approx_percentile (t-digest-style sketch) — the at-scale variant
+    * of q_percentiles; rows-only (sketch estimates are
+    * engine-specific, like the HLL query). */
+  private def qApproxPercentile(implicit s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_extendedprice"),
+          array(lit(0.5), lit(0.95)), lit(10000)).as("approx_p50_p95"))
+      .orderBy(col("l_returnflag"))
+
+  override def queries: Seq[Q] = Seq(
+    Q("q_chunk_documents", (s, d) => qChunkDocuments(s, d), Some(qChunkDocumentsSql)),
+    Q("q_pack_sequences", (s, d) => qPackSequences(s, d), Some(qPackSequencesSql)),
+    Q("q_decontaminate", (s, d) => qDecontaminate(s, d), Some(qDecontaminateSql)),
+    Q("q_gopher_quality", (s, d) => qGopherQuality(s, d), Some(qGopherQualitySql)),
+    Q("q_pii_redact", (s, d) => qPiiRedact(s, d), Some(qPiiRedactSql)),
+    Q("q_mixture_resample", (s, d) => qMixtureResample(s, d), Some(qMixtureResampleSql)),
+    Q("q_ntile", (s, d) => qNtile(s, d), Some(qNtileSql)),
+    Q("q_approx_percentile", (s, d) => qApproxPercentile(s, d), None))
+}

@@ -71,6 +71,26 @@ object EventStreams {
     try f finally spark.conf.set(key, old)
   }
 
+  /** Run `f` with the given state-store provider (e.g. the RocksDB
+    * provider, `org.apache.spark.sql.execution.streaming.state.
+    * RocksDBStateStoreProvider`) pinned for queries started inside.
+    * The provider is a per-query-start setting; at 100 TB state
+    * (large dedup/session maps) RocksDB keeps state off-heap and
+    * spillable where the default HDFS-backed in-memory provider
+    * would OOM the executor. */
+  def withStateStoreProvider[T](spark: SparkSession, provider: String)(f: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, provider)
+    try f finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  val RocksDBProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   /** Run a streaming aggregation to completion over the bounded
     * source and return the final result as a batch DataFrame
     * (memory sink, complete mode). */

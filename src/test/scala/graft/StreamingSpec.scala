@@ -42,6 +42,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(maxAppended.before(maxTotal))
   }
 
+  test("hourly agg is identical under the RocksDB state store") {
+    val rocks = EventStreams.withStateStoreProvider(
+        spark, EventStreams.RocksDBProvider) {
+      EventStreams.streamingHourly(spark, TestSpark.SfDir)
+    }.select($"hour", $"event_type", $"n", $"total_value")
+    val default = EventStreams.streamingHourly(spark, TestSpark.SfDir)
+      .select($"hour", $"event_type", $"n", $"total_value")
+    assert(rocks.count() == default.count())
+    assert(rocks.except(default).count() == 0)
+  }
+
   test("sessionize closes sessions on the 30-min gap") {
     val sessions = EventStreams.sessionize(spark, TestSpark.SfDir, 30)
     assert(sessions.count() > 0)
