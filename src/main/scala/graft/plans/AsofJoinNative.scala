@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Ascending, Attribute, Expression, JoinedRow, SortOrder, UnsafeProjection}
+  And, Ascending, Attribute, Expression, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{
   ClusteredDistribution, Distribution, Partitioning}
@@ -139,6 +139,35 @@ object AsofJoinStrategy extends SparkStrategy {
   }
 }
 
+/** Custom optimizer rule: Catalyst's own PushDownPredicates can't see
+  * through an unknown node, so a `Filter` sitting on an
+  * [[AsofJoinPlan]] would run after the join. Predicates that
+  * reference only left-side columns are semantically pushable (each
+  * left row's match is independent of other left rows), and pushing
+  * them shrinks the shuffled left side — at 100 TB the difference
+  * between shuffling the filtered slice and the whole fact table.
+  * Right-side predicates are NOT pushable (dropping a right row can
+  * change which row is "latest" for a later left row — only true of
+  * payload filters, but key/ts/payload analysis isn't worth the
+  * generality here). */
+object AsofJoinFilterPushdown
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case f @ Filter(cond, j: AsofJoinPlan) =>
+      val (pushable, kept) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic &&
+          p.references.subsetOf(j.left.outputSet))
+      if (pushable.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(pushable.reduce(And), j.left))
+        kept.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 object AsofJoinNative {
 
   /** As-of join `left` to the latest `right` row per key with
@@ -154,6 +183,9 @@ object AsofJoinNative {
     if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsofJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(AsofJoinFilterPushdown))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AsofJoinFilterPushdown
     val lPlan = CatalystBridge.analyzed(left)
     val rPlan = CatalystBridge.analyzed(right)
     def attr(plan: LogicalPlan, n: String): Attribute =

@@ -15,15 +15,18 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   * One planner Strategy is injected — [[AsofJoinStrategy]], planning
   * the custom [[AsofJoinPlan]] whole-operator node (as-of join has no
-  * Spark builtin; see [[AsofJoinNative]]). No optimizer Rule: every
-  * other graft operator is expressible as a declarative plan over
-  * these expressions, so Catalyst's own planning stays authoritative
+  * Spark builtin; see [[AsofJoinNative]]) — plus the one optimizer
+  * Rule that node needs, [[AsofJoinFilterPushdown]] (Catalyst can't
+  * push predicates through a node it doesn't know). Every other graft
+  * operator is expressible as a declarative plan over these
+  * expressions, so Catalyst's own planning stays authoritative
   * (SURVEY.md §4).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptions.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
+    ext.injectOptimizerRule(_ => AsofJoinFilterPushdown)
   }
 }
 

@@ -46,6 +46,31 @@ class AsofJoinNativeSpec extends AnyFunSuite {
     assert(plan.contains("AsofJoin"), plan)
   }
 
+  test("left-side filters push below the as-of join") {
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    import graft.plans.AsofJoinPlan
+    val filtered = AsofJoinNative.asofJoin(ev, ord,
+        "user_id", "o_custkey", "ts", "o_orderdate")
+      .where(col("user_id") < 10L)
+    val opt = filtered.queryExecution.optimizedPlan
+    val join = opt.collectFirst { case j: AsofJoinPlan => j }
+    assert(join.isDefined, opt.toString)
+    // no Filter remains above the join …
+    assert(opt.collectFirst {
+      case f: Filter if f.collectFirst { case j: AsofJoinPlan => j }.isDefined => f
+    }.isEmpty, opt.toString)
+    // … it moved into the left child
+    assert(join.get.left.collectFirst { case f: Filter => f }.isDefined, opt.toString)
+    // semantics unchanged: pre-filtering the left side == post-filtering the join
+    val prefiltered = AsofJoinNative.asofJoin(
+        ev.where(col("user_id") < 10L), ord,
+        "user_id", "o_custkey", "ts", "o_orderdate")
+    val a = filtered.select("event_id", "o_orderkey", "o_totalprice").collect().toSet
+    val b = prefiltered.select("event_id", "o_orderkey", "o_totalprice").collect().toSet
+    assert(a.nonEmpty)
+    assert(a == b)
+  }
+
   test("ties on equal timestamps are inclusive (right.ts <= left.ts)") {
     import spark.implicits._
     val l = Seq((1L, 100L, "e1"), (1L, 200L, "e2"), (2L, 50L, "e3"))
