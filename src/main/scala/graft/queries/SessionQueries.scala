@@ -52,6 +52,49 @@ object SessionQueries extends QueryModule {
       |FROM s GROUP BY user_id, sess_id
       |ORDER BY user_id, sess_id""".stripMargin
 
+  /** The same sessions through the BUILT-IN `session_window` grouping
+    * (Spark's native merging session windows) — the declarative
+    * sibling of the lag/cumsum idiom above and of the stateful
+    * streaming q_sessionize. Semantics note: `session_window` windows
+    * are end-exclusive (`[first, last + gap)`), so a gap of exactly
+    * 30 min starts a NEW session — the oracle's `>=`; the lag/cumsum
+    * query keeps `>` (same-session at exact equality) and its own
+    * oracle. */
+  private def qSessionWindow(implicit s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_trunc("second", col("sw.start")).as("sess_start"),
+        date_trunc("second", col("sw.end")).as("sess_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("sess_start"))
+
+  private val qSessionWindowSql =
+    """WITH m AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |          OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts, SUM(new_sess) OVER (
+      |    PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM m)
+      |SELECT user_id,
+      |  date_trunc('second', MIN(ts)) AS sess_start,
+      |  date_trunc('second', MAX(ts) + INTERVAL 30 MINUTE) AS sess_end,
+      |  COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, sess_id
+      |ORDER BY user_id, sess_start""".stripMargin
+
+  /** Streaming twin of the built-in session window (watermarked
+    * merging-session state), checked against the SAME oracle. */
+  private def qStreamSession(implicit s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.streamingSessionWindow(s, dir)
+      .orderBy(col("user_id"), col("sess_start"))
+
   // ------------------------------------------------- entropy sampling
   /** EntropySampling (reference K2): entropy of the per-language
     * marker-hit distribution; most-uncertain (highest entropy) docs
@@ -150,6 +193,8 @@ object SessionQueries extends QueryModule {
 
   override def queries: Seq[Q] = Seq(
     Q("q_sessionize_batch", (s, d) => qSessionizeBatch(s, d), Some(qSessionizeBatchSql)),
+    Q("q_session_window", (s, d) => qSessionWindow(s, d), Some(qSessionWindowSql)),
+    Q("q_stream_session", (s, d) => qStreamSession(s, d), Some(qSessionWindowSql)),
     Q("q_sample_stratified", (s, d) => qSampleStratified(s, d), Some(qSampleStratifiedSql)),
     Q("q_sample_entropy", (s, d) => qSampleEntropy(s, d), Some(qSampleEntropySql)),
     Q("q_sample_margin", (s, d) => qSampleMargin(s, d), Some(qSampleMarginSql)))

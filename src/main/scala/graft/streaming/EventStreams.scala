@@ -134,6 +134,23 @@ object EventStreams {
     runToCompletion(spark, slidingAgg(eventsStream(spark, dir)), name)
   }
 
+  /** Built-in merging session windows on the stream (the declarative
+    * alternative to flatMapGroupsWithState sessionize): state is one
+    * open session per user, merged/evicted by the engine. Same output
+    * shape and oracle as the batch `q_session_window`. */
+  def streamingSessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_sess_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_trunc("second", col("sw.start")).as("sess_start"),
+        date_trunc("second", col("sw.end")).as("sess_end"),
+        col("n_events"))
+    runToCompletion(spark, agg, name)
+  }
+
   /** Streaming exact deduplication: dropDuplicates on a semantic key
     * (user, hour, type) with a watermark bounding the dedup state,
     * then a per-type count — the streaming twin of

@@ -45,6 +45,27 @@ class JsonIOSpec extends AnyFunSuite {
     assert(conv == "hello")
   }
 
+  test("sharegpt multi-turn aggregation runs off a JSONL fixture file") {
+    import org.apache.spark.sql.functions._
+    val sg = Seq(
+      """{"conversation_id":"c1","category":"qa","conversation":[{"human":"aa","assistant":"bbb"},{"human":"cc","assistant":"d"}]}""",
+      """{"conversation_id":"c2","category":"chat","conversation":[{"human":"e","assistant":"ff"}]}""",
+      """{"conversation_id":"c3","category":"qa","conversation":[{"human":"ggg","assistant":"hh"},{"human":"i","assistant":"jj"},{"human":"k","assistant":"l"}]}"""
+    ).mkString("\n")
+    val df = JsonIO.readSharegpt(spark, write("multi.jsonl", sg))
+    val perTurn = df
+      .select(col("conversation_id"),
+        posexplode(col("conversation")).as(Seq("turn", "ex")))
+      .groupBy(col("turn"))
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("ex.human"))).as("chars_human"))
+      .orderBy(col("turn"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // turn 0: all 3 convs (aa+e+ggg = 6 chars); turn 1: c1+c3; turn 2: c3
+    assert(perTurn.toSeq == Seq((0, 3L, 6L), (1, 2L, 3L), (2, 1L, 1L)))
+  }
+
   test("checkpoint writes once and reuses") {
     val out = Files.createTempDirectory("graft_ckpt").resolve("stage").toString
     import spark.implicits._
