@@ -62,7 +62,10 @@ object GraftFunctions {
     (FunctionIdentifier("hyperplane_buckets"),
       info("hyperplane_buckets", "hyperplane_buckets(arr, planes, tables) - LSH bucket per table"),
       (es: Seq[Expression]) => HyperplaneBuckets(es.head,
-        intArg(es(1), "planes"), intArg(es(2), "tables"))))
+        intArg(es(1), "planes"), intArg(es(2), "tables"))),
+    (FunctionIdentifier("shingle_explode"),
+      info("shingle_explode", "shingle_explode(str, n) - generator: one row per word n-gram"),
+      (es: Seq[Expression]) => ShingleExplode(es.head, intArg(es(1), "n"))))
 
   /** Idempotent registration on a live session. */
   def register(spark: SparkSession): Unit =

@@ -471,6 +471,17 @@ object NorthStarQueries extends QueryModule {
       |  FROM documents)
       |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin
 
+  /** The same word count through the custom Generator (UDTF surface):
+    * `shingle_explode(text, 1)` streams one token-row at a time
+    * instead of materializing the token array per document — same
+    * oracle as q_wordcount_topk. */
+  private def qWordcountGen(implicit s: SparkSession, dir: String): DataFrame =
+    docs.select(graft.plans.ShingleExplode(col("text"), 1).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(20)
+
   private def qFingerprint(implicit s: SparkSession, dir: String): DataFrame =
     docs.select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
@@ -504,6 +515,7 @@ object NorthStarQueries extends QueryModule {
     Q("q_token_counts", (s, d) => qTokenCounts(s, d), Some(qTokenCountsSql)),
     Q("q_fingerprint", (s, d) => qFingerprint(s, d), Some(qFingerprintSql)),
     Q("q_wordcount_topk", (s, d) => qWordcountTopk(s, d), Some(qWordcountTopkSql)),
+    Q("q_wordcount_gen", (s, d) => qWordcountGen(s, d), Some(qWordcountTopkSql)),
     Q("q_bigram_lm_score", (s, d) => qBigramLmScore(s, d), Some(qBigramLmScoreSql)),
     Q("q_sql_functions", (s, d) => qSqlFunctions(s, d), Some(qSqlFunctionsSql)))
 }

@@ -123,6 +123,37 @@ class PlansSpec extends AnyFunSuite {
     assert(diff.count() == 0)
   }
 
+  test("ShingleExplode generator equals explode(WordShingles) row-for-row") {
+    val docs = graft.core.Tables.documents(spark, TestSpark.SfDir)
+      .select($"doc_id", $"text")
+    for (n <- Seq(1, 3)) {
+      val gen = docs.select($"doc_id",
+        graft.plans.ShingleExplode($"text", n).as("sh"))
+      val arr = docs.select($"doc_id",
+        explode(graft.plans.WordShingles($"text", n, distinct = false)).as("sh"))
+      val a = gen.groupBy($"doc_id", $"sh").count()
+        .orderBy($"doc_id", $"sh").collect().toSeq
+      val b = arr.groupBy($"doc_id", $"sh").count()
+        .orderBy($"doc_id", $"sh").collect().toSeq
+      assert(a.nonEmpty)
+      assert(a == b, s"n=$n mismatch")
+    }
+    // short-text fallback: fewer tokens than n → one joined shingle
+    val one = Seq("a b").toDF("text")
+      .select(graft.plans.ShingleExplode($"text", 5).as("sh"))
+      .collect().map(_.getString(0)).toSeq
+    assert(one == Seq("a b"))
+  }
+
+  test("shingle_explode works through the SQL door") {
+    graft.plans.GraftFunctions.register(spark)
+    Seq(("x", "w1 w2 w3")).toDF("id", "text").createOrReplaceTempView("t_gen")
+    val rows = spark.sql(
+      "SELECT shingle_explode(text, 2) AS sh FROM t_gen")
+      .collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("w1 w2", "w2 w3"))
+  }
+
   test("asofJoin picks the most recent right row at or before left ts") {
     def ts(s: String) = Timestamp.valueOf(s)
     val trades = Seq(
