@@ -60,6 +60,33 @@ object ScaleSmoke {
           graft.functions.TextFns.qualityScore(col("text")),
           graft.functions.TextFns.fingerprint(col("text"))).count()
       }
+      time("chunking") {
+        docs.select(col("doc_id"), col("text"),
+            explode(sequence(lit(1L), length(col("text")).cast("long"),
+              lit(150L))).as("off"))
+          .selectExpr("doc_id", "md5(CAST(substring(text, CAST(off AS INT), 200) AS BINARY))")
+          .count()
+      }
+      time("decontaminate") {
+        val ex = docs.select(col("doc_id"), col("source"),
+          explode(graft.functions.TextFns.shinglesDistinct(col("text"), 3)).as("sh"))
+        val train = ex.where(col("source") =!= "src0").select(col("doc_id"), col("sh"))
+        val ev = ex.where(col("source") === "src0")
+          .select(col("sh"), col("doc_id").as("eval_id"))
+        train.join(broadcast(ev), "sh").groupBy(col("doc_id"))
+          .agg(countDistinct(col("sh")).as("n_shared"))
+          .where(col("n_shared") >= 5).count()
+      }
+      time("packing") {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        docs.select(col("doc_id"), col("source"),
+            graft.functions.TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+          .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .selectExpr("start_tok div 512 AS first_bin")
+          .groupBy(col("first_bin")).count().count()
+      }
       docs.unpersist()
     }
     spark.stop()

@@ -66,4 +66,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("lang") && !p.contains("source"),
       s"unpruned document columns in:\n$p")
   }
+
+  test("q_decontaminate broadcasts the eval side, never shuffles the train corpus") {
+    val p = planOf("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only Exchanges are the aggregation on doc_id and the final
+    // order — no shuffle keyed on the shingle (a join-side shuffle
+    // would repartition the whole training corpus by n-gram)
+    assert(!p.contains("hashpartitioning(sh"), s"shingle shuffle in:\n$p")
+  }
+
+  test("q_chunk_documents never shuffles by key (narrow explode)") {
+    val p = planOf("q_chunk_documents")
+    // chunking is a narrow map+explode: the only exchanges are the
+    // fixture's round-robin split and the final ORDER BY range
+    // partitioning — no hashpartitioning anywhere
+    assert(!p.contains("hashpartitioning"), s"keyed shuffle in:\n$p")
+    assert(p.contains("rangepartitioning"), p)
+  }
+
+  test("q_pack_sequences shuffles once on the pack shard (source)") {
+    val p = planOf("q_pack_sequences")
+    assert(p.contains("hashpartitioning(source"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q_asof_join_native: exchanges and sorts come from declared requirements") {
+    val p = planOf("q_asof_join_native")
+    assert(p.contains("AsofJoin"), p)
+    // both children hash-clustered on their keys with in-partition sorts
+    assert(p.contains("hashpartitioning(user_id"), p)
+    assert(p.contains("hashpartitioning(o_custkey"), p)
+    assert("Sort \\[".r.findAllIn(p).length >= 2, p)
+  }
 }
