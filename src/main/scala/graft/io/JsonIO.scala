@@ -80,6 +80,42 @@ object JsonIO {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** Fixed location of the deterministic sharegpt JSONL fixture; a
+    * constant so the DuckDB oracle can reference the same file. */
+  val SharegptFixturePath = "/tmp/graft_fixtures/sharegpt.jsonl"
+
+  /** Writes (idempotently) a small deterministic sharegpt-format JSONL
+    * file — the multi-turn conversation shape the reference documents
+    * as planned input (`data/rawdata/readme.md:14–27`) — and returns
+    * its path. Exists so a GATED query can exercise the real
+    * file-ingestion path ([[readSharegpt]]) rather than a synthesized
+    * conversation column; content is constant (independent of scale
+    * factor) so the oracle read races nothing. */
+  def sharegptFixture(): String = {
+    val rows = Seq(
+      ("c01", "qa",   Seq("how do streams window" -> "with watermarks and event time",
+                          "and late data"         -> "dropped past the watermark")),
+      ("c02", "qa",   Seq("what is a shuffle"     -> "a repartition by key across executors")),
+      ("c03", "chat", Seq("hello there"           -> "hi, how can i help",
+                          "tell me a joke"        -> "a parquet file walks into a bar",
+                          "another one"           -> "two skewed keys salt themselves")),
+      ("c04", "chat", Seq("good morning"          -> "morning")),
+      ("c05", "code", Seq("reverse a list"        -> "use .reverse",
+                          "lazily"                -> "use .view.reverse")),
+      ("c06", "code", Seq("broadcast a join"      -> "wrap the small side in broadcast()")))
+    val lines = rows.map { case (id, cat, turns) =>
+      val conv = turns.map { case (h, a) =>
+        s"""{"human":"$h","assistant":"$a"}"""
+      }.mkString("[", ",", "]")
+      s"""{"conversation_id":"$id","category":"$cat","conversation":$conv}"""
+    }
+    val p = java.nio.file.Paths.get(SharegptFixturePath)
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p,
+      lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    SharegptFixturePath
+  }
+
   /** Parquet stage checkpoint with existence check, replacing the
     * reference's artifact-reuse flags (`main.py:124–126,312–314`):
     * recompute only when the artifact is absent. */

@@ -36,6 +36,52 @@ object Clustering {
     model.transform(withVec).drop("_features")
   }
 
+  /** Oracle-EXACT KMeans: fixed-init Lloyd's iterations as relational
+    * ops. Init centroids = the embeddings of ids `0 until k`; each
+    * round assigns every point to its nearest centroid (squared
+    * distance via the codegen'd fixed-order fold
+    * [[graft.plans.ArraySqDistToConst]], ties → smallest cid) and
+    * recomputes centroids as exact-decimal means (addition-order-free,
+    * one double division per dim at the end), so a SQL engine
+    * replaying the same rounds produces bit-identical assignments.
+    * MLlib stays the production path (`kmeansLabels`: kmeans||
+    * init, tolerance stopping); this is the cross-engine-checkable
+    * sibling and the same driver-loop idiom — per round ONE grouped
+    * aggregate (k·dim tiny rows to the driver) and a narrow,
+    * shuffle-free assignment map with k codegen distance exprs. */
+  def lloydExactAssign(df: DataFrame, idCol: String, embCol: String,
+                       k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def assign(cents: Seq[(Int, Array[Double])]): DataFrame = {
+      val cands = cents.map { case (cid, arr) =>
+        struct(graft.plans.ArraySqDistToConst(col(embCol), arr).as("dist"),
+          lit(cid).as("cid"))
+      }
+      // lexicographic array_min on (dist, cid) = argmin with cid tiebreak
+      df.withColumn("cluster", array_min(array(cands: _*)).getField("cid"))
+    }
+    var cents: Seq[(Int, Array[Double])] = df.where(col(idCol) < k)
+      .select(col(idCol).cast("int"), col(embCol)).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .toSeq.sortBy(_._1)
+    var assigned = assign(cents)
+    for (_ <- 1 until iters) {
+      val rows = assigned
+        .select(col("cluster"), posexplode(col(embCol)).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg((sum(col("v").cast("double").cast(DecimalType(18, 10)))
+          .cast("double") / count(lit(1))).as("c"))
+        .collect()
+      cents = rows.groupBy(_.getInt(0)).map { case (cid, rs) =>
+        val arr = new Array[Double](rs.map(_.getInt(1)).max + 1)
+        rs.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+        (cid, arr)
+      }.toSeq.sortBy(_._1)
+      assigned = assign(cents)
+    }
+    assigned
+  }
+
   /** Project embeddings to `dims` principal components (reference's
     * PCA(10) pre-t-SNE step); returns the input plus a `pca` array
     * column. */

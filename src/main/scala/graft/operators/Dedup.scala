@@ -165,19 +165,40 @@ object Dedup {
       .select(col(idCol), col("simhash"))
   }
 
-  /** Near-dup candidates by SimHash: pairs within `maxHamming` bits.
-    * Self-join blocked on the fingerprint's high byte to avoid n²
-    * (real deployments use 4-segment pigeonhole blocking). */
-  def simhashPairs(fps: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
-    // fingerprints are one long per doc; cache before the self-join so
-    // the voting pipeline isn't recomputed per side
-    val blocked = fps.withColumn("_blk", shiftright(col("simhash"), 8)).cache()
-    blocked.alias("x").join(blocked.alias("y"), "_blk")
+  /** Near-dup candidates by SimHash: pairs within `maxHamming` bits,
+    * found with FULL recall via pigeonhole segment blocking. The
+    * fingerprint splits into `segments` disjoint bit ranges; any pair
+    * within Hamming ≤ maxHamming < segments differs in at most
+    * `maxHamming` segments, so at least one segment matches exactly —
+    * blocking on each segment (one explode + one bucket self-join, the
+    * same shape as LSH banding) therefore surfaces EVERY qualifying
+    * pair, unlike single-prefix blocking which silently drops pairs
+    * whose differing bits land in the prefix. A pair can collide in
+    * several segments → distinct. */
+  def simhashPairs(fps: DataFrame, idCol: String, maxHamming: Int,
+                   bits: Int = 16, segments: Int = 4): DataFrame = {
+    require(segments > maxHamming && bits % segments == 0,
+      s"pigeonhole needs segments > maxHamming and segments | bits; got $segments/$maxHamming/$bits")
+    val segWidth = bits / segments
+    val mask = (1L << segWidth) - 1
+    val segStructs = (0 until segments).map { i =>
+      struct(lit(i).as("seg"),
+        shiftright(col("simhash"), i * segWidth).bitwiseAND(mask).as("segval"))
+    }
+    // fingerprints are one long per doc (×segments block rows); cache
+    // before the self-join so the voting pipeline isn't recomputed per side
+    val blocked = fps
+      .select(col(idCol), col("simhash"), explode(array(segStructs: _*)).as("sb"))
+      .select(col(idCol), col("simhash"),
+        col("sb.seg").as("seg"), col("sb.segval").as("segval"))
+      .cache()
+    blocked.alias("x").join(blocked.alias("y"), Seq("seg", "segval"))
       .where(col(s"x.$idCol") < col(s"y.$idCol"))
       .withColumn("hamming",
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))))
       .where(col("hamming") <= maxHamming)
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
         col("hamming"))
+      .distinct()
   }
 }

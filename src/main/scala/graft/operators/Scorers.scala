@@ -154,11 +154,19 @@ object Scorers {
   }
 
   /** Full IFD pipeline over an alpaca-shaped table (P6+P7): template
-    * the prompt, score token losses with the backend, derive the
-    * guarded ratio. */
-  def ifdPipeline(alpaca: DataFrame, make: () => ModelBackend): DataFrame = {
-    val templated = alpaca.withColumn("prompt_to_use",
-      TextFns.promptToUse(col("instruction"), col("input")))
+    * the prompt, apply the prompt-overflow guard, score token losses
+    * with the backend, derive the guarded ratio.
+    *
+    * Overflow guard (reference `score_pipeline_ifd.py:196–197`): rows
+    * whose tokenized prompt already fills `maxLength` are skipped
+    * before any model call — there is no answer span left to score.
+    * Token proxy = whitespace tokens, consistent with the backend. */
+  def ifdPipeline(alpaca: DataFrame, make: () => ModelBackend,
+                  maxLength: Int = 1024): DataFrame = {
+    val templated = alpaca
+      .withColumn("prompt_to_use",
+        TextFns.promptToUse(col("instruction"), col("input")))
+      .where(size(TextFns.tokens(col("prompt_to_use"))) < maxLength)
     ifdScore(withTokenLosses(templated, "prompt_to_use", "output", make))
   }
 

@@ -90,12 +90,31 @@ object Selection {
   /** Row-range slice [start, end) by a deterministic order column
     * (reference S3; `-1` end = to the end). Spark has no implicit row
     * order, so the contract requires an explicit ordering key.
+    *
+    * Scale posture: NO global `row_number()` window — that funnels
+    * every row through one reducer. A bounded slice with a small upper
+    * end compiles to sort + offset/limit, which Spark executes as
+    * TakeOrderedAndProject (per-partition top-`end`, one small merge —
+    * no full-table single-partition exchange). Unbounded or deep
+    * slices use the zipWithIndex idiom: distributed range sort, one
+    * lightweight count job for per-partition offsets, then a parallel
+    * filter on partition offset + local index.
     */
   def sliceRows(df: DataFrame, orderCol: String, start: Long, end: Long): DataFrame = {
-    val w = Window.orderBy(col(orderCol))
-    val withRn = df.withColumn("_rn", row_number().over(w) - 1)
-    val upper  = if (end < 0) withRn else withRn.where(col("_rn") < end)
-    upper.where(col("_rn") >= start).drop("_rn")
+    // TakeOrderedAndProject materializes `end` rows per partition at
+    // the merge step — only safe while the bound is genuinely small.
+    val smallSliceMax = 1L << 20
+    if (end >= 0 && end <= smallSliceMax) {
+      df.sort(col(orderCol)).offset(start.toInt).limit((end - start).toInt)
+    } else {
+      val spark  = df.sparkSession
+      val schema = df.schema
+      val sliced = df.repartitionByRange(col(orderCol))
+        .sortWithinPartitions(col(orderCol))
+        .rdd.zipWithIndex()
+        .collect { case (row, i) if i >= start && (end < 0 || i < end) => row }
+      spark.createDataFrame(sliced, schema)
+    }
   }
 
   /** Sampling-strategy registry (reference K2, `main.py:57–69`): the

@@ -43,7 +43,11 @@ case class AsofJoinPlan(
 /** Inner as-of merge join: for each left row, the single latest right
   * row with the same key and `rightTs <= leftTs`; left rows without a
   * prior right row drop (inner semantics, matching DuckDB `ASOF JOIN`
-  * and [[graft.operators.AsofJoin.asofJoin]]). */
+  * and [[graft.operators.AsofJoin.asofJoin]]). NULL never matches, as
+  * in SQL join semantics: right rows with a null key or null ts are
+  * skipped, and left rows with a null key or null ts emit nothing —
+  * without this, two null keys would compare equal and a null rightTs
+  * would pass the `<= leftTs` test (nulls sort first). */
 case class AsofJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTs: Expression, rightTs: Expression,
@@ -99,29 +103,46 @@ case class AsofJoinExec(
         }
         0
       }
+      // any null among (key..., ts) disqualifies a row from matching
+      def hasNull(r: InternalRow): Boolean = {
+        var i = 0
+        while (i <= nKeys) {
+          if (r.isNullAt(i)) return true
+          i += 1
+        }
+        false
+      }
       val joined = new JoinedRow
       var rCurRow: InternalRow = null   // next unconsumed right row
       var rCurKey: InternalRow = null   // its projected (key, ts) — copied
       var matchRow: InternalRow = null  // latest right row at-or-before — copied
       var matchKey: InternalRow = null
-      def advanceRight(): Unit =
-        if (rIter.hasNext) {
-          rCurRow = rIter.next()
-          rCurKey = rProj(rCurRow).copy()
-        } else { rCurRow = null; rCurKey = null }
+      def advanceRight(): Unit = {
+        rCurRow = null; rCurKey = null
+        // null-key/ts right rows sort first (nulls-first ascending) and
+        // can never match — skip them so the merge sees a clean stream
+        while (rCurRow == null && rIter.hasNext) {
+          val row = rIter.next()
+          val k = rProj(row)
+          if (!hasNull(k)) { rCurRow = row; rCurKey = k.copy() }
+        }
+      }
       advanceRight()
       lIter.flatMap { lrow =>
         val lk = lProj(lrow)
-        var keyCmp = if (rCurRow == null) 1 else cmp(rCurKey, lk, 0, nKeys)
-        while (rCurRow != null &&
-            (keyCmp < 0 || (keyCmp == 0 && cmp(rCurKey, lk, nKeys, nKeys + 1) <= 0))) {
-          matchRow = rCurRow.copy(); matchKey = rCurKey
-          advanceRight()
-          keyCmp = if (rCurRow == null) 1 else cmp(rCurKey, lk, 0, nKeys)
+        if (hasNull(lk)) None
+        else {
+          var keyCmp = if (rCurRow == null) 1 else cmp(rCurKey, lk, 0, nKeys)
+          while (rCurRow != null &&
+              (keyCmp < 0 || (keyCmp == 0 && cmp(rCurKey, lk, nKeys, nKeys + 1) <= 0))) {
+            matchRow = rCurRow.copy(); matchKey = rCurKey
+            advanceRight()
+            keyCmp = if (rCurRow == null) 1 else cmp(rCurKey, lk, 0, nKeys)
+          }
+          if (matchRow != null && cmp(matchKey, lk, 0, nKeys) == 0)
+            Some(resultProj(joined(lrow, matchRow)))
+          else None
         }
-        if (matchRow != null && cmp(matchKey, lk, 0, nKeys) == 0)
-          Some(resultProj(joined(lrow, matchRow)))
-        else None
       }
     }
   }
@@ -157,9 +178,15 @@ object AsofJoinFilterPushdown
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
     case f @ Filter(cond, j: AsofJoinPlan) =>
-      val (pushable, kept) = splitConjunctivePredicates(cond)
-        .partition(p => p.deterministic &&
-          p.references.subsetOf(j.left.outputSet))
+      // mirror Catalyst's PushPredicateThroughNonJoin: only conjuncts
+      // BEFORE the first nondeterministic one are candidates, so a
+      // pushed predicate never evaluates ahead of a nondeterministic
+      // conjunct it textually followed
+      val (candidates, nonDeterministic) =
+        splitConjunctivePredicates(cond).span(_.deterministic)
+      val (pushable, kept0) =
+        candidates.partition(_.references.subsetOf(j.left.outputSet))
+      val kept = kept0 ++ nonDeterministic
       if (pushable.isEmpty) f
       else {
         val pushed = j.copy(left = Filter(pushable.reduce(And), j.left))
@@ -180,14 +207,29 @@ object AsofJoinNative {
                leftKey: String, rightKey: String,
                leftTs: String, rightTs: String): DataFrame = {
     val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ AsofJoinStrategy
-    if (!spark.experimental.extraOptimizations.contains(AsofJoinFilterPushdown))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ AsofJoinFilterPushdown
+    // check-then-append must be atomic: two threads building as-of
+    // joins concurrently would otherwise both pass the contains() and
+    // register twice. (GraftExtensions-built sessions already carry
+    // both — this path covers plain sessions.)
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ AsofJoinStrategy
+      if (!spark.experimental.extraOptimizations.contains(AsofJoinFilterPushdown))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ AsofJoinFilterPushdown
+    }
     val lPlan = CatalystBridge.analyzed(left)
-    val rPlan = CatalystBridge.analyzed(right)
+    val rPlan0 = CatalystBridge.analyzed(right)
+    // self-join lineage: duplicate exprIds across the two sides break
+    // downstream resolution (Spark's join API deduplicates plans; this
+    // constructor must too) — re-alias the right side fresh
+    val rPlan =
+      if (rPlan0.output.exists(lPlan.outputSet.contains)) {
+        import org.apache.spark.sql.catalyst.expressions.Alias
+        import org.apache.spark.sql.catalyst.plans.logical.Project
+        Project(rPlan0.output.map(a => Alias(a, a.name)()), rPlan0)
+      } else rPlan0
     def attr(plan: LogicalPlan, n: String): Attribute =
       plan.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(

@@ -271,6 +271,40 @@ object DataSQueries extends QueryModule {
       |  CAST(SUM(length(ex.assistant)) AS BIGINT) AS chars_assistant
       |FROM turns GROUP BY turn ORDER BY turn""".stripMargin
 
+  // ------------------------------------ sharegpt FILE ingestion gate
+  /** Sharegpt ingestion through the real reader
+    * ([[graft.io.JsonIO.readSharegpt]]) over an actual JSONL file —
+    * the path a user ingesting conversation files hits (pinned
+    * array-of-struct schema, splittable line-delimited scan), unlike
+    * q_sharegpt_turns' synthesized column. The oracle reads the same
+    * file with DuckDB's read_json. */
+  private def qSharegptFile(implicit s: SparkSession, dir: String): DataFrame = {
+    val path = graft.io.JsonIO.sharegptFixture()
+    graft.io.JsonIO.readSharegpt(s, path)
+      .select(col("conversation_id"), col("category"),
+        posexplode(col("conversation")).as(Seq("turn", "ex")))
+      .groupBy(col("category"))
+      .agg(countDistinct(col("conversation_id")).as("n_convs"),
+        count(lit(1)).as("n_turns"),
+        sum(length(col("ex.human"))).cast("long").as("chars_human"),
+        sum(length(col("ex.assistant"))).cast("long").as("chars_assistant"))
+      .orderBy(col("category"))
+  }
+
+  private val qSharegptFileSql =
+    s"""WITH t AS (
+       |  SELECT conversation_id, category, unnest(conversation) AS ex
+       |  FROM read_json('${graft.io.JsonIO.SharegptFixturePath}',
+       |    format = 'newline_delimited',
+       |    columns = {conversation_id: 'VARCHAR', category: 'VARCHAR',
+       |               conversation: 'STRUCT(human VARCHAR, assistant VARCHAR)[]'}))
+       |SELECT category,
+       |  COUNT(DISTINCT conversation_id) AS n_convs,
+       |  COUNT(*) AS n_turns,
+       |  CAST(SUM(length(ex.human)) AS BIGINT) AS chars_human,
+       |  CAST(SUM(length(ex.assistant)) AS BIGINT) AS chars_assistant
+       |FROM t GROUP BY category ORDER BY category""".stripMargin
+
   // ------------------------------------- T1 apply / weighted merge
   /** TaskVector algebra breadth (reference `merging.py:52–95`):
     * base + scale · weightedMerge(0.6·tv, 0.4·(−tv)) — exercises
@@ -393,7 +427,8 @@ object DataSQueries extends QueryModule {
        |  SELECT doc_id,
        |    ${losses("''")} AS la,
        |    ${losses("prompt")} AS lc
-       |  FROM alp),
+       |  FROM alp
+       |  WHERE len(string_split_regex(trim(prompt), '\\s+')) < 1024),
        |r AS (
        |  SELECT doc_id,
        |    CASE WHEN len(la) = 0 OR len(lc) = 0 THEN NULL
@@ -450,6 +485,7 @@ object DataSQueries extends QueryModule {
     Q("q_len_score", (s, d) => qLenScore(s, d), Some(qLenScoreSql)),
     Q("q_prompt_template", (s, d) => qPromptTemplate(s, d), Some(qPromptTemplateSql)),
     Q("q_sharegpt_turns", (s, d) => qSharegptTurns(s, d), Some(qSharegptTurnsSql)),
+    Q("q_sharegpt_file", (s, d) => qSharegptFile(s, d), Some(qSharegptFileSql)),
     Q("q_ifd_ratio", (s, d) => qIfdRatio(s, d), Some(qIfdRatioSql)),
     Q("q_cluster_select", (s, d) => qClusterSelect(s, d), Some(qClusterSelectSql)),
     Q("q_sample_least_conf", (s, d) => qSampleLeastConf(s, d), Some(qSampleLeastConfSql)),

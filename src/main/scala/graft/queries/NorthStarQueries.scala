@@ -147,9 +147,11 @@ object NorthStarQueries extends QueryModule {
        |ORDER BY id_a, id_b""".stripMargin
 
   // ----------------------------------------------------- SimHash dedup
-  /** SimHash(16-bit) candidate pairs within Hamming ≤ 3, high-byte
-    * blocked. Fingerprints vote over 3-gram shingle ids; the small
-    * LCG multiplier keeps the hash inside BIGINT on both engines. */
+  /** SimHash(16-bit) pairs within Hamming ≤ 3, 4-segment pigeonhole
+    * blocked (full recall: ≤3 differing bits leave ≥1 of the 4
+    * disjoint 4-bit segments intact). Fingerprints vote over 3-gram
+    * shingle ids; the small LCG multiplier keeps the hash inside
+    * BIGINT on both engines. */
   private def qDedupSimhash(implicit s: SparkSession, dir: String): DataFrame = {
     val sets  = shingleSets
     val vocab = Dedup.vocabIds(sets, "shset")
@@ -169,10 +171,13 @@ object NorthStarQueries extends QueryModule {
     s"""WITH $shingleCtes,
        |votes AS (SELECT doc_id, $votes FROM docw GROUP BY doc_id),
        |fps AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM votes),
-       |blocked AS (SELECT doc_id, simhash, simhash >> 8 AS blk FROM fps)
-       |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+       |blocked AS (
+       |  SELECT doc_id, simhash, seg, (simhash >> (seg * 4)) & 15 AS segval
+       |  FROM fps CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS seg))
+       |SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
        |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
-       |FROM blocked x JOIN blocked y ON x.blk = y.blk AND x.doc_id < y.doc_id
+       |FROM blocked x JOIN blocked y
+       |  ON x.seg = y.seg AND x.segval = y.segval AND x.doc_id < y.doc_id
        |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
        |ORDER BY id_a, id_b""".stripMargin
   }

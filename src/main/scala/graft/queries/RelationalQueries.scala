@@ -349,6 +349,28 @@ object RelationalQueries extends QueryModule {
       |   LIMIT 20 OFFSET 100)
       |ORDER BY o_orderkey""".stripMargin
 
+  // --------------------------------------------------- salted aggregate
+  /** Two-stage salted aggregation over a pathologically hot key
+    * (l_returnflag has 3 values — at 100 TB each lands on one reducer
+    * without salting) via [[graft.operators.Skew.saltedCountSum]].
+    * Salting is invisible in the result, so the oracle is a plain
+    * GROUP BY; the plan assertion (PlanShapeSpec) proves the two-stage
+    * shape. Decimal sum keeps the partials addition-order-independent
+    * so the salted reassembly is bit-exact. */
+  private def qSkewSalted(implicit s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedCountSum(
+        t("lineitem").select(col("l_returnflag"),
+          col("l_quantity").cast(DecimalType(30, 4)).as("qty")),
+        Seq("l_returnflag"), "qty")
+      .select(col("l_returnflag"), col("n"),
+        round(col("total").cast("double"), 2).as("total_qty"))
+      .orderBy(col("l_returnflag"))
+
+  private val qSkewSaltedSql =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE), 2) AS total_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ------------------------------------------------------ HLL distinct
   /** approx_count_distinct (HyperLogLog++) — the at-scale variant of
     * q_distinct; rows-only (sketch estimates are engine-specific). */
@@ -448,6 +470,7 @@ object RelationalQueries extends QueryModule {
     Q("q_cube", (s, d) => qCube(s, d), Some(qCubeSql)),
     Q("q_row_slice", (s, d) => qRowSlice(s, d), Some(qRowSliceSql)),
     Q("q_approx_distinct", (s, d) => qApproxDistinct(s, d), None),
+    Q("q_skew_salted", (s, d) => qSkewSalted(s, d), Some(qSkewSaltedSql)),
     Q("q1_pricing_summary", (s, d) => q1(s, d), Some(q1Sql)),
     Q("q3_shipping_priority", (s, d) => q3(s, d), Some(q3Sql)),
     Q("q5_local_supplier", (s, d) => q5(s, d), Some(q5Sql)),

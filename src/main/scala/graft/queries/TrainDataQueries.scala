@@ -272,12 +272,17 @@ object TrainDataQueries extends QueryModule {
   // ---------------------------------------- approx percentile (rows-only)
   /** approx_percentile (t-digest-style sketch) — the at-scale variant
     * of q_percentiles; rows-only (sketch estimates are
-    * engine-specific, like the HLL query). */
+    * engine-specific, like the HLL query). Emitted as SCALAR p50/p95
+    * columns — an array column crashes the driver's rows-only
+    * comparator (pandas sort over ndarray cells). */
   private def qApproxPercentile(implicit s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(percentile_approx(col("l_extendedprice"),
-          array(lit(0.5), lit(0.95)), lit(10000)).as("approx_p50_p95"))
+          array(lit(0.5), lit(0.95)), lit(10000)).as("approx"))
+      .select(col("l_returnflag"),
+        element_at(col("approx"), 1).as("p50"),
+        element_at(col("approx"), 2).as("p95"))
       .orderBy(col("l_returnflag"))
 
   override def queries: Seq[Q] = Seq(

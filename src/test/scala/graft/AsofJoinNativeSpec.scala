@@ -71,6 +71,41 @@ class AsofJoinNativeSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("NULL keys and timestamps never match (SQL semantics)") {
+    import spark.implicits._
+    val l = Seq(
+      (Some(1L), Some(100L), "e-ok"),     // normal match
+      (None,     Some(100L), "e-nullk"),  // null key → no match
+      (Some(1L), None,       "e-nullt"))  // null ts → no match
+      .toDF("k", "t", "ev")
+    val r = Seq(
+      (Some(1L), Some(50L), "r50"),
+      (None,     Some(10L), "r-nullk"),   // null right key → never a match
+      (Some(1L), None,      "r-nullt"))   // null right ts → never a match
+      .toDF("rk", "rt", "pay")
+    val out = AsofJoinNative.asofJoin(l, r, "k", "rk", "t", "rt")
+      .select(col("ev"), col("pay")).collect()
+      .map(x => (x.getString(0), x.getString(1))).toSet
+    // only the fully-non-null pair joins; a null rightTs (sorting
+    // first) must NOT be picked up as "earliest" candidate either
+    assert(out == Set("e-ok" -> "r50"))
+  }
+
+  test("self-join lineage gets fresh exprIds on the right side") {
+    import spark.implicits._
+    val base = Seq((1L, 100L, 1.0), (1L, 200L, 2.0)).toDF("k", "t", "v")
+    // the right side shares the left's lineage UNALIASED — identical
+    // exprIds on both sides without deduplication
+    val right = base.where(col("t") <= 100L)
+    val out = AsofJoinNative.asofJoin(base, right, "k", "k", "t", "t")
+      .toDF("k", "t", "v", "rk", "rt", "rv")
+    // left t=200 matches right t=100: a correct right-side binding
+    // yields rt=100 there; duplicate exprIds would collapse rt onto t
+    val rows = out.select(col("t"), col("rt")).as[(Long, Long)]
+      .collect().toSet
+    assert(rows == Set((100L, 100L), (200L, 100L)))
+  }
+
   test("ties on equal timestamps are inclusive (right.ts <= left.ts)") {
     import spark.implicits._
     val l = Seq((1L, 100L, "e1"), (1L, 200L, "e2"), (2L, 50L, "e3"))

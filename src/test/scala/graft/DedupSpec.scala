@@ -49,6 +49,26 @@ class DedupSpec extends AnyFunSuite {
     assert(fps(1L) != fps(3L))
   }
 
+  test("simhashPairs pigeonhole blocking recalls pairs differing only in the top byte") {
+    // planted fingerprints: 1↔2 differ ONLY in bits 13..15 (the old
+    // high-byte block would never compare them); 3 is far from both.
+    val fps = Seq(
+      (1L, 0x1234L),
+      (2L, 0x1234L ^ 0xE000L), // Hamming 3, all in the top segment
+      (3L, 0x0F0FL ^ 0xFFFFL)
+    ).toDF("doc_id", "simhash")
+    val pairs = Dedup.simhashPairs(fps, "doc_id", maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(pairs == Set((1L, 2L, 3)))
+  }
+
+  test("simhashPairs emits each qualifying pair once despite multi-segment collisions") {
+    // identical fingerprints collide in all 4 segments → must still be 1 row
+    val fps = Seq((1L, 0xABCDL), (2L, 0xABCDL)).toDF("doc_id", "simhash")
+    val pairs = Dedup.simhashPairs(fps, "doc_id", maxHamming = 3).collect()
+    assert(pairs.length == 1)
+  }
+
   test("minhash signature similarity tracks jaccard") {
     val a = (1L to 40L).map((1L, _))
     val b = (1L to 40L).map((2L, _))            // identical to a

@@ -91,6 +91,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
   }
 
+  test("q_row_slice: no single-partition exchange, no global window") {
+    val p = planOf("q_row_slice")
+    assert(!p.contains("Exchange SinglePartition") || p.contains("TakeOrderedAndProject"),
+      s"single-partition funnel in:\n$p")
+    assert(!p.contains("Window"), s"global window in:\n$p")
+  }
+
+  test("q_skew_salted: two-stage aggregate (salted partial, then final)") {
+    val p = planOf("q_skew_salted")
+    // the salted pre-aggregate keys on (key, salt); the final on key
+    assert(p.contains("hashpartitioning(l_returnflag"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      s"expected two full aggregate pairs (salted + final) in:\n$p")
+  }
+
   test("q_asof_join_native: exchanges and sorts come from declared requirements") {
     val p = planOf("q_asof_join_native")
     assert(p.contains("AsofJoin"), p)

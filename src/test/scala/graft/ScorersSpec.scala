@@ -51,6 +51,21 @@ class ScorersSpec extends AnyFunSuite {
     assert(out.count() <= 1) // kept or guarded away, never duplicated
   }
 
+  test("ifdPipeline skips rows whose prompt overflows max_length") {
+    // the templated prompt of the long row has far more whitespace
+    // tokens than maxLength=40; the short row survives
+    val longIns = (1 to 60).map(i => s"w$i").mkString(" ")
+    val alpaca = Seq(
+      ("short instruction", "", "a b c"),
+      (longIns, "", "a b c"))
+      .toDF("instruction", "input", "output")
+    val out = Scorers.ifdPipeline(alpaca,
+      () => new Scorers.ProxyBackend(42L), maxLength = 40)
+    val kept = out.select("instruction").as[String].collect().toSeq
+    assert(!kept.contains(longIns))
+    assert(kept.forall(_ == "short instruction") && kept.size <= 1)
+  }
+
   test("gradientRows emits long-format entries per param") {
     val df = Seq((5L, "some text")).toDF("doc_id", "text")
     val g = Scorers.gradientRows(df, "doc_id", "text",
