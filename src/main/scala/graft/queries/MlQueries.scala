@@ -36,6 +36,52 @@ object MlQueries extends QueryModule {
       .orderBy(col("cluster"), col("vec_id"))
   }
 
+  /** Oracle-EXACT KMeans sibling of q_kmeans: fixed-init Lloyd's
+    * (k=4, 2 assignment rounds) as relational ops — init centroids =
+    * embeddings of vec_id 0..3, squared distances via the fixed-order
+    * codegen fold, centroid means via exact decimal sums. The DuckDB
+    * oracle unrolls the identical rounds, so the label VALUES (not
+    * just the contract) hash-match across engines. */
+  private def qKmeansExact(implicit s: SparkSession, dir: String): DataFrame =
+    Clustering.lloydExactAssign(embs, "vec_id", "embedding", k = 4, iters = 2)
+      .select(col("vec_id"), col("cluster"))
+      .orderBy(col("vec_id"))
+
+  private val qKmeansExactSql = {
+    def sq(a: String, b: String) =
+      s"""list_aggregate(list_transform(list_zip($a, $b),
+         |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         |         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum')""".stripMargin
+    def argmin(d: String) =
+      s"""SELECT vec_id, cid AS cluster FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY dist, cid) AS rk FROM $d) WHERE rk = 1""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cid,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+       |  FROM e WHERE vec_id < 4),
+       |d0 AS (
+       |  SELECT e.vec_id, c0.cid, ${sq("e.embedding", "c0.c")} AS dist
+       |  FROM e CROSS JOIN c0),
+       |a0 AS (${argmin("d0")}),
+       |c1 AS (
+       |  SELECT cid, list(cd ORDER BY pos) AS c FROM (
+       |    SELECT a0.cluster AS cid, le.pos,
+       |      CAST(SUM(CAST(CAST(le.v AS DOUBLE) AS DECIMAL(18,10))) AS DOUBLE)
+       |        / COUNT(*) AS cd
+       |    FROM (SELECT vec_id, unnest(embedding) AS v,
+       |            generate_subscripts(embedding, 1) AS pos FROM e) le
+       |    JOIN a0 ON a0.vec_id = le.vec_id
+       |    GROUP BY 1, 2)
+       |  GROUP BY cid),
+       |d1 AS (
+       |  SELECT e.vec_id, c1.cid, ${sq("e.embedding", "c1.c")} AS dist
+       |  FROM e CROSS JOIN c1),
+       |a1 AS (${argmin("d1")})
+       |SELECT vec_id, cluster FROM a1 ORDER BY vec_id""".stripMargin
+  }
+
   /** PCA projection to 10 dims (reference pre-t-SNE step); output is
     * per-vector projection energy (PCA sign indeterminacy makes raw
     * components non-comparable). */
@@ -141,6 +187,7 @@ object MlQueries extends QueryModule {
 
   override def queries: Seq[Q] = Seq(
     Q("q_kmeans", (s, d) => qKmeans(s, d), None),
+    Q("q_kmeans_exact", (s, d) => qKmeansExact(s, d), Some(qKmeansExactSql)),
     Q("q_kmeans_select", (s, d) => qKmeansSelect(s, d), None),
     Q("q_pca_energy", (s, d) => qPca(s, d), None),
     Q("q_stream_hourly", (s, d) => qStreamHourly(s, d), Some(qStreamHourlySql)),
