@@ -77,6 +77,19 @@ object ScaleSmoke {
           .agg(countDistinct(col("sh")).as("n_shared"))
           .where(col("n_shared") >= 5).count()
       }
+      time("simhash_pairs") {
+        val ids = docs.select(col("doc_id"),
+          explode(graft.functions.TextFns.shinglesDistinct(col("text"), 3)).as("sh"))
+          .withColumn("wid", pmod(xxhash64(col("sh")), lit(graft.operators.Dedup.P)))
+        val fps = graft.operators.Dedup.simhashFingerprints(ids, "doc_id", "wid")
+        graft.operators.Dedup.simhashPairs(fps, "doc_id", maxHamming = 3).count()
+      }
+      time("slice_deep") {
+        // unbounded end → the zipWithIndex path (no global window)
+        graft.operators.Selection
+          .sliceRows(docs.select(col("doc_id"), col("source")),
+            "doc_id", 400L, -1L).count()
+      }
       time("packing") {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("source")).orderBy(col("doc_id"))

@@ -39,7 +39,14 @@ object AsofJoin {
       .withColumn("_payload", lit(null).cast(
         "struct<" + rightPayload.map(c =>
           s"$c:${right.schema(c).dataType.sql}").mkString(",") + ">"))
+    // NULL never matches (SQL/DuckDB ASOF semantics): drop right rows
+    // with a null key or ts — otherwise a null ts sorts FIRST
+    // (nulls-first ascending) and its payload would be carried to every
+    // row of the key group. Left rows with a null key/ts then match
+    // nothing by construction (nothing precedes them) and drop under
+    // the inner semantics.
     val r = right
+      .where(col(rightKey).isNotNull && col(rightTs).isNotNull)
       .select((Seq(col(rightKey).as("_k"), col(rightTs).as("_ts"),
         lit(0).as("_side"),
         struct(rightPayload.map(col): _*).as("_payload")) ++

@@ -91,6 +91,24 @@ class AsofJoinNativeSpec extends AnyFunSuite {
     assert(out == Set("e-ok" -> "r50"))
   }
 
+  test("composed as-of join also never matches NULL key/ts") {
+    import spark.implicits._
+    val l = Seq(
+      (Some(1L), Some(100L), "e-ok"),
+      (None,     Some(100L), "e-nullk"),
+      (Some(1L), None,       "e-nullt"))
+      .toDF("k", "t", "ev")
+    val r = Seq(
+      (Some(1L), Some(50L), "r50"),
+      (None,     Some(10L), "r-nullk"),
+      (Some(1L), None,      "r-nullt"))
+      .toDF("rk", "rt", "pay")
+    val out = AsofJoin.asofJoin(l, r, "k", "rk", "t", "rt", Seq("pay"))
+      .select(col("ev"), col("pay")).collect()
+      .map(x => (x.getString(0), x.getString(1))).toSet
+    assert(out == Set("e-ok" -> "r50"))
+  }
+
   test("self-join lineage gets fresh exprIds on the right side") {
     import spark.implicits._
     val base = Seq((1L, 100L, 1.0), (1L, 200L, 2.0)).toDF("k", "t", "v")
