@@ -253,10 +253,100 @@ object TrainDataQueries extends QueryModule {
        |FROM scored GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ----------------------------------------------- deterministic split
+  /** Hash-based train/val/test split (80/10/10) — the canonical
+    * reproducible-split op: each row decides its split locally from
+    * the seeded md5 of its id (same h15 scheme as mixture resampling),
+    * so the assignment is shuffle-free, stable under repartitioning,
+    * and identical on every engine. Report = docs/tokens per
+    * (source, split). */
+  private def qTrainValSplit(implicit s: SparkSession, dir: String): DataFrame = {
+    val u = conv(substring(
+        md5(concat(lit("7:split:"), col("doc_id").cast("string")).cast("binary")),
+        1, 15), 16, 10).cast("long").cast("double") / lit(1152921504606846976.0)
+    val split = when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
+    docs.select(col("source"), split.as("split"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("source"), col("split"))
+  }
+
+  private val qTrainValSplitSql = {
+    val h15 = graft.operators.Scorers.ProxyBackend
+      .h15Sql(7L, "'split:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH assigned AS (
+       |  SELECT source,
+       |    CASE WHEN CAST($h15 AS DOUBLE) / 1152921504606846976.0 < 0.8 THEN 'train'
+       |         WHEN CAST($h15 AS DOUBLE) / 1152921504606846976.0 < 0.9 THEN 'val'
+       |         ELSE 'test' END AS split,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents)
+       |SELECT source, split, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+       |FROM assigned GROUP BY source, split
+       |ORDER BY source, split""".stripMargin
+  }
+
+  // ------------------------------------------------------ TF-IDF top-k
+  /** Per-document top-3 TF-IDF terms, rational-IDF variant
+    * (tf · N / df — no transcendental log, whose last-ulp could differ
+    * across engines; the ranking is the same monotone transform). All
+    * inputs are exact integers, so the single double division is
+    * bit-deterministic. Scale posture: tf is one grouped count over
+    * the exploded tokens; df is vocabulary-sized (≪ corpus) and
+    * BROADCAST back, so the corpus shuffles once (on (doc, term) for
+    * tf) and never on the raw text. */
+  private def qTfidfTopK(implicit s: SparkSession, dir: String): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(TextFns.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"),
+        round((col("tf") * col("n_docs")).cast("double") / col("df"), 6)
+          .as("tfidf"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  private val qTfidfTopKSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    round(CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df, 6) AS tfidf
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+      |SELECT doc_id, rk, term, tfidf FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY tfidf DESC, term) AS INTEGER) AS rk FROM scored)
+      |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
   // ---------------------------------------------------- ntile buckets
   /** Quantile bucketing: length quartile per language (ntile) — the
     * windowed sibling of the percentile-band filter; deterministic via
-    * the unique (n_chars, doc_id) sort. */
+    * the unique (n_chars, doc_id) sort.
+    *
+    * Scale note: ntile needs a total order per language, and language
+    * cardinality is tiny — at 100 TB each language funnels through one
+    * reducer. The scale path for quantile bucketing is the
+    * percentile-band pattern ([[graft.operators.Selection]]): compute
+    * the 3 boundary quantiles per language with a grouped aggregate,
+    * broadcast them back, assign buckets with a local CASE —
+    * shuffle-free and exact enough (percentile or percentile_approx to
+    * taste). The ntile form stays as the oracle-exact surface for
+    * moderate group sizes. */
   private def qNtile(implicit s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
     docs.select(col("doc_id"), col("lang"), col("n_chars"),
@@ -293,5 +383,7 @@ object TrainDataQueries extends QueryModule {
     Q("q_pii_redact", (s, d) => qPiiRedact(s, d), Some(qPiiRedactSql)),
     Q("q_mixture_resample", (s, d) => qMixtureResample(s, d), Some(qMixtureResampleSql)),
     Q("q_ntile", (s, d) => qNtile(s, d), Some(qNtileSql)),
+    Q("q_train_val_split", (s, d) => qTrainValSplit(s, d), Some(qTrainValSplitSql)),
+    Q("q_tfidf_topk", (s, d) => qTfidfTopK(s, d), Some(qTfidfTopKSql)),
     Q("q_approx_percentile", (s, d) => qApproxPercentile(s, d), None))
 }
