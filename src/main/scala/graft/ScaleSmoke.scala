@@ -77,12 +77,20 @@ object ScaleSmoke {
           .agg(countDistinct(col("sh")).as("n_shared"))
           .where(col("n_shared") >= 5).count()
       }
-      time("simhash_pairs") {
-        val ids = docs.select(col("doc_id"),
+      def simhashPairCount(d: org.apache.spark.sql.DataFrame): Long = {
+        val ids = d.select(col("doc_id"),
           explode(graft.functions.TextFns.shinglesDistinct(col("text"), 3)).as("sh"))
           .withColumn("wid", pmod(xxhash64(col("sh")), lit(graft.operators.Dedup.P)))
         val fps = graft.operators.Dedup.simhashFingerprints(ids, "doc_id", "wid")
         graft.operators.Dedup.simhashPairs(fps, "doc_id", maxHamming = 3).count()
+      }
+      time("simhash_pairs") { simhashPairCount(docs) }
+      // duplicate-heavy corpora have genuinely quadratic duplicate
+      // PAIRS; the production composition collapses exact copies first
+      // (one hash groupBy), same as minhash_after_exact
+      time("simhash_after_exact") {
+        simhashPairCount(graft.operators.Dedup.exactDedup(
+          docs.select(col("doc_id"), col("text")), "doc_id", Seq("text")))
       }
       time("slice_deep") {
         // unbounded end → the zipWithIndex path (no global window)
