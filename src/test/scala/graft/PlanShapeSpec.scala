@@ -106,6 +106,24 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected two full aggregate pairs (salted + final) in:\n$p")
   }
 
+  test("engine-wide sweep: no query plans a global (unpartitioned) ordered window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // a row_number()/rank() over an EMPTY partitionSpec funnels the
+    // whole input through one reducer — the scale-killer class this
+    // engine forbids. Sanctioned: the two dedup queries whose
+    // vocabIds ranks only the distinct-shingle VOCABULARY (sublinear
+    // in the corpus; the xxhash64 path is the production variant).
+    val sanctioned = Set("q_dedup_minhash_lsh", "q_dedup_simhash")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => n.startsWith("q_stream") || sanctioned(n) }
+      .flatMap { case (n, fn) =>
+        val plan = fn(spark, dir).queryExecution.optimizedPlan
+        val bad = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+        if (bad.nonEmpty) Some(n) else None
+      }
+    assert(offenders.isEmpty, s"global windows in: $offenders")
+  }
+
   test("q_asof_join_native: exchanges and sorts come from declared requirements") {
     val p = planOf("q_asof_join_native")
     assert(p.contains("AsofJoin"), p)
