@@ -78,7 +78,7 @@ object Bench {
     // has truncated long lines (BENCH_r03 lost the TPC-H head)
     try {
       val out = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json"))
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
       java.nio.file.Files.write(out,
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable =>

@@ -103,16 +103,32 @@ object JsonIO {
       ("c05", "code", Seq("reverse a list"        -> "use .reverse",
                           "lazily"                -> "use .view.reverse")),
       ("c06", "code", Seq("broadcast a join"      -> "wrap the small side in broadcast()")))
+    // escape so future fixture edits with quotes/backslashes stay
+    // valid JSON on BOTH readers (a torn string would make Spark's
+    // PERMISSIVE reader and DuckDB's read_json diverge silently)
+    def js(s: String): String =
+      "\"" + s.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
     val lines = rows.map { case (id, cat, turns) =>
       val conv = turns.map { case (h, a) =>
-        s"""{"human":"$h","assistant":"$a"}"""
+        s"""{"human":${js(h)},"assistant":${js(a)}}"""
       }.mkString("[", ",", "]")
-      s"""{"conversation_id":"$id","category":"$cat","conversation":$conv}"""
+      s"""{"conversation_id":${js(id)},"category":${js(cat)},"conversation":$conv}"""
     }
     val p = java.nio.file.Paths.get(SharegptFixturePath)
     java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.write(p,
+    // write-then-atomic-move: a concurrent reader (Verify vs Bench)
+    // never observes a torn file
+    val tmp = java.nio.file.Files.createTempFile(p.getParent, "sharegpt", ".tmp")
+    java.nio.file.Files.write(tmp,
       lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     SharegptFixturePath
   }
 

@@ -62,8 +62,12 @@ object Clustering {
     }
     var cents: Seq[(Int, Array[Double])] = df.where(col(idCol) < k)
       .select(col(idCol).cast("int"), col(embCol)).collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      // Number covers float and double element types
+      .map(r => (r.getInt(0),
+        r.getSeq[Number](1).map(_.doubleValue).toArray))
       .toSeq.sortBy(_._1)
+    require(cents.length == k,
+      s"fixed init needs every id in [0, $k); found ids ${cents.map(_._1)}")
     var assigned = assign(cents)
     for (_ <- 1 until iters) {
       val rows = assigned

@@ -105,7 +105,9 @@ object Selection {
     // the merge step — only safe while the bound is genuinely small.
     val smallSliceMax = 1L << 20
     if (end >= 0 && end <= smallSliceMax) {
-      df.sort(col(orderCol)).offset(start.toInt).limit((end - start).toInt)
+      // degenerate start >= end → empty slice, not a negative limit
+      val n = math.max(0L, end - start)
+      df.sort(col(orderCol)).offset(start.toInt).limit(n.toInt)
     } else {
       val spark  = df.sparkSession
       val schema = df.schema

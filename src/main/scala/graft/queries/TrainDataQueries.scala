@@ -294,9 +294,12 @@ object TrainDataQueries extends QueryModule {
     * across engines; the ranking is the same monotone transform). All
     * inputs are exact integers, so the single double division is
     * bit-deterministic. Scale posture: tf is one grouped count over
-    * the exploded tokens; df is vocabulary-sized (≪ corpus) and
-    * BROADCAST back, so the corpus shuffles once (on (doc, term) for
-    * tf) and never on the raw text. */
+    * the exploded tokens; the join strategy for the df side is LEFT TO
+    * THE OPTIMIZER — for a curated vocabulary it auto-broadcasts, but
+    * raw web-corpus tokens (urls, ids, typos) make distinct terms
+    * unbounded, so a forced broadcast would be a driver OOM at 100 TB;
+    * the fallback is a shuffle join on the term key, which is the
+    * correct shape there. */
   private def qTfidfTopK(implicit s: SparkSession, dir: String): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(TextFns.tokens(col("text"))).as("term"))
@@ -305,7 +308,7 @@ object TrainDataQueries extends QueryModule {
     val dfreq = toks.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).as("df"))
     val nDocs = docs.select(count(lit(1)).as("n_docs"))
-    val scored = tf.join(broadcast(dfreq), "term")
+    val scored = tf.join(dfreq, "term")
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("term"),
         round((col("tf") * col("n_docs")).cast("double") / col("df"), 6)

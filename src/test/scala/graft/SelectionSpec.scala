@@ -55,6 +55,10 @@ class SelectionSpec extends AnyFunSuite {
     assert(Selection.sliceRows(df, "id", 2, 5).as[Long].collect().sorted.toSeq
       == Seq(3L, 4L, 5L))
     assert(Selection.sliceRows(df, "id", 8, -1).count() == 2)
+    // degenerate / out-of-range slices are empty, never an error
+    assert(Selection.sliceRows(df, "id", 5, 3).count() == 0)
+    assert(Selection.sliceRows(df, "id", 20, 25).count() == 0)
+    assert(Selection.sliceRows(df, "id", 20, -1).count() == 0)
   }
 
   test("sampleByStrategy orders by metric") {
