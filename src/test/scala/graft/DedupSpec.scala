@@ -69,6 +69,28 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.length == 1)
   }
 
+  test("simhashPairs equals brute-force all-pairs at Hamming <= 3 (recall property)") {
+    // 120 seeded pseudo-random 16-bit fingerprints, biased so some
+    // pairs land within Hamming 3: blocking must lose NOTHING
+    val rnd = new scala.util.Random(1234)
+    val base = Seq.fill(30)(rnd.nextInt(1 << 16).toLong)
+    val fps = base.zipWithIndex.flatMap { case (f, i) =>
+      Seq(
+        (i * 4L,     f),
+        (i * 4L + 1, f ^ (1L << rnd.nextInt(16))),               // Hamming 1
+        (i * 4L + 2, f ^ (7L << rnd.nextInt(13))),               // Hamming 3, contiguous
+        (i * 4L + 3, f ^ (1L << rnd.nextInt(16)) ^ (1L << 15)))  // includes the top bit
+    }
+    val df = fps.toDF("doc_id", "simhash")
+    val got = Dedup.simhashPairs(df, "doc_id", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val want = (for {
+      (a, fa) <- fps; (b, fb) <- fps
+      if a < b && java.lang.Long.bitCount(fa ^ fb) <= 3
+    } yield (a, b)).toSet
+    assert(got == want)
+  }
+
   test("minhash signature similarity tracks jaccard") {
     val a = (1L to 40L).map((1L, _))
     val b = (1L to 40L).map((2L, _))            // identical to a

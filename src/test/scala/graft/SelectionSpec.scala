@@ -61,6 +61,19 @@ class SelectionSpec extends AnyFunSuite {
     assert(Selection.sliceRows(df, "id", 20, -1).count() == 0)
   }
 
+  test("sliceRows: both paths equal sorted-take semantics on shuffled input") {
+    val rnd = new scala.util.Random(7)
+    val ids = rnd.shuffle((1L to 500L).toVector)
+    val df = ids.toDF("id").repartition(7)
+    val sorted = (1L to 500L).toVector
+    // small-bound path (offset/limit)
+    assert(Selection.sliceRows(df, "id", 37, 61).as[Long].collect().sorted.toSeq
+      == sorted.slice(37, 61))
+    // deep path (zipWithIndex; end = -1)
+    assert(Selection.sliceRows(df, "id", 490, -1).as[Long].collect().sorted.toSeq
+      == sorted.slice(490, 500))
+  }
+
   test("sampleByStrategy orders by metric") {
     val df = Seq((1L, 5.0), (2L, 1.0), (3L, 3.0)).toDF("id", "m")
     val least = Selection.sampleByStrategy(df, "LeastConfidence", 2, $"m")
