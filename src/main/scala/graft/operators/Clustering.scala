@@ -86,6 +86,41 @@ object Clustering {
     assigned
   }
 
+  /** Oracle-EXACT leading-component projection via fixed-init power
+    * iteration, relationally — the cross-engine-checkable sibling of
+    * MLlib [[pcaProject]] (whose eigensolver has sign/ulp
+    * indeterminacy). Direction starts at the uniform unit vector
+    * (fixed ⇒ no sign ambiguity); each round computes per-row scores
+    * `x·v` as a fixed-order double fold, accumulates the new
+    * direction's numerators as exact decimal sums per dimension
+    * (addition-order-free), and normalizes once in double on the
+    * driver with the same fold order a SQL engine uses. MLlib PCA
+    * stays the production path. Scale: per round one explode +
+    * grouped aggregate with map-side combine (dim keys, dim rows per
+    * partition after partial agg) and one dim-sized collect — the
+    * driver-loop idiom. Covariance-free: never materializes dim×dim. */
+  def powerIterProjection(df: DataFrame, embCol: String,
+                          iters: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dim = df.select(size(col(embCol))).head().getInt(0)
+    def dotWith(v: Array[Double]) =
+      aggregate(zip_with(col(embCol), array(v.map(lit): _*),
+        (p, q) => p.cast("double") * q), lit(0.0), (a, x) => a + x)
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    for (_ <- 1 to iters) {
+      val cn = df
+        .select(posexplode(col(embCol)).as(Seq("pos", "x")),
+          dotWith(v).as("s"))
+        .groupBy(col("pos"))
+        .agg(sum((col("x").cast("double") * col("s"))
+          .cast(DecimalType(18, 10))).cast("double").as("cn"))
+        .orderBy(col("pos")).collect().map(_.getDouble(1))
+      val norm = math.sqrt(cn.map(x => x * x).foldLeft(0.0)(_ + _))
+      v = cn.map(_ / norm)
+    }
+    df.withColumn("proj", dotWith(v))
+  }
+
   /** Project embeddings to `dims` principal components (reference's
     * PCA(10) pre-t-SNE step); returns the input plus a `pca` array
     * column. */

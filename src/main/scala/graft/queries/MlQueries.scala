@@ -92,6 +92,43 @@ object MlQueries extends QueryModule {
           (a, x) => a + x), 6).as("pca_energy"))
       .orderBy(col("vec_id"))
 
+  /** Oracle-EXACT leading-component sibling of q_pca_energy:
+    * fixed-init power iteration (2 rounds) — the DuckDB oracle
+    * unrolls the identical rounds, so the per-vector projection
+    * values hash-match. */
+  private def qPcaExact(implicit s: SparkSession, dir: String): DataFrame =
+    Clustering.powerIterProjection(embs, "embedding", iters = 2)
+      .select(col("vec_id"), round(col("proj"), 6).as("proj"))
+      .orderBy(col("vec_id"))
+
+  private val qPcaExactSql = {
+    def dot(vl: String) =
+      s"""list_aggregate(list_transform(list_zip(e.embedding, $vl),
+         |      p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum')""".stripMargin
+    def iter(sPrev: String, vNext: String) =
+      s"""n$vNext AS (
+         |  SELECT pos, CAST(SUM(CAST(CAST(x AS DOUBLE) * s AS DECIMAL(18,10)))
+         |    AS DOUBLE) AS cn
+         |  FROM (SELECT le.pos, le.x, $sPrev.s
+         |        FROM (SELECT vec_id, unnest(embedding) AS x,
+         |                generate_subscripts(embedding, 1) AS pos FROM e) le
+         |        JOIN $sPrev ON $sPrev.vec_id = le.vec_id)
+         |  GROUP BY pos),
+         |$vNext AS (
+         |  SELECT list_transform(cl, c -> c / sqrt(
+         |    list_aggregate(list_transform(cl, x -> x * x), 'sum'))) AS vl
+         |  FROM (SELECT list(cn ORDER BY pos) AS cl FROM n$vNext))""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |v0 AS (
+       |  SELECT list_transform(range(1, 65), i -> 1.0 / sqrt(64.0)) AS vl),
+       |s0 AS (SELECT e.vec_id, ${dot("v0.vl")} AS s FROM e CROSS JOIN v0),
+       |${iter("s0", "v1")},
+       |s1 AS (SELECT e.vec_id, ${dot("v1.vl")} AS s FROM e CROSS JOIN v1),
+       |${iter("s1", "v2")}
+       |SELECT e.vec_id, round(${dot("v2.vl")}, 6) AS proj
+       |FROM e CROSS JOIN v2 ORDER BY e.vec_id""".stripMargin
+  }
+
   /** Streaming hourly aggregation — same semantics as the batch
     * q_hourly_events, checked against the SAME DuckDB oracle: the
     * tumbling window start equals date_trunc('hour'). */
@@ -190,6 +227,7 @@ object MlQueries extends QueryModule {
     Q("q_kmeans_exact", (s, d) => qKmeansExact(s, d), Some(qKmeansExactSql)),
     Q("q_kmeans_select", (s, d) => qKmeansSelect(s, d), None),
     Q("q_pca_energy", (s, d) => qPca(s, d), None),
+    Q("q_pca_exact", (s, d) => qPcaExact(s, d), Some(qPcaExactSql)),
     Q("q_stream_hourly", (s, d) => qStreamHourly(s, d), Some(qStreamHourlySql)),
     Q("q_sessionize", (s, d) => qSessionize(s, d), Some(qSessionizeSql)),
     Q("q_multimodal_features", (s, d) => qMultimodal(s, d), Some(qMultimodalSql)))

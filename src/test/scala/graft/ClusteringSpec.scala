@@ -32,6 +32,30 @@ class ClusteringSpec extends AnyFunSuite {
     assert(run() == run())
   }
 
+  test("powerIterProjection recovers the dominant direction") {
+    // points spread 10x wider along axis 0 than axis 1: after 2
+    // rounds the direction is ~axis 0, so |proj| tracks |x0|
+    val pts = (0L until 50L).map { i =>
+      (i, Array(((i % 10).toFloat - 4.5f) * 10f, (i % 3).toFloat - 1f))
+    }.toDF("vec_id", "embedding")
+    val out = Clustering.powerIterProjection(pts, "embedding", iters = 2)
+      .select("vec_id", "proj").as[(Long, Double)].collect().toMap
+    val x0 = (i: Long) => (((i % 10).toDouble - 4.5) * 10).abs
+    // ordering by |proj| matches ordering by |x0| for clearly separated rows
+    assert(out(4L).abs < out(9L).abs)   // x0 = 5 vs 45
+    assert(out(5L).abs < out(0L).abs)   // x0 = 5 vs 45
+    assert(x0(9L) > x0(4L))
+  }
+
+  test("powerIterProjection is deterministic across reruns") {
+    val pts = (0L until 30L).map(i =>
+      (i, Array((i % 7).toFloat, (i % 5).toFloat, (i % 3).toFloat)))
+      .toDF("vec_id", "embedding")
+    def run() = Clustering.powerIterProjection(pts, "embedding", 2)
+      .select("vec_id", "proj").as[(Long, Double)].collect().toSeq.sorted
+    assert(run() == run())
+  }
+
   test("kmeansLabels produces k clusters under a fixed seed") {
     val pts = (0L until 60L).map(i =>
       (i, Array((i % 4).toFloat * 5, (i % 4).toFloat * 5)))
