@@ -47,7 +47,10 @@ object MlQueries extends QueryModule {
       .select(col("vec_id"), col("cluster"))
       .orderBy(col("vec_id"))
 
-  private val qKmeansExactSql = {
+  /** The 2-round fixed-init Lloyd's CTE chain (ends at `a1` =
+    * (vec_id, cluster)); shared by q_kmeans_exact and
+    * q_cluster_select_exact. */
+  private val lloydCtes = {
     def sq(a: String, b: String) =
       s"""list_aggregate(list_transform(list_zip($a, $b),
          |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
@@ -56,7 +59,7 @@ object MlQueries extends QueryModule {
       s"""SELECT vec_id, cid AS cluster FROM (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id
          |    ORDER BY dist, cid) AS rk FROM $d) WHERE rk = 1""".stripMargin
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
        |c0 AS (
        |  SELECT CAST(vec_id AS INTEGER) AS cid,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
@@ -78,9 +81,56 @@ object MlQueries extends QueryModule {
        |d1 AS (
        |  SELECT e.vec_id, c1.cid, ${sq("e.embedding", "c1.c")} AS dist
        |  FROM e CROSS JOIN c1),
-       |a1 AS (${argmin("d1")})
-       |SELECT vec_id, cluster FROM a1 ORDER BY vec_id""".stripMargin
+       |a1 AS (${argmin("d1")})""".stripMargin
   }
+
+  private val qKmeansExactSql =
+    s"""WITH $lloydCtes
+       |SELECT vec_id, cluster FROM a1 ORDER BY vec_id""".stripMargin
+
+  /** The reference's FLAGSHIP EP1 flow end-to-end with COMPUTED
+    * clusters, value-exact: Lloyd's labels → per-cluster 25–75
+    * percentile band with small-group passthrough → stride sample of
+    * ≤5 per cluster. q_cluster_select gates the same pipeline on
+    * precomputed labels and q_kmeans_select on MLlib labels
+    * (rows-only); this is the full computed-cluster path under the
+    * exact oracle. */
+  private def qClusterSelectExact(implicit s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Selection
+    val labeled = Clustering.lloydExactAssign(embs, "vec_id", "embedding",
+      k = 4, iters = 2)
+    val conf = round(graft.plans.PosWeightedSum(col("embedding")), 6)
+    val scored = labeled.select(col("vec_id"), col("cluster"), conf.as("conf"))
+    val band = Selection.percentileBand(scored, "cluster", "conf",
+      0.25, 0.75, minGroupSize = 20)
+    Selection.strideSample(band, "cluster", "vec_id", 5)
+      .select(col("cluster"), col("vec_id"), col("conf"))
+      .orderBy(col("cluster"), col("vec_id"))
+  }
+
+  private val qClusterSelectExactSql =
+    s"""WITH $lloydCtes,
+       |conf AS (
+       |  SELECT a1.vec_id, a1.cluster,
+       |    round(list_aggregate(list_transform(e.embedding,
+       |      (x, i) -> CAST(x AS DOUBLE) * i), 'sum'), 6) AS conf
+       |  FROM a1 JOIN e ON e.vec_id = a1.vec_id),
+       |th AS (
+       |  SELECT cluster, quantile_cont(conf, 0.25) AS lo,
+       |         quantile_cont(conf, 0.75) AS hi, count(*) AS n
+       |  FROM conf GROUP BY cluster),
+       |band AS (
+       |  SELECT c.vec_id, c.cluster, c.conf
+       |  FROM conf c JOIN th ON c.cluster = th.cluster
+       |  WHERE th.n < 20 OR (c.conf >= th.lo AND c.conf <= th.hi)),
+       |rn AS (
+       |  SELECT *, row_number() OVER (PARTITION BY cluster ORDER BY vec_id) AS rn,
+       |         count(*) OVER (PARTITION BY cluster) AS cnt
+       |  FROM band)
+       |SELECT cluster, vec_id, conf FROM (
+       |  SELECT *, greatest(cnt // 5, 1) AS step FROM rn)
+       |WHERE cnt <= 5 OR ((rn - 1) % step = 0 AND (rn - 1) // step < 5)
+       |ORDER BY cluster, vec_id""".stripMargin
 
   /** PCA projection to 10 dims (reference pre-t-SNE step); output is
     * per-vector projection energy (PCA sign indeterminacy makes raw
@@ -225,6 +275,7 @@ object MlQueries extends QueryModule {
   override def queries: Seq[Q] = Seq(
     Q("q_kmeans", (s, d) => qKmeans(s, d), None),
     Q("q_kmeans_exact", (s, d) => qKmeansExact(s, d), Some(qKmeansExactSql)),
+    Q("q_cluster_select_exact", (s, d) => qClusterSelectExact(s, d), Some(qClusterSelectExactSql)),
     Q("q_kmeans_select", (s, d) => qKmeansSelect(s, d), None),
     Q("q_pca_energy", (s, d) => qPca(s, d), None),
     Q("q_pca_exact", (s, d) => qPcaExact(s, d), Some(qPcaExactSql)),
