@@ -102,18 +102,25 @@ object Clustering {
   def powerIterProjection(df: DataFrame, embCol: String,
                           iters: Int): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val dim = df.select(size(col(embCol))).head().getInt(0)
+    val probe = df.select(size(col(embCol))).head(1)
+    require(probe.nonEmpty && !probe(0).isNullAt(0),
+      "powerIterProjection needs a non-empty table with non-null embeddings")
+    val dim = probe(0).getInt(0)
     def dotWith(v: Array[Double]) =
       aggregate(zip_with(col(embCol), array(v.map(lit): _*),
         (p, q) => p.cast("double") * q), lit(0.0), (a, x) => a + x)
     var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
     for (_ <- 1 to iters) {
+      // DECIMAL(28,10): 18 integer digits of headroom so |x·s| terms
+      // from large-magnitude embeddings stay in range on BOTH engines
+      // (a (18,10) cast would silently NULL in non-ANSI Spark but
+      // ERROR in DuckDB — a latent divergence, not just a failure)
       val cn = df
         .select(posexplode(col(embCol)).as(Seq("pos", "x")),
           dotWith(v).as("s"))
         .groupBy(col("pos"))
         .agg(sum((col("x").cast("double") * col("s"))
-          .cast(DecimalType(18, 10))).cast("double").as("cn"))
+          .cast(DecimalType(28, 10))).cast("double").as("cn"))
         .orderBy(col("pos")).collect().map(_.getDouble(1))
       val norm = math.sqrt(cn.map(x => x * x).foldLeft(0.0)(_ + _))
       v = cn.map(_ / norm)

@@ -157,7 +157,7 @@ object MlQueries extends QueryModule {
          |      p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum')""".stripMargin
     def iter(sPrev: String, vNext: String) =
       s"""n$vNext AS (
-         |  SELECT pos, CAST(SUM(CAST(CAST(x AS DOUBLE) * s AS DECIMAL(18,10)))
+         |  SELECT pos, CAST(SUM(CAST(CAST(x AS DOUBLE) * s AS DECIMAL(28,10)))
          |    AS DOUBLE) AS cn
          |  FROM (SELECT le.pos, le.x, $sPrev.s
          |        FROM (SELECT vec_id, unnest(embedding) AS x,
@@ -170,7 +170,9 @@ object MlQueries extends QueryModule {
          |  FROM (SELECT list(cn ORDER BY pos) AS cl FROM n$vNext))""".stripMargin
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
        |v0 AS (
-       |  SELECT list_transform(range(1, 65), i -> 1.0 / sqrt(64.0)) AS vl),
+       |  SELECT list_transform(range(1, len(embedding) + 1),
+       |    i -> 1.0 / sqrt(CAST(len(embedding) AS DOUBLE))) AS vl
+       |  FROM e WHERE vec_id = 0),
        |s0 AS (SELECT e.vec_id, ${dot("v0.vl")} AS s FROM e CROSS JOIN v0),
        |${iter("s0", "v1")},
        |s1 AS (SELECT e.vec_id, ${dot("v1.vl")} AS s FROM e CROSS JOIN v1),

@@ -40,11 +40,13 @@ class ClusteringSpec extends AnyFunSuite {
     }.toDF("vec_id", "embedding")
     val out = Clustering.powerIterProjection(pts, "embedding", iters = 2)
       .select("vec_id", "proj").as[(Long, Double)].collect().toMap
-    val x0 = (i: Long) => (((i % 10).toDouble - 4.5) * 10).abs
-    // ordering by |proj| matches ordering by |x0| for clearly separated rows
-    assert(out(4L).abs < out(9L).abs)   // x0 = 5 vs 45
-    assert(out(5L).abs < out(0L).abs)   // x0 = 5 vs 45
-    assert(x0(9L) > x0(4L))
+    // |proj| ordering tracks |x0| ordering: EVERY near-axis row
+    // (|x0| = 5) projects strictly smaller than every extreme row
+    // (|x0| = 45)
+    val near    = out.collect { case (i, p) if i % 10 == 4 || i % 10 == 5 => p.abs }
+    val extreme = out.collect { case (i, p) if i % 10 == 0 || i % 10 == 9 => p.abs }
+    assert(near.nonEmpty && extreme.nonEmpty)
+    assert(near.max < extreme.min)
   }
 
   test("powerIterProjection is deterministic across reruns") {
