@@ -61,7 +61,10 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        spark.catalog.clearCache() // per-query caches don't leak across queries
+        // per-query caches don't leak across queries (clearCache drops
+        // the storage; releaseAll drains the operator-cache registry)
+        graft.core.Caches.releaseAll()
+        spark.catalog.clearCache()
         (System.nanoTime() - t0) / 1e9
       }.min
       name -> dt

@@ -80,7 +80,7 @@ object ScaleSmoke {
       def simhashPairCount(d: org.apache.spark.sql.DataFrame): Long = {
         val ids = d.select(col("doc_id"),
           explode(graft.functions.TextFns.shinglesDistinct(col("text"), 3)).as("sh"))
-          .withColumn("wid", pmod(xxhash64(col("sh")), lit(graft.operators.Dedup.P)))
+          .withColumn("wid", graft.operators.Dedup.md5Wid(col("sh")))
         val fps = graft.operators.Dedup.simhashFingerprints(ids, "doc_id", "wid")
         graft.operators.Dedup.simhashPairs(fps, "doc_id", maxHamming = 3).count()
       }

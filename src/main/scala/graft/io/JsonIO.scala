@@ -50,15 +50,15 @@ object JsonIO {
     // reference-style files; production readers pin one format.
     // (Raw-JSON frames can't be filtered on just the corrupt column —
     // hence the caches.)
-    val asArray = spark.read.schema(corrupt)
+    val asArray = graft.core.Caches.track(spark.read.schema(corrupt)
       .option("multiLine", "true").option("mode", "PERMISSIVE")
-      .json(path).cache()
+      .json(path))
     val arrayValid =
       try if (asArray.where(asArray("_corrupt_record").isNotNull).isEmpty)
         asArray.count() else -1L
       catch { case _: Throwable => -1L }
-    val jl = spark.read.schema(corrupt)
-      .option("mode", "PERMISSIVE").json(path).cache()
+    val jl = graft.core.Caches.track(spark.read.schema(corrupt)
+      .option("mode", "PERMISSIVE").json(path))
     val jlValid =
       try jl.where(jl("_corrupt_record").isNull).count()
       catch { case _: Throwable => -1L }

@@ -16,11 +16,10 @@ import graft.functions.TextFns
   *  - MinHash signatures come from one explode + one grouped
   *    aggregation; LSH banding turns all-pairs O(n²) into a bucket
   *    join where only same-bucket candidates pair up;
-  *  - the scalable path derives shingle ids with `xxhash64` (no
-  *    global vocabulary); the `vocabIds` variant (rank-based, needed
-  *    for cross-engine oracle parity) globally sorts only the
-  *    VOCABULARY, which is sublinear in the corpus, but prefer the
-  *    hash path at 100 TB;
+  *  - shingle ids are seeded md5-h15 hashes ([[md5Wid]]) — a narrow
+  *    per-row expression with NO vocabulary and NO global sort, and
+  *    DuckDB replays it digit-for-digit ([[widSql]]), so the same ids
+  *    serve the oracle gate and the 100 TB path;
   *  - candidate verification (true Jaccard) joins shingle SETS back
   *    only for candidate pairs — a vanishing fraction of n².
   */
@@ -43,12 +42,23 @@ object Dedup {
       .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keeper"))
       .where(col("n_dups") > 1)
 
-  /** Rank-based shingle vocabulary: (shingle → dense id) by sorted
-    * order. Deterministic across engines (the oracle path); the
-    * global sort touches only distinct shingles. */
-  def vocabIds(shingled: DataFrame, shingleCol: String): DataFrame =
-    shingled.select(explode(col(shingleCol)).as("sh")).distinct()
-      .withColumn("wid", row_number().over(Window.orderBy(col("sh"))).cast("long"))
+  /** Cross-engine shingle ids: the seeded md5-h15 scheme (the
+    * [[Scorers.ProxyBackend]] hash — first 15 hex digits of
+    * md5("seed:" || shingle) folded into a 60-bit BIGINT), reduced
+    * mod [[P]] so the downstream universal-hash / LCG arithmetic
+    * stays inside BIGINT under both Spark's and DuckDB's overflow
+    * rules. A narrow per-row codegen expression: no vocabulary, no
+    * distinct, no global sort — this replaced a rank-based vocabulary
+    * whose `row_number` over the distinct shingles was the engine's
+    * last single-reducer stage. */
+  val WidSeed: Long = 1042L
+  def md5Wid(sh: Column, seed: Long = WidSeed): Column =
+    pmod(conv(substring(md5(concat(lit(s"$seed:"), sh)), 1, 15), 16, 10)
+      .cast("long"), lit(P))
+
+  /** DuckDB twin of [[md5Wid]] for oracle SQL. */
+  def widSql(expr: String, seed: Long = WidSeed): String =
+    s"(${Scorers.ProxyBackend.h15Sql(seed, expr)} % $P)"
 
   /** MinHash signature per document from shingle ids: k universal-hash
     * permutations h_i(x) = (a_i·x + b_i) mod P, one grouped min each.
@@ -81,10 +91,9 @@ object Dedup {
         (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*)
         .as("bsig"))
     }
-    val banded = signatures
+    val banded = graft.core.Caches.track(signatures
       .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
-      .cache()
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bsig").as("bsig")))
     banded.alias("x").join(banded.alias("y"), Seq("band", "bsig"))
       .where(col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
@@ -102,19 +111,19 @@ object Dedup {
         graft.plans.StringArrayJaccard(col("_sa"), col("_sb")))
       .drop("_sa", "_sb")
 
-  /** End-to-end scalable MinHash+LSH near-dup pairs (xxhash64 shingle
+  /** End-to-end scalable MinHash+LSH near-dup pairs (md5-h15 shingle
     * ids — no vocabulary): shingle → sign → band → candidate → verify
-    * ≥ threshold. */
+    * ≥ threshold. Oracle-reproducible end to end (DuckDB replays
+    * [[md5Wid]] via [[widSql]]). */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, k: Int = 12, bands: Int = 4,
                    threshold: Double = 0.5): DataFrame = {
     // sets feeds both candidate generation and pair verification;
     // cached so the shingling runs once (ids + 2 verification joins)
-    val sets = df.select(col(idCol),
-      TextFns.shinglesDistinct(col(textCol), n).as("shset"))
-      .cache()
+    val sets = graft.core.Caches.track(df.select(col(idCol),
+      TextFns.shinglesDistinct(col(textCol), n).as("shset")))
     val ids = sets.select(col(idCol), explode(col("shset")).as("sh"))
-      .withColumn("wid", pmod(xxhash64(col("sh")), lit(P)))
+      .withColumn("wid", md5Wid(col("sh")))
     val sigs = minhashSignatures(ids, idCol, "wid", k)
     val cands = lshCandidatePairs(sigs, idCol, bands, k / bands)
     jaccardForPairs(cands, sets, idCol, "shset")
@@ -186,12 +195,12 @@ object Dedup {
         shiftright(col("simhash"), i * segWidth).bitwiseAND(mask).as("segval"))
     }
     // fingerprints are one long per doc (×segments block rows); cache
-    // before the self-join so the voting pipeline isn't recomputed per side
-    val blocked = fps
+    // before the self-join so the voting pipeline isn't recomputed per
+    // side (tracked — drivers release between queries)
+    val blocked = graft.core.Caches.track(fps
       .select(col(idCol), col("simhash"), explode(array(segStructs: _*)).as("sb"))
       .select(col(idCol), col("simhash"),
-        col("sb.seg").as("seg"), col("sb.segval").as("segval"))
-      .cache()
+        col("sb.seg").as("seg"), col("sb.segval").as("segval")))
     blocked.alias("x").join(blocked.alias("y"), Seq("seg", "segval"))
       .where(col(s"x.$idCol") < col(s"y.$idCol"))
       .withColumn("hamming",

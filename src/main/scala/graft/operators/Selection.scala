@@ -105,9 +105,10 @@ object Selection {
     // the merge step — only safe while the bound is genuinely small.
     val smallSliceMax = 1L << 20
     if (end >= 0 && end <= smallSliceMax) {
-      // degenerate start >= end → empty slice, not a negative limit
-      val n = math.max(0L, end - start)
-      df.sort(col(orderCol)).offset(start.toInt).limit(n.toInt)
+      // degenerate start >= end → empty slice (also keeps start.toInt
+      // safe: below here start < end <= 2^20, no Int truncation)
+      if (start >= end) df.limit(0)
+      else df.sort(col(orderCol)).offset(start.toInt).limit((end - start).toInt)
     } else {
       val spark  = df.sparkSession
       val schema = df.schema

@@ -80,7 +80,7 @@ object TaskVectors {
   def disjointMerge(stackedIn: DataFrame, method: String = "mean"): DataFrame = {
     // referenced twice (values + sign election) — cache the long
     // format once rather than recomputing its upstream per side
-    val stacked = stackedIn.cache()
+    val stacked = graft.core.Caches.track(stackedIn)
     val matches = signum(col("value")) === col("gamma") && col("value") =!= 0.0
     val masked  = when(matches, col("value")).otherwise(lit(0.0))
     val agg: Column = method match {
@@ -106,7 +106,7 @@ object TaskVectors {
     * signs, disjoint-merge. `stacked` carries (model, param_key, idx,
     * value). */
   def tiesMerge(stackedIn: DataFrame, keep: Double, method: String = "mean"): DataFrame = {
-    val stacked = stackedIn.cache() // feeds threshold agg AND value join
+    val stacked = graft.core.Caches.track(stackedIn) // feeds threshold agg AND value join
     val masked = stacked.groupBy(col("model"), col("param_key"))
       .agg(percentile(abs(col("value")), lit(1.0 - keep)).as("_th"))
       .join(stacked, Seq("model", "param_key"))

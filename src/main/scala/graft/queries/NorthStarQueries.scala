@@ -13,10 +13,11 @@ import graft.operators.{Dedup, Selection, Similarity}
   * similarity search (brute-force / LSH / IVF), and text analysis
   * (language ID, quality, token counts, fingerprints).
   *
-  * Oracle-parity notes: the LSH/MinHash oracle queries use the
-  * rank-based shingle vocabulary ([[Dedup.vocabIds]]) because DuckDB
-  * cannot reproduce xxhash64; the library's scalable variants
-  * (xxhash64, no global vocab) are registered rows-only.
+  * Oracle-parity notes: shingle ids are seeded md5-h15 hashes
+  * ([[Dedup.md5Wid]]), which DuckDB replays digit-for-digit
+  * ([[Dedup.widSql]]) — no vocabulary, no global rank, and the
+  * scalable exact-collapse→near-dup composition gates oracle-exact
+  * with the very same ids it would use at 100 TB.
   */
 object NorthStarQueries extends QueryModule {
 
@@ -41,30 +42,34 @@ object NorthStarQueries extends QueryModule {
 
   // ---------------------------------------------------- shingle plumbing
   /** Cached: every dedup query reads this 2–3 times (explode for
-    * signatures/votes + twice for pair verification). */
+    * signatures/votes + twice for pair verification). Tracked so the
+    * bench/verify drivers can release it between queries. */
   private def shingleSets(implicit s: SparkSession, dir: String): DataFrame =
-    docs.select(col("doc_id"),
-      TextFns.shinglesDistinct(col("text"), 3).as("shset"))
-      .cache()
+    graft.core.Caches.track(docs.select(col("doc_id"),
+      TextFns.shinglesDistinct(col("text"), 3).as("shset")))
 
-  /** Shared SQL CTE prefix: 3-gram shingle sets + rank vocabulary +
-    * doc→shingle-id rows. */
-  private val shingleCtes =
-    """toks AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
-      |sets AS (
-      |  SELECT doc_id,
-      |    list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-      |      ELSE list_transform(range(1, len(t) - 1),
-      |             i -> array_to_string(list_slice(t, i, i + 2), ' ')) END) AS shset
-      |  FROM toks),
-      |vocab AS (
-      |  SELECT sh, CAST(row_number() OVER (ORDER BY sh) AS BIGINT) AS wid
-      |  FROM (SELECT DISTINCT unnest(shset) AS sh FROM sets)),
-      |docw AS (
-      |  SELECT e.doc_id, v.wid
-      |  FROM (SELECT doc_id, unnest(shset) AS sh FROM sets) e
-      |  JOIN vocab v ON e.sh = v.sh)""".stripMargin
+  /** Shared SQL CTE prefix over a source relation `src(doc_id, text)`:
+    * 3-gram shingle sets + doc→shingle-id rows, ids via the md5-h15
+    * scheme ([[Dedup.widSql]]) — no vocabulary, no global rank. */
+  private def shingleCtesFrom(src: String): String =
+    s"""toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM $src),
+       |sets AS (
+       |  SELECT doc_id,
+       |    list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |      ELSE list_transform(range(1, len(t) - 1),
+       |             i -> array_to_string(list_slice(t, i, i + 2), ' ')) END) AS shset
+       |  FROM toks),
+       |docw AS (
+       |  SELECT doc_id, ${Dedup.widSql("sh")} AS wid
+       |  FROM (SELECT doc_id, unnest(shset) AS sh FROM sets))""".stripMargin
+
+  private val shingleCtes = shingleCtesFrom("documents")
+
+  /** Spark twin of the `docw` CTE: exploded (doc_id, wid) rows. */
+  private def docWids(sets: DataFrame): DataFrame =
+    sets.select(col("doc_id"), explode(col("shset")).as("sh"))
+      .select(col("doc_id"), Dedup.md5Wid(col("sh")).as("wid"))
 
   // ------------------------------------------------- MinHash + LSH dedup
   private val MhK = 12
@@ -75,9 +80,7 @@ object NorthStarQueries extends QueryModule {
     * cross-language ones (no blocking key). */
   private def qDedupMinhashLsh(implicit s: SparkSession, dir: String): DataFrame = {
     val sets  = shingleSets
-    val vocab = Dedup.vocabIds(sets, "shset")
-    val docw  = sets.select(col("doc_id"), explode(col("shset")).as("sh"))
-      .join(vocab, "sh").select(col("doc_id"), col("wid"))
+    val docw  = docWids(sets)
     val sigs  = Dedup.minhashSignatures(docw, "doc_id", "wid", MhK)
     val cands = Dedup.lshCandidatePairs(sigs, "doc_id", MhBands, MhK / MhBands)
     Dedup.jaccardForPairs(cands, sets, "doc_id", "shset")
@@ -86,7 +89,11 @@ object NorthStarQueries extends QueryModule {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  private val qDedupMinhashLshSql = {
+  /** The full MinHash(12)+LSH(4×3)+verify pipeline as oracle SQL over
+    * a source relation: used verbatim by both the plain query
+    * (src = documents) and the exact-collapse-first scalable query
+    * (src = reps). */
+  private def minhashSqlOver(prefixCtes: String, src: String): String = {
     val mhCols = Dedup.hashCoeffs(MhK).zipWithIndex.map { case ((a, b), i) =>
       s"min((wid * $a + $b) %% ${Dedup.P}) AS mh_$i"
     }.mkString(", ").replace("%%", "%")
@@ -96,7 +103,7 @@ object NorthStarQueries extends QueryModule {
         .mkString(" || '_' || ")
       s"SELECT doc_id, $bnd AS band, $sig AS bsig FROM sigs"
     }.mkString(" UNION ALL ")
-    s"""WITH $shingleCtes,
+    s"""WITH $prefixCtes${shingleCtesFrom(src)},
        |sigs AS (SELECT doc_id, $mhCols FROM docw GROUP BY doc_id),
        |banded AS ($bandSelects),
        |cands AS (
@@ -113,16 +120,17 @@ object NorthStarQueries extends QueryModule {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  private val qDedupMinhashLshSql = minhashSqlOver("", "documents")
+
   // ------------------------------------------------ n-gram Jaccard dedup
   /** Blocked all-pairs n-gram Jaccard (the non-LSH contrast): block on
     * the 16-char prefix, verify ≥ 0.5. Blocking trades recall
     * (cross-prefix dups are the LSH query's job) for a tiny candidate
     * set. */
   private def qDedupNgramJaccard(implicit s: SparkSession, dir: String): DataFrame = {
-    val sets = docs.select(col("doc_id"),
+    val sets = graft.core.Caches.track(docs.select(col("doc_id"),
       substring(col("text"), 1, 16).as("blk"),
-      TextFns.shinglesDistinct(col("text"), 3).as("shset"))
-      .cache() // self-joined
+      TextFns.shinglesDistinct(col("text"), 3).as("shset"))) // self-joined
     sets.alias("a").join(sets.alias("b"), "blk")
       .where(col("a.doc_id") < col("b.doc_id"))
       .withColumn("jaccard",
@@ -153,10 +161,7 @@ object NorthStarQueries extends QueryModule {
     * shingle ids; the small LCG multiplier keeps the hash inside
     * BIGINT on both engines. */
   private def qDedupSimhash(implicit s: SparkSession, dir: String): DataFrame = {
-    val sets  = shingleSets
-    val vocab = Dedup.vocabIds(sets, "shset")
-    val docw  = sets.select(col("doc_id"), explode(col("shset")).as("sh"))
-      .join(vocab, "sh").select(col("doc_id"), col("wid"))
+    val docw = docWids(shingleSets)
     val fps = Dedup.simhashFingerprints(docw, "doc_id", "wid", bits = 16)
     Dedup.simhashPairs(fps, "doc_id", maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
@@ -495,22 +500,28 @@ object NorthStarQueries extends QueryModule {
     s"""SELECT doc_id, ${TextFns.fingerprintSql("text")} AS fp
        |FROM documents ORDER BY doc_id""".stripMargin
 
-  // -------------------------------------------- scalable rows-only path
-  /** The xxhash64 (vocabulary-free) MinHash+LSH variant — the 100 TB
-    * path, not oracle-reproducible — composed the way production dedup
-    * runs: exact-collapse first, then near-dup over representatives
-    * ([[Dedup.nearDupPairsAfterExact]]). */
+  // --------------------------------------------- scalable composed path
+  /** MinHash+LSH composed the way production dedup runs: exact-collapse
+    * first (one hash groupBy), then near-dup over the representatives
+    * ([[Dedup.nearDupPairsAfterExact]]). Oracle-EXACT since the md5-h15
+    * shingle ids: DuckDB replays the identical pipeline over the same
+    * `reps` relation — the 100 TB path and the gated path are now the
+    * same code. */
   private def qDedupMinhashScalable(implicit s: SparkSession, dir: String): DataFrame =
     Dedup.nearDupPairsAfterExact(docs, "doc_id", "text", n = 3, k = 12,
         bands = 4, threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
+
+  private val qDedupMinhashScalableSql = minhashSqlOver(
+    "reps AS (\n  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text),\n",
+    "reps")
 
   override def queries: Seq[Q] = Seq(
     Q("q_dedup_exact", (s, d) => qDedupExact(s, d), Some(qDedupExactSql)),
     Q("q_dedup_minhash_lsh", (s, d) => qDedupMinhashLsh(s, d), Some(qDedupMinhashLshSql)),
     Q("q_dedup_ngram_jaccard", (s, d) => qDedupNgramJaccard(s, d), Some(qDedupNgramJaccardSql)),
     Q("q_dedup_simhash", (s, d) => qDedupSimhash(s, d), Some(qDedupSimhashSql)),
-    Q("q_dedup_minhash_scalable", (s, d) => qDedupMinhashScalable(s, d), None),
+    Q("q_dedup_minhash_scalable", (s, d) => qDedupMinhashScalable(s, d), Some(qDedupMinhashScalableSql)),
     Q("q_embed_cosine_topk", (s, d) => qCosineTopK(s, d), Some(qCosineTopKSql)),
     Q("q_embed_ann_lsh", (s, d) => qAnnLsh(s, d), Some(qAnnLshSql)),
     Q("q_embed_ivf", (s, d) => qIvfTopK(s, d), Some(qIvfTopKSql)),

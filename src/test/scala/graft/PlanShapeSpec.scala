@@ -93,15 +93,20 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("q_row_slice: no single-partition exchange, no global window") {
     val p = planOf("q_row_slice")
-    assert(!p.contains("Exchange SinglePartition") || p.contains("TakeOrderedAndProject"),
+    assert(!p.contains("Exchange SinglePartition"),
       s"single-partition funnel in:\n$p")
     assert(!p.contains("Window"), s"global window in:\n$p")
   }
 
   test("q_skew_salted: two-stage aggregate (salted partial, then final)") {
     val p = planOf("q_skew_salted")
-    // the salted pre-aggregate keys on (key, salt); the final on key
-    assert(p.contains("hashpartitioning(l_returnflag"), p)
+    // the salted pre-aggregate keys on (key, salt); the final exchange
+    // must key on l_returnflag ALONE (a regex the salted two-column
+    // partitioning cannot satisfy)
+    assert("hashpartitioning\\(l_returnflag#\\d+, \\d+\\)".r.findFirstIn(p).isDefined,
+      s"missing final key-only exchange in:\n$p")
+    assert("hashpartitioning\\(l_returnflag#\\d+, _salt".r.findFirstIn(p).isDefined,
+      s"missing salted (key, salt) exchange in:\n$p")
     assert("HashAggregate".r.findAllIn(p).length >= 4,
       s"expected two full aggregate pairs (salted + final) in:\n$p")
   }
@@ -110,12 +115,11 @@ class PlanShapeSpec extends AnyFunSuite {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     // a row_number()/rank() over an EMPTY partitionSpec funnels the
     // whole input through one reducer — the scale-killer class this
-    // engine forbids. Sanctioned: the two dedup queries whose
-    // vocabIds ranks only the distinct-shingle VOCABULARY (sublinear
-    // in the corpus; the xxhash64 path is the production variant).
-    val sanctioned = Set("q_dedup_minhash_lsh", "q_dedup_simhash")
+    // engine forbids. No exceptions: since the md5-h15 shingle ids
+    // replaced the rank-based vocabulary, NO registered query plans a
+    // global window anywhere, dedup included.
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot { case (n, _) => n.startsWith("q_stream") || sanctioned(n) }
+      .filterNot { case (n, _) => n.startsWith("q_stream") }
       .flatMap { case (n, fn) =>
         val plan = fn(spark, dir).queryExecution.optimizedPlan
         val bad = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
