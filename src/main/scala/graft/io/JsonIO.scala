@@ -50,15 +50,23 @@ object JsonIO {
     // reference-style files; production readers pin one format.
     // (Raw-JSON frames can't be filtered on just the corrupt column —
     // hence the caches.)
+    // allowNonNumericNumbers is pinned (not left to the default) —
+    // the reference explicitly preserves NaN/±Infinity through
+    // serialization (tensor2jsonl.py:11–12), and the sink writes them
+    // as quoted "NaN"/"Infinity" tokens which this parser maps back
+    // to the IEEE values (round-trip spec: JsonIOSpec).
     val asArray = graft.core.Caches.track(spark.read.schema(corrupt)
       .option("multiLine", "true").option("mode", "PERMISSIVE")
+      .option("allowNonNumericNumbers", "true")
       .json(path))
     val arrayValid =
       try if (asArray.where(asArray("_corrupt_record").isNotNull).isEmpty)
         asArray.count() else -1L
       catch { case _: Throwable => -1L }
     val jl = graft.core.Caches.track(spark.read.schema(corrupt)
-      .option("mode", "PERMISSIVE").json(path))
+      .option("mode", "PERMISSIVE")
+      .option("allowNonNumericNumbers", "true")
+      .json(path))
     val jlValid =
       try jl.where(jl("_corrupt_record").isNull).count()
       catch { case _: Throwable => -1L }
@@ -76,13 +84,28 @@ object JsonIO {
     readJsonAuto(spark, path, SharegptSchema)
 
   /** JSONL sink (reference S4 — the pretty-print indent is a driver
-    * nicety the engine drops; JSONL is the splittable form). */
+    * nicety the engine drops; JSONL is the splittable form).
+    *
+    * Non-finite doubles follow the reference's serialization contract
+    * (`tensor2jsonl.py:11–12`, NaN/±inf preserved): Spark's writer
+    * emits them as quoted "NaN"/"Infinity"/"-Infinity" tokens, and
+    * [[readJsonAuto]] parses those back to the IEEE values — the
+    * write→read round trip is lossless (JsonIOSpec). */
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
-  /** Fixed location of the deterministic sharegpt JSONL fixture; a
-    * constant so the DuckDB oracle can reference the same file. */
-  val SharegptFixturePath = "/tmp/graft_fixtures/sharegpt.jsonl"
+  /** Location of the deterministic sharegpt JSONL fixture; stable for
+    * the lifetime of a JVM so the DuckDB oracle SQL built in the same
+    * process references the same file. Per-user under java.io.tmpdir
+    * (NOT a fixed world-writable /tmp path — another local user could
+    * pre-own it or plant symlinks); override with GRAFT_FIXTURE_DIR. */
+  val SharegptFixturePath: String = {
+    val dir = sys.env.getOrElse("GRAFT_FIXTURE_DIR",
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        "graft_fixtures_" + sys.props.getOrElse("user.name", "anon")).toString)
+    java.nio.file.Paths.get(dir, "sharegpt.jsonl").toString
+  }
 
   /** Writes (idempotently) a small deterministic sharegpt-format JSONL
     * file — the multi-turn conversation shape the reference documents

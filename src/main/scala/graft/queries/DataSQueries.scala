@@ -291,7 +291,10 @@ object DataSQueries extends QueryModule {
       .orderBy(col("category"))
   }
 
-  private val qSharegptFileSql =
+  private val qSharegptFileSql = {
+    // eager: the oracle must find the file even if the Spark-side
+    // query never ran in this process (registration writes it too)
+    graft.io.JsonIO.sharegptFixture()
     s"""WITH t AS (
        |  SELECT conversation_id, category, unnest(conversation) AS ex
        |  FROM read_json('${graft.io.JsonIO.SharegptFixturePath}',
@@ -304,6 +307,7 @@ object DataSQueries extends QueryModule {
        |  CAST(SUM(length(ex.human)) AS BIGINT) AS chars_human,
        |  CAST(SUM(length(ex.assistant)) AS BIGINT) AS chars_assistant
        |FROM t GROUP BY category ORDER BY category""".stripMargin
+  }
 
   // ------------------------------------- T1 apply / weighted merge
   /** TaskVector algebra breadth (reference `merging.py:52–95`):

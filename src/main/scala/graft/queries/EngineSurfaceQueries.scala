@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType, StructField, StructType}
 
 import graft.core.Tables
 import graft.io.JsonIO
@@ -150,26 +150,41 @@ object EngineSurfaceQueries extends QueryModule {
   // ------------------------------------------------ JSON sink → scan
   /** Reference S4+S2 in the query path: JSONL sink, pinned-schema
     * JSONL scan back, then aggregate — proves the round trip is
-    * lossless (the oracle reads the original parquet). */
+    * lossless (the oracle reads the original parquet, never the JSON).
+    * Includes a planted NaN/±Infinity score column: the reference's
+    * serialization contract preserves non-finite floats
+    * (`tensor2jsonl.py:11–12`), so the counts classified AFTER the
+    * sink→scan must match the oracle's counts computed from source. */
   private def qJsonRoundtrip(implicit s: SparkSession, dir: String): DataFrame = {
     val out = "/tmp/graft_json_rt/" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val score = when(col("doc_id") % 97 === 0, lit(Double.NaN))
+      .when(col("doc_id") % 89 === 0, lit(Double.PositiveInfinity))
+      .when(col("doc_id") % 83 === 0, lit(Double.NegativeInfinity))
+      .otherwise(col("n_chars").cast("double"))
     JsonIO.writeJson(
-      Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"), score.as("score")),
       out)
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("lang", StringType),
-      StructField("n_chars", LongType)))
-    s.read.schema(schema).json(out)
+      StructField("n_chars", LongType), StructField("score", DoubleType)))
+    s.read.schema(schema).option("allowNonNumericNumbers", "true").json(out)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
-        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+        count(when(isnan(col("score")), 1)).as("n_nan"),
+        count(when(col("score") === Double.PositiveInfinity, 1)).as("n_posinf"),
+        count(when(col("score") === Double.NegativeInfinity, 1)).as("n_neginf"))
       .orderBy(col("lang"))
   }
 
   private val qJsonRoundtripSql =
     """SELECT lang, COUNT(*) AS n_docs,
       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-      |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+      |  COUNT(CASE WHEN doc_id % 97 = 0 THEN 1 END) AS n_nan,
+      |  COUNT(CASE WHEN doc_id % 97 <> 0 AND doc_id % 89 = 0 THEN 1 END) AS n_posinf,
+      |  COUNT(CASE WHEN doc_id % 97 <> 0 AND doc_id % 89 <> 0 AND doc_id % 83 = 0 THEN 1 END) AS n_neginf
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   // ------------------------------------------------- hopping windows

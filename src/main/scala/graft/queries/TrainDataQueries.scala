@@ -362,6 +362,47 @@ object TrainDataQueries extends QueryModule {
       |  CAST(ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS INTEGER) AS quartile
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Quantile bucketing the way it runs at 100 TB — the scale-safe
+    * sibling the ntile note above prescribes: one grouped aggregate
+    * computes the 3 boundary quantiles per language, a broadcast join
+    * carries them back, a local CASE assigns the bucket. No per-language
+    * total order, no window — two narrow shuffles total (the grouped
+    * percentile and the final sort), and the boundary table is
+    * languages×3 doubles regardless of corpus size.
+    *
+    * Oracle-exact: Spark `percentile` and DuckDB `quantile_cont` both
+    * linearly interpolate at rank (n−1)·q, and over integer n_chars
+    * with quarter fractions every boundary is exact in doubles, so the
+    * `<=` bucket comparisons agree bit-for-bit. */
+  private def qQuantileBucket(implicit s: SparkSession, dir: String): DataFrame = {
+    val bounds = docs.groupBy(col("lang"))
+      .agg(percentile(col("n_chars"),
+        array(lit(0.25), lit(0.5), lit(0.75))).as("qs"))
+      .select(col("lang"), element_at(col("qs"), 1).as("q1"),
+        element_at(col("qs"), 2).as("q2"), element_at(col("qs"), 3).as("q3"))
+    docs.join(broadcast(bounds), "lang")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        when(col("n_chars") <= col("q1"), 1)
+          .when(col("n_chars") <= col("q2"), 2)
+          .when(col("n_chars") <= col("q3"), 3)
+          .otherwise(4).as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qQuantileBucketSql =
+    """WITH b AS (
+      |  SELECT lang,
+      |    quantile_cont(n_chars, 0.25) AS q1,
+      |    quantile_cont(n_chars, 0.50) AS q2,
+      |    quantile_cont(n_chars, 0.75) AS q3
+      |  FROM documents GROUP BY lang)
+      |SELECT d.doc_id, d.lang, d.n_chars,
+      |  CAST(CASE WHEN d.n_chars <= b.q1 THEN 1
+      |            WHEN d.n_chars <= b.q2 THEN 2
+      |            WHEN d.n_chars <= b.q3 THEN 3 ELSE 4 END AS INTEGER) AS bucket
+      |FROM documents d JOIN b USING (lang)
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------- approx percentile (rows-only)
   /** approx_percentile (t-digest-style sketch) — the at-scale variant
     * of q_percentiles; rows-only (sketch estimates are
@@ -386,6 +427,7 @@ object TrainDataQueries extends QueryModule {
     Q("q_pii_redact", (s, d) => qPiiRedact(s, d), Some(qPiiRedactSql)),
     Q("q_mixture_resample", (s, d) => qMixtureResample(s, d), Some(qMixtureResampleSql)),
     Q("q_ntile", (s, d) => qNtile(s, d), Some(qNtileSql)),
+    Q("q_quantile_bucket", (s, d) => qQuantileBucket(s, d), Some(qQuantileBucketSql)),
     Q("q_train_val_split", (s, d) => qTrainValSplit(s, d), Some(qTrainValSplitSql)),
     Q("q_tfidf_topk", (s, d) => qTfidfTopK(s, d), Some(qTfidfTopKSql)),
     Q("q_approx_percentile", (s, d) => qApproxPercentile(s, d), None))

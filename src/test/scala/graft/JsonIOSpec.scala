@@ -66,6 +66,30 @@ class JsonIOSpec extends AnyFunSuite {
     assert(perTurn.toSeq == Seq((0, 3L, 6L), (1, 2L, 3L), (2, 1L, 1L)))
   }
 
+  test("NaN and ±Infinity survive the JSON write→read round trip") {
+    // the reference preserves non-finite floats through serialization
+    // (tensor2jsonl.py:11–12); the engine's sink+reader must too
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("score", DoubleType, nullable = true)))
+    val rows = java.util.Arrays.asList(
+      Row(1L, Double.NaN), Row(2L, Double.PositiveInfinity),
+      Row(3L, Double.NegativeInfinity), Row(4L, 0.5), Row(5L, null))
+    val df = spark.createDataFrame(rows, schema)
+    val out = Files.createTempDirectory("graft_nan").resolve("scores").toString
+    JsonIO.writeJson(df, out)
+    val back = JsonIO.readJsonAuto(spark, out, schema)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .sortBy(_._1).toSeq
+    assert(back(0)._2.exists(_.isNaN), s"NaN lost: $back")
+    assert(back(1)._2.contains(Double.PositiveInfinity), s"+inf lost: $back")
+    assert(back(2)._2.contains(Double.NegativeInfinity), s"-inf lost: $back")
+    assert(back(3)._2.contains(0.5) && back(4)._2.isEmpty, s"finite/null: $back")
+  }
+
   test("checkpoint writes once and reuses") {
     val out = Files.createTempDirectory("graft_ckpt").resolve("stage").toString
     import spark.implicits._

@@ -111,6 +111,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected two full aggregate pairs (salted + final) in:\n$p")
   }
 
+  test("q_quantile_bucket: broadcast boundary join, no per-language window") {
+    val p = planOf("q_quantile_bucket")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), s"per-language window in:\n$p")
+  }
+
   test("engine-wide sweep: no query plans a global (unpartitioned) ordered window") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     // a row_number()/rank() over an EMPTY partitionSpec funnels the
