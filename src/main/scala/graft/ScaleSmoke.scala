@@ -77,12 +77,16 @@ object ScaleSmoke {
           .agg(countDistinct(col("sh")).as("n_shared"))
           .where(col("n_shared") >= 5).count()
       }
-      def simhashPairCount(d: org.apache.spark.sql.DataFrame): Long = {
+      def simhashPairCount(d: org.apache.spark.sql.DataFrame,
+                           bits: Int = 16, segments: Int = 4,
+                           maxHamming: Int = 3): Long = {
         val ids = d.select(col("doc_id"),
           explode(graft.functions.TextFns.shinglesDistinct(col("text"), 3)).as("sh"))
           .withColumn("wid", graft.operators.Dedup.md5Wid(col("sh")))
-        val fps = graft.operators.Dedup.simhashFingerprints(ids, "doc_id", "wid")
-        graft.operators.Dedup.simhashPairs(fps, "doc_id", maxHamming = 3).count()
+        val fps = graft.operators.Dedup.simhashFingerprints(
+          ids, "doc_id", "wid", bits)
+        graft.operators.Dedup.simhashPairs(fps, "doc_id", maxHamming,
+          bits, segments).count()
       }
       time("simhash_pairs") { simhashPairCount(docs) }
       // duplicate-heavy corpora have genuinely quadratic duplicate
@@ -91,6 +95,14 @@ object ScaleSmoke {
       time("simhash_after_exact") {
         simhashPairCount(graft.operators.Dedup.exactDedup(
           docs.select(col("doc_id"), col("text")), "doc_id", Seq("text")))
+      }
+      // the production width: 64-bit fingerprints, 8-segment pigeonhole
+      // (full recall at Hamming <= 7) — proves the blocking math and the
+      // xxhash64 wide-hash path hold beyond the oracle's 16-bit surface
+      time("simhash64_after_exact") {
+        simhashPairCount(graft.operators.Dedup.exactDedup(
+          docs.select(col("doc_id"), col("text")), "doc_id", Seq("text")),
+          bits = 64, segments = 8, maxHamming = 7)
       }
       time("slice_deep") {
         // unbounded end → the zipWithIndex path (no global window)

@@ -70,10 +70,14 @@ object Clustering {
       s"fixed init needs every id in [0, $k); found ids ${cents.map(_._1)}")
     var assigned = assign(cents)
     for (_ <- 1 until iters) {
+      // DECIMAL(28,10): 18 integer digits of headroom — a (18,10)
+      // accumulator has only 8, which large-magnitude embeddings can
+      // overflow (silently NULLing under non-ANSI Spark but erroring
+      // in DuckDB — the divergence the PCA path already fixed)
       val rows = assigned
         .select(col("cluster"), posexplode(col(embCol)).as(Seq("pos", "v")))
         .groupBy(col("cluster"), col("pos"))
-        .agg((sum(col("v").cast("double").cast(DecimalType(18, 10)))
+        .agg((sum(col("v").cast("double").cast(DecimalType(28, 10)))
           .cast("double") / count(lit(1))).as("c"))
         .collect()
       cents = rows.groupBy(_.getInt(0)).map { case (cid, rs) =>
@@ -81,6 +85,11 @@ object Clustering {
         rs.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
         (cid, arr)
       }.toSeq.sortBy(_._1)
+      // an emptied cluster would silently shrink k (and desynchronize
+      // the oracle's fixed-k replay) — fail loudly instead
+      require(cents.length == k,
+        s"cluster(s) emptied mid-iteration: ${k - cents.length} of $k " +
+          "lost; fixed-init Lloyd's needs every cluster non-empty")
       assigned = assign(cents)
     }
     assigned

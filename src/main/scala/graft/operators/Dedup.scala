@@ -155,12 +155,18 @@ object Dedup {
     * grouped sum. */
   def simhashFingerprints(docShingleIds: DataFrame, idCol: String,
                           widCol: String, bits: Int = 16): DataFrame = {
-    // small LCG: keeps wid*a+b inside BIGINT under ANSI overflow
-    // checks and is reproducible in DuckDB (which errors on overflow
-    // rather than wrapping). Projected ONCE — the 16 per-bit vote
-    // aggregates share `_h` instead of re-evaluating the LCG each.
+    require(bits >= 1 && bits <= 64, s"simhash bits must be 1..64, got $bits")
+    // ≤31 bits: small LCG — keeps wid*a+b inside BIGINT under ANSI
+    // overflow checks and is reproducible in DuckDB (which errors on
+    // overflow rather than wrapping); the gated 16-bit queries replay
+    // it. Wider fingerprints need spread beyond bit 30, which the LCG
+    // cannot give without overflow — use xxhash64 there (full 64-bit
+    // avalanche; no DuckDB twin, so wide runs are spec/rows-only).
+    // Projected ONCE — the per-bit vote aggregates share `_h` instead
+    // of re-evaluating the hash each.
     val hashed = docShingleIds.withColumn("_h",
-      (col(widCol) * 1103515245L + 12345L) % 2147483648L)
+      if (bits <= 31) (col(widCol) * 1103515245L + 12345L) % 2147483648L
+      else xxhash64(col(widCol)))
     val bitVotes = (0 until bits).map { b =>
       sum(when(shiftright(col("_h"), b).bitwiseAND(1) === 1, 1L)
         .otherwise(-1L)).as(s"v_$b")

@@ -124,24 +124,34 @@ object Similarity {
     * Measured on the synthetic embeddings: 6×3 ⇒ ~0.74 recall@10
     * scanning ~0.6 of the corpus (near-uniform vectors are an
     * adversarial case for LSH). */
-  def lshTopK(queries: DataFrame, corpus: DataFrame,
-              qId: String, cId: String, embCol: String,
-              planes: Int, k: Int, tables: Int = 6): DataFrame = {
-    // all table buckets in ONE corpus pass (a per-table union would
-    // rescan + re-project the corpus `tables` times), then posexplode
-    // to (table, bucket) join keys. The per-row bucket computation is
-    // the native codegen'd [[graft.plans.HyperplaneBuckets]] (the
-    // per-plane zip_with/aggregate folds in [[hyperplaneBucket]] are
-    // interpreted and were the hot path of the LSH search).
+  /** The LSH candidate stage alone: distinct (query_id, vec_id) pairs
+    * sharing any table bucket. Exposed so recall/scan-fraction can be
+    * measured directly (the candidate count over the corpus size IS
+    * the scan fraction the re-rank pays). All table buckets come from
+    * ONE corpus pass (a per-table union would rescan + re-project the
+    * corpus `tables` times), then posexplode to (table, bucket) join
+    * keys. The per-row bucket computation is the native codegen'd
+    * [[graft.plans.HyperplaneBuckets]] (the per-plane zip_with/
+    * aggregate folds in [[hyperplaneBucket]] are interpreted and were
+    * the hot path of the LSH search). */
+  def lshCandidates(queries: DataFrame, corpus: DataFrame,
+                    qId: String, cId: String, embCol: String,
+                    planes: Int, tables: Int): DataFrame = {
     def allBuckets(df: DataFrame, id: String, as: String) =
       df.select(col(id).as(as),
           posexplode(graft.plans.HyperplaneBuckets(col(embCol), planes, tables))
             .as(Seq("tbl", "_bkt")))
-    val cands = allBuckets(corpus, cId, "vec_id")
+    allBuckets(corpus, cId, "vec_id")
       .join(broadcast(allBuckets(queries, qId, "query_id")), Seq("tbl", "_bkt"))
       .select(col("query_id"), col("vec_id"))
       .where(col("query_id") =!= col("vec_id"))
       .distinct()
+  }
+
+  def lshTopK(queries: DataFrame, corpus: DataFrame,
+              qId: String, cId: String, embCol: String,
+              planes: Int, k: Int, tables: Int = 6): DataFrame = {
+    val cands = lshCandidates(queries, corpus, qId, cId, embCol, planes, tables)
     val scored = cands
       .join(queries.select(col(qId).as("query_id"),
         col(embCol).as("_qe")), "query_id")

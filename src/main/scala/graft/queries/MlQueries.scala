@@ -71,7 +71,7 @@ object MlQueries extends QueryModule {
        |c1 AS (
        |  SELECT cid, list(cd ORDER BY pos) AS c FROM (
        |    SELECT a0.cluster AS cid, le.pos,
-       |      CAST(SUM(CAST(CAST(le.v AS DOUBLE) AS DECIMAL(18,10))) AS DOUBLE)
+       |      CAST(SUM(CAST(CAST(le.v AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE)
        |        / COUNT(*) AS cd
        |    FROM (SELECT vec_id, unnest(embedding) AS v,
        |            generate_subscripts(embedding, 1) AS pos FROM e) le
@@ -227,14 +227,17 @@ object MlQueries extends QueryModule {
       |WHERE g.sess_id < last.last_sess
       |GROUP BY g.user_id ORDER BY g.user_id""".stripMargin
 
-  /** Multimodal: synthetic media table → stub decode → features +
-    * frame sampling; aggregated per kind. Oracle-exact: the corpus is
-    * pure ASCII so payload bytes equal code points, and the oracle
-    * replays the stub decoder's FLOAT accumulation order with per-step
-    * REAL casts. */
+  /** Multimodal: media table → decode → features + frame sampling;
+    * aggregated per kind. Image rows carry REAL ImageIO-encoded
+    * PNG/JPEG payloads whose headers the decoder parses back (f0 =
+    * parsed width, which the oracle predicts from the id recipe);
+    * audio/video stay on the stub byte-stats decoder (pure-ASCII
+    * corpus, so the oracle replays its FLOAT accumulation order with
+    * per-step REAL casts). */
   private def qMultimodal(implicit s: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.syntheticMedia(Tables.documents(s, dir), "doc_id", "text")
-    val feats = Multimodal.extractFeatures(media)
+    val media = Multimodal.mixedMedia(Tables.documents(s, dir), "doc_id", "text")
+    val feats = Multimodal.extractFeatures(media,
+      () => new Multimodal.ImageHeaderDecoder())
     Multimodal.sampleFrames(feats, stride = 4, maxFrames = 8)
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n_media"),
@@ -256,15 +259,16 @@ object MlQueries extends QueryModule {
       |    CASE kind WHEN 'video' THEN CAST(greatest(1, n_bytes // 64) AS INTEGER)
       |              WHEN 'audio' THEN CAST(greatest(1, n_bytes // 16) AS INTEGER)
       |              ELSE 1 END AS n_frames,
-      |    CASE WHEN n_bytes = 0 THEN CAST(0 AS REAL)
-      |      ELSE CAST(list_reduce(
+      |    CASE WHEN kind = 'image' THEN CAST(16 + doc_id % 17 AS DOUBLE)
+      |         WHEN n_bytes = 0 THEN CAST(CAST(0 AS REAL) AS DOUBLE)
+      |         ELSE CAST(CAST(list_reduce(
       |             list_transform(range(1, len(chars) + 1, 8),
       |               i -> CAST(CAST(ascii(chars[i]) AS REAL) / CAST(255 AS REAL) AS REAL)),
-      |             (a, b) -> CAST(a + b AS REAL)) / CAST(n_bytes AS REAL) AS REAL)
+      |             (a, b) -> CAST(a + b AS REAL)) / CAST(n_bytes AS REAL) AS REAL) AS DOUBLE)
       |    END AS f0
       |  FROM m),
       |g AS (
-      |  SELECT kind, n_frames, CAST(f0 AS DOUBLE) AS f0,
+      |  SELECT kind, n_frames, f0,
       |    CASE WHEN n_frames > 1 THEN least(8, (n_frames - 1) // 4 + 1)
       |         ELSE 1 END AS n_sampled
       |  FROM f)
@@ -273,6 +277,25 @@ object MlQueries extends QueryModule {
       |  round(avg(f0), 6) AS avg_f0,
       |  round(avg(n_sampled), 4) AS avg_sampled
       |FROM g GROUP BY kind ORDER BY kind""".stripMargin
+
+  /** Per-row REAL-codec gate: every payload is an actual PNG or JPEG
+    * (encoded by the JDK's ImageIO), and the engine's byte-level
+    * header parser must recover format, dimensions, and channel count
+    * for every row — the oracle predicts all of it from the id
+    * recipe, so a single mis-parsed byte offset fails the hash. */
+  private def qImageHeaders(implicit s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.imageMedia(
+      Tables.documents(s, dir).where(col("doc_id") % 3 === 0), "doc_id")
+    Multimodal.decodeHeaders(media).orderBy(col("media_id"))
+  }
+
+  private val qImageHeadersSql =
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+      |  CAST(16 + doc_id % 17 AS INTEGER) AS width,
+      |  CAST(12 + doc_id % 13 AS INTEGER) AS height,
+      |  CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS INTEGER) AS channels
+      |FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""".stripMargin
 
   override def queries: Seq[Q] = Seq(
     Q("q_kmeans", (s, d) => qKmeans(s, d), None),
@@ -283,5 +306,6 @@ object MlQueries extends QueryModule {
     Q("q_pca_exact", (s, d) => qPcaExact(s, d), Some(qPcaExactSql)),
     Q("q_stream_hourly", (s, d) => qStreamHourly(s, d), Some(qStreamHourlySql)),
     Q("q_sessionize", (s, d) => qSessionize(s, d), Some(qSessionizeSql)),
-    Q("q_multimodal_features", (s, d) => qMultimodal(s, d), Some(qMultimodalSql)))
+    Q("q_multimodal_features", (s, d) => qMultimodal(s, d), Some(qMultimodalSql)),
+    Q("q_image_headers", (s, d) => qImageHeaders(s, d), Some(qImageHeadersSql)))
 }

@@ -91,6 +91,46 @@ class DedupSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("simhashPairs full recall at 64 bits / 8 segments (pigeonhole at production width)") {
+    // 160 planted 64-bit fingerprints: Hamming-1, contiguous
+    // Hamming<=7, and top-bit-involving pairs. 8-segment blocking must
+    // equal brute force at maxHamming = 7 (7 < 8 segments → at least
+    // one 8-bit segment always intact).
+    val rnd = new scala.util.Random(99)
+    val base = Seq.fill(40)(rnd.nextLong())
+    val fps = base.zipWithIndex.flatMap { case (f, i) =>
+      Seq(
+        (i * 4L,     f),
+        (i * 4L + 1, f ^ (1L << rnd.nextInt(64))),
+        (i * 4L + 2, f ^ (0x7fL << rnd.nextInt(57))),           // Hamming <= 7, contiguous
+        (i * 4L + 3, f ^ (1L << 63) ^ (1L << rnd.nextInt(63)))) // includes the sign bit
+    }
+    val df = fps.toDF("doc_id", "simhash")
+    val got = Dedup.simhashPairs(df, "doc_id", maxHamming = 7,
+        bits = 64, segments = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val want = (for {
+      (a, fa) <- fps; (b, fb) <- fps
+      if a < b && java.lang.Long.bitCount(fa ^ fb) <= 7
+    } yield (a, b)).toSet
+    assert(got == want)
+  }
+
+  test("64-bit fingerprints actually spread beyond the LCG's 31 bits") {
+    val ids = (1L to 400L).map(w => (w % 10, w * 131 % 1000003)).toDF("doc_id", "wid")
+    val fps = Dedup.simhashFingerprints(ids, "doc_id", "wid", bits = 64)
+    // some fingerprint must set a bit >= 32 (the 16/31-bit LCG path
+    // cannot — this catches a silent fall-back to the narrow hash)
+    val high = fps.where(shiftright(col("simhash"), 32) =!= 0).count()
+    assert(high > 0, "no fingerprint used bits >= 32")
+    // and the end-to-end wide pipeline stays self-consistent: identical
+    // shingle-id sets → identical 64-bit fingerprints
+    val dup = Seq((1L, 7L), (1L, 9L), (2L, 7L), (2L, 9L)).toDF("doc_id", "wid")
+    val two = Dedup.simhashFingerprints(dup, "doc_id", "wid", bits = 64)
+      .as[(Long, Long)].collect().toMap
+    assert(two(1L) == two(2L))
+  }
+
   test("minhash signature similarity tracks jaccard") {
     val a = (1L to 40L).map((1L, _))
     val b = (1L to 40L).map((2L, _))            // identical to a

@@ -41,4 +41,24 @@ class EntrySpec extends AnyFunSuite {
     assert(sampled.where(size(col("frame_idx")) > 8).count() == 0)
     assert(sampled.where(size(col("frame_idx")) < 1).count() == 0)
   }
+
+  test("image codec: header parse recovers real PNG/JPEG geometry") {
+    import Multimodal.ImageCodec
+    // PNG truecolor / grayscale
+    assert(ImageCodec.parseHeader(ImageCodec.encodePng(33, 21, gray = false))
+      == ("png", 33, 21, 3))
+    assert(ImageCodec.parseHeader(ImageCodec.encodePng(7, 300, gray = true))
+      == ("png", 7, 300, 1))
+    // JPEG color (3 components) / grayscale (1) — dims from the SOF
+    // segment, whose position varies with the APP/DQT/DHT segments
+    assert(ImageCodec.parseHeader(ImageCodec.encodeJpeg(64, 48, gray = false))
+      == ("jpeg", 64, 48, 3))
+    assert(ImageCodec.parseHeader(ImageCodec.encodeJpeg(17, 1, gray = true))
+      == ("jpeg", 17, 1, 1))
+    // non-image bytes degrade, never throw
+    assert(ImageCodec.parseHeader("not an image".getBytes)._1 == "unknown")
+    assert(ImageCodec.parseHeader(Array[Byte](0xff.toByte, 0xd8.toByte))
+      == ("jpeg", -1, -1, -1))
+    assert(ImageCodec.parseHeader(Array.empty[Byte])._1 == "unknown")
+  }
 }
