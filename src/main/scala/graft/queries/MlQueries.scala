@@ -297,6 +297,26 @@ object MlQueries extends QueryModule {
       |  CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS INTEGER) AS channels
       |FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""".stripMargin
 
+  /** t-SNE + PNG plot, end to end (reference C3+S7: the viz tail of
+    * the pipeline, `main.py:366–376`). Deterministic exact t-SNE over
+    * the bounded embeddings sample, then the scatter written through
+    * the real PNG sink; the query returns the coordinates. Rows-only:
+    * 300 gradient-descent iterations of driver-side float math have no
+    * SQL twin — determinism is spec-asserted instead (bit-identical
+    * across runs, TsneSpec). */
+  private def qTsneCoords(implicit s: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(s, dir)
+    val coords = graft.operators.Tsne.project(embs, "vec_id", "embedding",
+      perplexity = 5.0, iters = 300)
+    val labeled = coords.join(embs.select(col("vec_id"), col("label")), "vec_id")
+    val png = new java.io.File(graft.io.JsonIO.SharegptFixturePath)
+      .getParent + "/tsne_scatter.png"
+    graft.io.PlotSink.scatterPng(labeled, "x", "y", "label", png)
+    coords.select(col("vec_id"), round(col("x"), 6).as("x"),
+        round(col("y"), 6).as("y"))
+      .orderBy(col("vec_id"))
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q_kmeans", (s, d) => qKmeans(s, d), None),
     Q("q_kmeans_exact", (s, d) => qKmeansExact(s, d), Some(qKmeansExactSql)),
@@ -307,5 +327,6 @@ object MlQueries extends QueryModule {
     Q("q_stream_hourly", (s, d) => qStreamHourly(s, d), Some(qStreamHourlySql)),
     Q("q_sessionize", (s, d) => qSessionize(s, d), Some(qSessionizeSql)),
     Q("q_multimodal_features", (s, d) => qMultimodal(s, d), Some(qMultimodalSql)),
-    Q("q_image_headers", (s, d) => qImageHeaders(s, d), Some(qImageHeadersSql)))
+    Q("q_image_headers", (s, d) => qImageHeaders(s, d), Some(qImageHeadersSql)),
+    Q("q_tsne_coords", (s, d) => qTsneCoords(s, d), None))
 }
