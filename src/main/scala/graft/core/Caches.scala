@@ -8,7 +8,13 @@ import java.util.concurrent.ConcurrentLinkedQueue
   * banded/blocked frames, shingle sets). A long-lived session running
   * the whole 100-query bench/verify suite would otherwise accumulate
   * one cached relation per invocation in executor storage; drivers
-  * call [[releaseAll]] between queries to return the memory. */
+  * call [[releaseAll]] between queries to return the memory.
+  *
+  * Contract: the registry is GLOBAL and [[releaseAll]] assumes queries
+  * execute one at a time (which Bench, Verify, and the driver gate all
+  * do). A driver overlapping two queries in one JVM must not call
+  * releaseAll mid-flight — it would unpersist the other query's
+  * self-join cache and silently recompute its upstream per join side. */
 object Caches {
   private val live = new ConcurrentLinkedQueue[DataFrame]()
 

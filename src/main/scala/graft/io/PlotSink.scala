@@ -28,12 +28,21 @@ object PlotSink {
                  labelCol: String, path: String,
                  width: Int = 640, height: Int = 480,
                  maxRows: Int = 100000): String = {
+    // a viz sink degrades rather than crashes: drop rows with null or
+    // non-finite coordinates / null labels instead of NPE-ing mid-render
+    // or letting one NaN poison the min/max scaling for every point
     val rows = df.select(col(xCol).cast("double"), col(yCol).cast("double"),
         col(labelCol).cast("long"))
+      .where(col(xCol).isNotNull && col(yCol).isNotNull &&
+        col(labelCol).isNotNull &&
+        !isnan(col(xCol).cast("double")) && !isnan(col(yCol).cast("double")) &&
+        abs(col(xCol).cast("double")) < Double.MaxValue &&
+        abs(col(yCol).cast("double")) < Double.MaxValue)
       .limit(maxRows + 1).collect()
     require(rows.length <= maxRows,
       s"scatterPng renders a bounded sample: got > $maxRows rows")
-    require(rows.nonEmpty, "scatterPng needs a non-empty input")
+    require(rows.nonEmpty,
+      "scatterPng needs a non-empty input (after dropping null/non-finite rows)")
 
     val xs = rows.map(_.getDouble(0)); val ys = rows.map(_.getDouble(1))
     val (x0, x1) = (xs.min, xs.max); val (y0, y1) = (ys.min, ys.max)

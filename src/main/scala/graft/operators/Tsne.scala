@@ -14,13 +14,18 @@ import org.apache.spark.sql.types._
   * the driver over a sampled table. This implementation keeps that
   * contract honest at 100 TB: the DISTRIBUTED part is whatever
   * Spark-side sampling/selection bounds n (stride sampling, k-center,
-  * cluster-stratified — all in this engine), and the driver then runs
-  * the exact algorithm on ≤ `maxRows` points (enforced, not assumed).
+  * cluster-stratified — all in this engine); the exact algorithm then
+  * runs on ≤ `maxRows` points (enforced, not assumed) INSIDE one
+  * executor task — the plan stays lazy (constructing the DataFrame
+  * costs nothing; plan tools never trigger the optimization), and no
+  * point ever reaches the driver.
   *
   * Determinism (stronger than the reference's seed=0): no RNG at all.
   * Init comes from the first two input dimensions, standardized and
-  * scaled — the standard 1e-4 init magnitude — so two runs produce
-  * bit-identical embeddings, and specs can assert exact equality.
+  * scaled — the standard 1e-4 init magnitude — and points are sorted
+  * by id inside the task, so two runs produce bit-identical
+  * embeddings regardless of upstream partitioning; specs assert exact
+  * equality.
   *
   * Algorithm (van der Maaten & Hinton 2008, the public formulation):
   * per-point Gaussian bandwidths found by bisection to match
@@ -31,15 +36,30 @@ import org.apache.spark.sql.types._
 object Tsne {
 
   /** Project `embCol` (array<float/double>) to 2-D t-SNE coordinates.
-    * Returns (idCol, x, y). Driver-side over a bounded collect —
-    * throws if the input exceeds `maxRows` rather than silently
-    * attempting an O(n²) job on a corpus. */
+    * Returns a LAZY (idCol, x, y) DataFrame; the algorithm runs in a
+    * single executor task when an action fires, and throws there if
+    * the input exceeds `maxRows` rather than silently attempting an
+    * O(n²) job on a corpus. */
   def project(df: DataFrame, idCol: String, embCol: String,
               perplexity: Double = 5.0, iters: Int = 300,
               learningRate: Double = 0.0, maxRows: Int = 5000): DataFrame = {
-    val spark = df.sparkSession
-    val collected = df.select(col(idCol).cast("long"), col(embCol))
-      .limit(maxRows + 1).collect()
+    import org.apache.spark.sql.Encoders
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("x", DoubleType, nullable = false),
+      StructField("y", DoubleType, nullable = false)))
+    df.select(col(idCol).cast("long"), col(embCol))
+      .coalesce(1) // the whole bounded sample in ONE task
+      .mapPartitions { it =>
+        solve(it, perplexity, iters, learningRate, maxRows)
+      }(Encoders.row(outSchema))
+  }
+
+  /** The exact algorithm over an in-task iterator. Separated so the
+    * surrounding DataFrame stays a plain lazy mapPartitions plan. */
+  private def solve(it: Iterator[Row], perplexity: Double, iters: Int,
+                    learningRate: Double, maxRows: Int): Iterator[Row] = {
+    val collected = it.take(maxRows + 1).toArray
       // fixed point order (summation order in the loops below follows
       // index order) → bit-identical output independent of partitioning
       .sortBy(_.getLong(0))
@@ -49,8 +69,11 @@ object Tsne {
     require(collected.nonEmpty, "t-SNE needs a non-empty input")
     val n = collected.length
     val ids = collected.map(_.getLong(0))
+    require(collected.forall(!_.isNullAt(1)), "t-SNE needs non-null embeddings")
     val x = collected.map(_.getSeq[Number](1).map(_.doubleValue).toArray)
     val dim = x(0).length
+    require(x.forall(_.length == dim),
+      s"t-SNE needs rectangular embeddings: expected dim $dim for every row")
 
     // ---- pairwise squared distances (high-dim)
     val d2 = Array.ofDim[Double](n, n)
@@ -189,12 +212,6 @@ object Tsne {
       iter += 1
     }
 
-    val schema = StructType(Seq(
-      StructField(idCol, LongType, nullable = false),
-      StructField("x", DoubleType, nullable = false),
-      StructField("y", DoubleType, nullable = false)))
-    val rows = (0 until n).map(r => Row(ids(r), y(0)(r), y(1)(r)))
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), schema)
+    (0 until n).iterator.map(r => Row(ids(r), y(0)(r), y(1)(r)))
   }
 }

@@ -293,8 +293,11 @@ object DataSQueries extends QueryModule {
 
   private val qSharegptFileSql = {
     // eager: the oracle must find the file even if the Spark-side
-    // query never ran in this process (registration writes it too)
-    graft.io.JsonIO.sharegptFixture()
+    // query never ran in this process (registration writes it too).
+    // Non-fatal: a failed write here must degrade to ONE failing query
+    // (q_sharegpt_file retries in its fn), not an
+    // ExceptionInInitializerError that kills every registered query.
+    scala.util.Try(graft.io.JsonIO.sharegptFixture())
     s"""WITH t AS (
        |  SELECT conversation_id, category, unnest(conversation) AS ex
        |  FROM read_json('${graft.io.JsonIO.SharegptFixturePath}',

@@ -156,7 +156,11 @@ object EngineSurfaceQueries extends QueryModule {
     * (`tensor2jsonl.py:11–12`), so the counts classified AFTER the
     * sink→scan must match the oracle's counts computed from source. */
   private def qJsonRoundtrip(implicit s: SparkSession, dir: String): DataFrame = {
-    val out = "/tmp/graft_json_rt/" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    // per-user scratch dir (same hardening as JsonIO's fixture path —
+    // a fixed world-writable /tmp location can be pre-owned or
+    // symlinked by another local user)
+    val out = new java.io.File(graft.io.JsonIO.SharegptFixturePath).getParent +
+      "/json_rt_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
     val score = when(col("doc_id") % 97 === 0, lit(Double.NaN))
       .when(col("doc_id") % 89 === 0, lit(Double.PositiveInfinity))
       .when(col("doc_id") % 83 === 0, lit(Double.NegativeInfinity))

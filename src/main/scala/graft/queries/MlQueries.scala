@@ -297,21 +297,21 @@ object MlQueries extends QueryModule {
       |  CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS INTEGER) AS channels
       |FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""".stripMargin
 
-  /** t-SNE + PNG plot, end to end (reference C3+S7: the viz tail of
-    * the pipeline, `main.py:366–376`). Deterministic exact t-SNE over
-    * the bounded embeddings sample, then the scatter written through
-    * the real PNG sink; the query returns the coordinates. Rows-only:
-    * 300 gradient-descent iterations of driver-side float math have no
+  /** t-SNE coordinates (reference C3, the viz tail of the pipeline,
+    * `main.py:366–368`): stride-sample the embeddings down to a
+    * bounded viz set (the distributed half of the contract — the
+    * reference samples before sklearn TSNE too), then the exact
+    * deterministic t-SNE runs lazily inside one executor task.
+    * Rows-only: 300 gradient-descent iterations of float math have no
     * SQL twin — determinism is spec-asserted instead (bit-identical
-    * across runs, TsneSpec). */
+    * across runs and partitionings, TsneSpec); the S7 PNG sink over
+    * these coordinates is spec-gated in TsneSpec as well. */
   private def qTsneCoords(implicit s: SparkSession, dir: String): DataFrame = {
+    // deterministic stride sample: ≤ ~500 points at any scale factor
     val embs = Tables.embeddings(s, dir)
-    val coords = graft.operators.Tsne.project(embs, "vec_id", "embedding",
+    val sampled = embs.where(pmod(col("vec_id"), lit(4)) === 0)
+    val coords = graft.operators.Tsne.project(sampled, "vec_id", "embedding",
       perplexity = 5.0, iters = 300)
-    val labeled = coords.join(embs.select(col("vec_id"), col("label")), "vec_id")
-    val png = new java.io.File(graft.io.JsonIO.SharegptFixturePath)
-      .getParent + "/tsne_scatter.png"
-    graft.io.PlotSink.scatterPng(labeled, "x", "y", "label", png)
     coords.select(col("vec_id"), round(col("x"), 6).as("x"),
         round(col("y"), 6).as("y"))
       .orderBy(col("vec_id"))

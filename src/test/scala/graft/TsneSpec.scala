@@ -62,10 +62,13 @@ class TsneSpec extends AnyFunSuite {
   test("t-SNE enforces its bounded-sample contract") {
     val big = spark.range(0, 40).selectExpr("id AS vec_id",
       "array(cast(id as float), cast(id as float)) AS embedding")
-    val e = intercept[IllegalArgumentException] {
-      Tsne.project(big, "vec_id", "embedding", maxRows = 10)
-    }
-    assert(e.getMessage.contains("bounded sample"))
+    // lazy plan: construction is free; the cap fires inside the task
+    // at action time, surfacing as the job failure's cause chain
+    val plan = Tsne.project(big, "vec_id", "embedding", maxRows = 10)
+    val e = intercept[Exception] { plan.count() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("bounded sample")), e.toString)
   }
 
   test("scatterPng writes a parseable PNG with plotted content") {
