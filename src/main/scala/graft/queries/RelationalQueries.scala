@@ -297,6 +297,39 @@ object RelationalQueries extends QueryModule {
       |  ROUND(CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE), 2) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  // -------------------------------------------- RANGE-frame window
+  /** Trailing-hour RANGE frame per user: for every event, how many
+    * events and how much value the user produced in the preceding
+    * 3600 seconds (inclusive). A VALUE-based frame, not a row count —
+    * the one window-frame class the rows-frame queries don't cover.
+    * Epoch seconds as the order key (integer on both engines; peers
+    * share a second and get identical frame aggregates, so the result
+    * is order-deterministic); the frame sum goes through DECIMAL
+    * (addition-order-free). Scale: partitioned by user_id — no global
+    * window; the frame is bounded by time, not partition size. */
+  private def qWindowRange(implicit s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"))
+      .rangeBetween(-3600, Window.currentRow)
+    Tables.events(s, dir)
+      .where(col("user_id") <= 30)
+      .withColumn("sec", col("ts").cast("long"))
+      .select(col("user_id"), col("sec"),
+        count(lit(1)).over(w).as("n_1h"),
+        round(sum(col("value").cast(DecimalType(30, 4))).over(w)
+          .cast("double"), 2).as("v_1h"))
+      .orderBy(col("user_id"), col("sec"))
+  }
+
+  private val qWindowRangeSql =
+    """SELECT user_id, epoch_us(ts) // 1000000 AS sec,
+      |  COUNT(*) OVER w AS n_1h,
+      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(30,4))) OVER w AS DOUBLE), 2) AS v_1h
+      |FROM events WHERE user_id <= 30
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+      |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, sec""".stripMargin
+
   // ------------------------------------------------------- correlation
   /** Scalar-function + conditional-aggregation breadth: per order
     * priority, share of high-value orders and price stats. */
@@ -476,6 +509,7 @@ object RelationalQueries extends QueryModule {
     Q("q5_local_supplier", (s, d) => q5(s, d), Some(q5Sql)),
     Q("q_window_topk", (s, d) => qWindowTopk(s, d), Some(qWindowTopkSql)),
     Q("q_window_running", (s, d) => qWindowRunning(s, d), Some(qWindowRunningSql)),
+    Q("q_window_range", (s, d) => qWindowRange(s, d), Some(qWindowRangeSql)),
     Q("q_rollup", (s, d) => qRollup(s, d), Some(qRollupSql)),
     Q("q_semi_anti", (s, d) => qSemiAnti(s, d), Some(qSemiAntiSql)),
     Q("q_setops", (s, d) => qSetops(s, d), Some(qSetopsSql)),
