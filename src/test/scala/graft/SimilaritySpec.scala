@@ -84,6 +84,40 @@ class SimilaritySpec extends AnyFunSuite {
     corpus.unpersist()
   }
 
+  test("ivfTopK on clustered embeddings: recall@10 >= 0.9 probing 2 of 8 cells") {
+    // same clustered fixture shape as the LSH test; cells = true
+    // cluster labels (the IVF contract: labels come from KMeans or a
+    // precomputed partitioner). Probing 2/8 cells = scanning ~25% of
+    // the corpus must recover >= 0.9 of the exact top-10.
+    val rnd = new scala.util.Random(13)
+    val dim = 16
+    val centers = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val rows = for { c <- centers.indices; m <- 0 until 50 } yield {
+      val v = centers(c).map(x => x + 0.08f * rnd.nextGaussian().toFloat)
+      ((c * 50 + m).toLong, c, v)
+    }
+    val corpus = rows.toDF("vec_id", "label", "embedding").repartition(8).cache()
+    // separate lineage (not corpus.where): ivfTopK self-joins the
+    // corpus against the probed cells, and a queries frame sharing the
+    // corpus subtree trips Spark's ambiguous-self-join detection
+    val queries = rows.filter(_._1 % 50 == 0)
+      .toDF("vec_id", "label", "embedding")
+    val k = 10
+    val ivf = Similarity.ivfTopK(queries, corpus, "vec_id", "vec_id",
+        "embedding", "label", probes = 2, k = k)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val bf = Similarity.bruteForceTopK(queries, corpus,
+        "vec_id", "vec_id", "embedding", k)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = bf.keysIterator.map { q =>
+      (ivf.getOrElse(q, Set.empty) & bf(q)).size.toDouble / bf(q).size
+    }.sum / bf.size
+    assert(recall >= 0.9, f"IVF recall@$k = $recall%.3f at 2/8 probes")
+    corpus.unpersist()
+  }
+
   test("lshTopK returns a subset of brute-force candidates with exact sims") {
     val embs = graft.core.Tables.embeddings(spark, TestSpark.SfDir)
     val q = embs.where($"vec_id" === 0)
