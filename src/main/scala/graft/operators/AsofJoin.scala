@@ -55,8 +55,12 @@ object AsofJoin {
       (leftCols.map(col) ++ Seq(col("_k"), col("_ts"), col("_side"),
         col("_payload"))): _*)
       .unionByName(r)
+    // xxhash64(_payload) tiebreak: when several RIGHT rows share
+    // (key, ts), `last` would otherwise pick whichever the unstable
+    // sort placed later — run-to-run nondeterminism. The hash makes
+    // the pick arbitrary-but-stable; tie-free data is unaffected.
     val w = Window.partitionBy(col("_k"))
-      .orderBy(col("_ts"), col("_side"))
+      .orderBy(col("_ts"), col("_side"), xxhash64(col("_payload")))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = unioned
       .withColumn("_match", last(col("_payload"), ignoreNulls = true).over(w))

@@ -115,6 +115,11 @@ object Clustering {
     require(probe.nonEmpty && !probe(0).isNullAt(0),
       "powerIterProjection needs a non-empty table with non-null embeddings")
     val dim = probe(0).getInt(0)
+    // probe checks only the FIRST row; a null or ragged embedding in
+    // any later row would otherwise be silently skipped by the sums
+    // (the direction quietly excludes data). One narrow limit(1) scan.
+    require(df.where(col(embCol).isNull || size(col(embCol)) =!= dim).isEmpty,
+      s"powerIterProjection needs rectangular non-null embeddings of dim $dim")
     def dotWith(v: Array[Double]) =
       aggregate(zip_with(col(embCol), array(v.map(lit): _*),
         (p, q) => p.cast("double") * q), lit(0.0), (a, x) => a + x)

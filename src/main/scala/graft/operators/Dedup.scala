@@ -118,6 +118,9 @@ object Dedup {
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, k: Int = 12, bands: Int = 4,
                    threshold: Double = 0.5): DataFrame = {
+    // k/bands truncation would silently band over a PREFIX of the
+    // signature — a different recall curve than the caller asked for
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     // sets feeds both candidate generation and pair verification;
     // cached so the shingling runs once (ids + 2 verification joins)
     val sets = graft.core.Caches.track(df.select(col(idCol),

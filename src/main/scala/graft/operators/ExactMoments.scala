@@ -76,6 +76,11 @@ object ExactMoments extends Aggregator[Double, MomentsBuf, MomentsOut] {
     val s = s"CAST(SUM(CAST($x AS DECIMAL(19,8))) AS DOUBLE)"
     val s2 = s"CAST(SUM(CAST($x AS DECIMAL(19,8)) * CAST($x AS DECIMAL(19,8))) AS DOUBLE)"
     val n = "COUNT(*)"
-    (n, s"$s / $n", s"($s2 - $s * $s / $n) / ($n - 1)")
+    // n < 2 → NaN, mirroring finish() exactly: without the guard the
+    // fragment divides by (n-1) = 0, which DuckDB evaluates to
+    // NULL/±inf depending on version — a latent single-row-group
+    // divergence
+    (n, s"$s / $n",
+      s"CASE WHEN $n < 2 THEN CAST('nan' AS DOUBLE) ELSE ($s2 - $s * $s / $n) / ($n - 1) END")
   }
 }

@@ -81,7 +81,11 @@ object Scorers {
     override def reward(prompt: String, completion: String): Double =
       4.0 * unit(h15("rw:" + prompt + "#" + completion)) - 2.0
     override def tokenLoss(prompt: String, completion: String): Array[Double] = {
-      val toks = completion.trim.split("\\s+")
+      // drop empty tokens: "".split gives Array("") — a phantom token
+      // that would fabricate a loss for an EMPTY completion and make
+      // ifdScore's empty-span null guard (the reference's contract)
+      // unreachable. Mirrored in the IFD/gradient oracle SQL.
+      val toks = completion.trim.split("\\s+").filter(_.nonEmpty)
       toks.zipWithIndex.map { case (t, i) =>
         0.05 + 4.0 * unit(h15("tl:" + prompt + "#" + t + "#" + i))
       }

@@ -67,21 +67,25 @@ object Similarity {
               probes: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     // centroid NUMERATOR per (cell, dim): exact decimal sum of the
-    // members' components; the /n happens once, in double, at the end
+    // members' components; the /n happens once, in double, at the end.
+    // Widths are the widest exact-product split: (14,10)·(23,10) →
+    // (38,20), the 38-digit cap with no rounding on either engine.
+    // Narrower casts ((12,10)/(18,10)) silently NULL on overflow in
+    // non-ANSI Spark but ERROR in DuckDB — the same latent divergence
+    // the Lloyd's/PCA accumulators were widened against.
     val centDim = corpus
       .select(col(cellCol), posexplode(col(embCol)).as(Seq("pos", "v")))
       .groupBy(col(cellCol), col("pos"))
-      .agg(sum(col("v").cast("double").cast(DecimalType(18, 10)))
-        .cast(DecimalType(18, 10)).as("cn"),
+      .agg(sum(col("v").cast("double").cast(DecimalType(23, 10)))
+        .cast(DecimalType(23, 10)).as("cn"),
         count(lit(1)).as("n"))
-    // query·centroid via the long format: one join + grouped sum;
-    // (12,10)·(18,10) products stay inside 38 digits, summed exactly
+    // query·centroid via the long format: one join + grouped sum
     val qDim = queries.select(col(qId).as("query_id"),
       posexplode(col(embCol)).as(Seq("pos", "qv")))
     val cellScore = qDim.join(centDim, "pos")
       .groupBy(col("query_id"), col(cellCol))
       .agg(round(
-        sum(col("qv").cast("double").cast(DecimalType(12, 10)) * col("cn"))
+        sum(col("qv").cast("double").cast(DecimalType(14, 10)) * col("cn"))
           .cast("double") / max(col("n")), 6).as("cell_sim"))
     val wCell = Window.partitionBy(col("query_id"))
       .orderBy(col("cell_sim").desc, col(cellCol))
@@ -180,17 +184,34 @@ object Similarity {
       df.where(col(idCol) === id).select(col(embCol)).head()
         .getSeq[Float](0).map(_.toDouble).toArray
 
+    // localCheckpoint truncates the per-round lineage, but each call
+    // PINS a full (id, emb, _mind) copy in executor storage; without
+    // release the loop accumulates k copies (OOM territory for large
+    // k × corpus). Track the RDD ids each checkpoint adds and
+    // unpersist the previous round's AFTER the new one materializes
+    // (localCheckpoint is eager), bounding storage at ~2 copies.
+    val sc = spark.sparkContext
+    def checkpointReleasing(df: DataFrame, prevIds: Set[Int]): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val cp = df.localCheckpoint() // eager: materialized on return
+      val added = (sc.getPersistentRDDs.keySet -- before).toSet
+      prevIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      (cp, added)
+    }
+
     var chosen = Vector(seedId)
-    var state = df.select(col(idCol), col(embCol))
-      .withColumn("_mind", sqdistTo(vecOf(seedId)))
-      .localCheckpoint()
+    var (state, cpIds) = checkpointReleasing(
+      df.select(col(idCol), col(embCol))
+        .withColumn("_mind", sqdistTo(vecOf(seedId))), Set.empty)
     while (chosen.size < k) {
       val next = state.orderBy(col("_mind").desc, col(idCol)).select(col(idCol))
         .head().getLong(0)
       chosen = chosen :+ next
-      state = state
-        .withColumn("_mind", least(col("_mind"), sqdistTo(vecOf(next))))
-        .localCheckpoint()
+      val (s2, ids2) = checkpointReleasing(
+        state.withColumn("_mind", least(col("_mind"), sqdistTo(vecOf(next)))),
+        cpIds)
+      state = s2; cpIds = ids2
     }
     chosen
   }

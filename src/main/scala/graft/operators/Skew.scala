@@ -19,8 +19,17 @@ object Skew {
     */
   def saltedAgg(df: DataFrame, keys: Seq[String], salts: Int,
                 aggs: Map[String, (Column, String => Column)]): DataFrame = {
+    // DETERMINISTIC salt (hash of the full row), not
+    // partition_id + monotonically_increasing_id: nondeterministic
+    // salts are the SPARK-23207 failure class — a stage-1 shuffle
+    // partition recomputed after executor loss re-salts its rows
+    // differently from what other reducers already fetched, silently
+    // double-counting/dropping rows. Hashing key+value still fans a
+    // hot key across salts whenever its values vary (the skew case);
+    // identical (key, value) duplicates sharing a salt only costs
+    // spread, never correctness.
     val salted = df.withColumn("_salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+      pmod(xxhash64(df.columns.map(col): _*), lit(salts.toLong)))
     val stage1 = salted
       .groupBy((keys :+ "_salt").map(col): _*)
       .agg(aggs.head._2._1.as("_" + aggs.head._1),

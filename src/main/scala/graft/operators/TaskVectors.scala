@@ -107,9 +107,12 @@ object TaskVectors {
     * value). */
   def tiesMerge(stackedIn: DataFrame, keep: Double, method: String = "mean"): DataFrame = {
     val stacked = graft.core.Caches.track(stackedIn) // feeds threshold agg AND value join
-    val masked = stacked.groupBy(col("model"), col("param_key"))
+    // threshold table is models×tensors rows (tiny) against billions of
+    // stacked rows — broadcast it (same load-bearing hint as topKMask)
+    // so the mask join never shuffles the big side
+    val th = stacked.groupBy(col("model"), col("param_key"))
       .agg(percentile(abs(col("value")), lit(1.0 - keep)).as("_th"))
-      .join(stacked, Seq("model", "param_key"))
+    val masked = stacked.join(broadcast(th), Seq("model", "param_key"))
       .withColumn("value",
         when(abs(col("value")) >= col("_th"), col("value")).otherwise(lit(0.0)))
       .drop("_th")

@@ -48,8 +48,13 @@ object Tsne {
       StructField(idCol, LongType, nullable = false),
       StructField("x", DoubleType, nullable = false),
       StructField("y", DoubleType, nullable = false)))
+    // repartition(1), NOT coalesce(1): coalesce is shuffle-free and
+    // would collapse the whole narrow upstream (the corpus scan +
+    // sampling filter) into the same single task; the shuffle boundary
+    // keeps upstream sampling parallel and moves only the bounded
+    // sample to the solver task
     df.select(col(idCol).cast("long"), col(embCol))
-      .coalesce(1) // the whole bounded sample in ONE task
+      .repartition(1)
       .mapPartitions { it =>
         solve(it, perplexity, iters, learningRate, maxRows)
       }(Encoders.row(outSchema))

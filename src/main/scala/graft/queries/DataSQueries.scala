@@ -428,7 +428,7 @@ object DataSQueries extends QueryModule {
        |      THEN printf('$t1', substr(text, 1, 60))
        |      ELSE printf('$t2', substr(text, 1, 60), source)
        |    END AS prompt,
-       |    string_split_regex(trim(text), '\\s+') AS toks
+       |    list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS toks
        |  FROM documents),
        |sc AS (
        |  SELECT doc_id,
@@ -464,7 +464,8 @@ object DataSQueries extends QueryModule {
   private val qGradientTopKSql = {
     import Scorers.ProxyBackend.unitSql
     s"""WITH tok AS (
-       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS toks
        |  FROM documents),
        |losses AS (
        |  SELECT doc_id,
@@ -473,7 +474,8 @@ object DataSQueries extends QueryModule {
        |  FROM tok),
        |grads AS (
        |  SELECT doc_id AS example_id, param_key, idx,
-       |    ll[(idx % len(ll)) + 1] * (1.0 / (1 + idx)) - 0.5 AS value
+       |    CASE WHEN len(ll) = 0 THEN 0.0
+       |      ELSE ll[(idx % len(ll)) + 1] * (1.0 / (1 + idx)) - 0.5 END AS value
        |  FROM losses
        |  CROSS JOIN (SELECT unnest(['layer0.weight', 'layer1.weight']) AS param_key)
        |  CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS idx)),

@@ -269,14 +269,14 @@ object NorthStarQueries extends QueryModule {
        |  FROM embeddings),
        |cent AS (
        |  SELECT label, pos,
-       |    CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,10))) AS DECIMAL(18,10)) AS cn,
+       |    CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(23,10))) AS DECIMAL(23,10)) AS cn,
        |    COUNT(*) AS n
        |  FROM longfmt GROUP BY 1, 2),
        |qdim AS (
        |  SELECT vec_id AS query_id, v AS qv, pos FROM longfmt WHERE vec_id < 5),
        |cs AS (
        |  SELECT query_id, label,
-       |    round(CAST(SUM(CAST(CAST(qv AS DOUBLE) AS DECIMAL(12,10)) * cn) AS DOUBLE)
+       |    round(CAST(SUM(CAST(CAST(qv AS DOUBLE) AS DECIMAL(14,10)) * cn) AS DOUBLE)
        |      / MAX(n), 6) AS cell_sim
        |  FROM qdim JOIN cent ON qdim.pos = cent.pos
        |  GROUP BY 1, 2),
