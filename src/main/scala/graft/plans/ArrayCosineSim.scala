@@ -21,7 +21,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * double arithmetic — bit-identical to the HOF formulation
   * (dot(a,b) / (√dot(a,a)·√dot(b,b))) and to the DuckDB oracle's
   * list_zip/list_aggregate SQL, so swapping it into an
-  * oracle-checked query changes nothing observable.
+  * oracle-checked query changes nothing observable. Degenerate inputs
+  * (null elements, mismatched lengths) REFUSE with a clear error where
+  * the HOF would return NULL — a loud failure beats a silently
+  * truncated similarity (see [[ArrayExprUtil.cosine]]).
   */
 case class ArrayCosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -39,41 +42,12 @@ case class ArrayCosineSim(left: Expression, right: Expression)
         s"${left.dataType.sql} and ${right.dataType.sql}")
   }
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
-      dot += xi * yi; na += xi * xi; nb += yi * yi
-      i += 1
-    }
-    dot / (math.sqrt(na) * math.sqrt(nb))
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ArrayExprUtil.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      val dot = ctx.freshName("dot")
-      val na = ctx.freshName("na")
-      val nb = ctx.freshName("nb")
-      val xi = ctx.freshName("xi")
-      val yi = ctx.freshName("yi")
-      s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $a.getFloat($i);
-         |  double $yi = (double) $b.getFloat($i);
-         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
-         |}
-         |${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
-       """.stripMargin
-    })
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.plans.ArrayExprUtil.cosine($a, $b)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

@@ -17,6 +17,21 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object ArrayExprUtil {
 
+  /** Shared precompiled whitespace pattern: `String.split("\\s+")` has
+    * no single-char fast path and recompiles the regex per call — on a
+    * 100M-row corpus that is 100M redundant Pattern.compile calls in
+    * loops whose purpose is removing per-row overhead. */
+  val WS: java.util.regex.Pattern = java.util.regex.Pattern.compile("\\s+")
+
+  /** Null array elements: the HOF twins of these natives return NULL;
+    * silently reading the null slot as 0.0 would produce a
+    * plausible-but-wrong number the oracle gate cannot catch on clean
+    * fixtures — refuse loudly instead. */
+  private def nullElement(fn: String, i: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"$fn: null array element at index $i — the engine's array " +
+        "natives require non-null elements (filter or coalesce upstream)")
+
   /** Σ x_i · (i+1) over a float array, double accumulation in index
     * order — replaces `aggregate(transform(e, (x,i) -> x·(i+1)), 0.0, +)`. */
   def posWeightedSum(a: ArrayData): Double = {
@@ -24,6 +39,7 @@ object ArrayExprUtil {
     var i = 0
     val n = a.numElements()
     while (i < n) {
+      if (a.isNullAt(i)) nullElement("pos_weighted_sum", i)
       acc += a.getFloat(i).toDouble * (i + 1)
       i += 1
     }
@@ -34,7 +50,7 @@ object ArrayExprUtil {
     * replaces `aggregate(split(trim(s),'\\s+'), 0L, (a,w) -> a + 1 +
     * floor(length(w)/6.0))` (see TextFns.subwordCount). */
   def subwordCount(s: UTF8String): Long = {
-    val toks = s.trim().toString.split("\\s+", -1)
+    val toks = WS.split(s.trim().toString, -1)
     var acc = 0L
     var i = 0
     while (i < toks.length) {
@@ -44,21 +60,71 @@ object ArrayExprUtil {
     acc
   }
 
-  /** |A∩B| / (|A|+|B|−|A∩B|) for element-distinct string arrays (see
+  /** Jaccard of the DISTINCT views: |A∩B| / (|A|+|B|−|A∩B|) over the
+    * deduplicated elements — the exact semantics of
+    * `size(array_intersect(a,b)) / size(array_union(a,b))`, so inputs
+    * with duplicate elements cannot over-count the intersection
+    * (jaccard > 1) the way a raw-count formulation would (see
     * [[graft.plans.StringArrayJaccard]]). */
   def jaccard(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()
     val nb = b.numElements()
-    val set = new java.util.HashSet[UTF8String](na * 2)
+    val sa = new java.util.HashSet[UTF8String](na * 2)
     var i = 0
-    while (i < na) { set.add(a.getUTF8String(i)); i += 1 }
+    while (i < na) {
+      if (a.isNullAt(i)) nullElement("string_array_jaccard", i)
+      sa.add(a.getUTF8String(i)); i += 1
+    }
+    val sb = new java.util.HashSet[UTF8String](nb * 2)
     var inter = 0
     var j = 0
     while (j < nb) {
-      if (set.contains(b.getUTF8String(j))) inter += 1
+      if (b.isNullAt(j)) nullElement("string_array_jaccard", j)
+      val e = b.getUTF8String(j)
+      if (sb.add(e) && sa.contains(e)) inter += 1
       j += 1
     }
-    inter.toDouble / (na + nb - inter).toDouble
+    inter.toDouble / (sa.size + sb.size - inter).toDouble
+  }
+
+  /** Cosine of two float arrays, double accumulation in index order —
+    * see [[graft.plans.ArrayCosineSim]]. Length mismatch refuses (the
+    * HOF twin returns NULL via zip_with padding; truncating would
+    * return a plausible-but-wrong similarity). */
+  def cosine(x: ArrayData, y: ArrayData): Double = {
+    val nx = x.numElements()
+    val ny = y.numElements()
+    if (nx != ny) throw new IllegalArgumentException(
+      s"array_cosine_sim: length mismatch ($nx vs $ny) — mixed-dim " +
+        "embeddings cannot be compared")
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < nx) {
+      if (x.isNullAt(i) || y.isNullAt(i)) nullElement("array_cosine_sim", i)
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Squared distance to a constant center, index-order fold — see
+    * [[graft.plans.ArraySqDistToConst]]. Same refuse-don't-truncate
+    * contract as [[cosine]]. */
+  def sqDistToConst(a: ArrayData, center: Array[Double]): Double = {
+    val n = a.numElements()
+    if (n != center.length) throw new IllegalArgumentException(
+      s"array_sqdist: length mismatch ($n vs center ${center.length})")
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) nullElement("array_sqdist", i)
+      val d = a.getFloat(i).toDouble - center(i)
+      acc += d * d
+      i += 1
+    }
+    acc
   }
 
   /** All `tables` random-hyperplane LSH buckets of one embedding in a
@@ -73,6 +139,7 @@ object ArrayExprUtil {
     val n = a.numElements()
     var j = 0
     while (j < n) {
+      if (a.isNullAt(j)) nullElement("hyperplane_buckets", j)
       val x = a.getFloat(j).toDouble
       var g = 0
       while (g < nPlanes) {
@@ -145,35 +212,12 @@ case class ArraySqDistToConst(child: Expression, center: Array[Double])
     case other => TypeCheckResult.TypeCheckFailure(
       s"array_sqdist needs array<float>, got ${other.sql}")
   }
-  override def nullSafeEval(input: Any): Any = {
-    val a = input.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), center.length)
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      val d = a.getFloat(i).toDouble - center(i)
-      acc += d * d
-      i += 1
-    }
-    acc
-  }
+  override def nullSafeEval(input: Any): Any =
+    ArrayExprUtil.sqDistToConst(input.asInstanceOf[ArrayData], center)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val centerRef = ctx.addReferenceObj("center", center, "double[]")
-    nullSafeCodeGen(ctx, ev, c => {
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      val acc = ctx.freshName("acc")
-      val d = ctx.freshName("d")
-      s"""
-         |int $n = Math.min($c.numElements(), $centerRef.length);
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = (double) $c.getFloat($i) - $centerRef[$i];
-         |  $acc += $d * $d;
-         |}
-         |${ev.value} = $acc;
-       """.stripMargin
-    })
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.ArrayExprUtil.sqDistToConst($c, $centerRef)")
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -233,8 +277,16 @@ case class HyperplaneBuckets(child: Expression, planes: Int, tables: Int)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType, _) if planes >= 1 && planes <= 63 && tables >= 1 =>
-      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType, _) =>
+      // separate messages: a parameter error must not masquerade as
+      // "needs array<float>, got array<float>"; the product bound
+      // keeps the per-row projection array sane (and un-overflowable)
+      if (planes < 1 || planes > 63) TypeCheckResult.TypeCheckFailure(
+        s"hyperplane_buckets: planes must be in 1..63, got $planes")
+      else if (tables < 1 || planes.toLong * tables > 4096)
+        TypeCheckResult.TypeCheckFailure(
+          s"hyperplane_buckets: tables must be >= 1 with planes*tables <= 4096, got tables=$tables")
+      else TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"hyperplane_buckets needs array<float>, got ${other.sql}")
   }

@@ -87,7 +87,10 @@ case class AsofJoinExec(
       val rProj = UnsafeProjection.create(rExprs, rSchema)
       val resultProj = UnsafeProjection.create(outSchema, outSchema)
       val ords = types.map(TypeUtils.getInterpretedOrdering)
-      // lexicographic compare of projected (key..., ts) rows on [from, until)
+      // lexicographic compare of projected (key..., ts) rows on
+      // [from, until). The null branches are DEFENSIVE only: every
+      // call site filters both rows through hasNull first, so they are
+      // unreachable in this exec — kept to keep cmp total.
       def cmp(a: InternalRow, b: InternalRow, from: Int, until: Int): Int = {
         var i = from
         while (i < until) {
@@ -230,10 +233,19 @@ object AsofJoinNative {
         import org.apache.spark.sql.catalyst.plans.logical.Project
         Project(rPlan0.output.map(a => Alias(a, a.name)()), rPlan0)
       } else rPlan0
-    def attr(plan: LogicalPlan, n: String): Attribute =
-      plan.output.find(_.name == n).getOrElse(
-        throw new IllegalArgumentException(
-          s"column $n not in ${plan.output.map(_.name).mkString(", ")}"))
+    // the session's resolver (case-insensitive by default), not string
+    // equality — and ambiguity is an error, not a silent first-match
+    def attr(plan: LogicalPlan, n: String): Attribute = {
+      val resolver = left.sparkSession.sessionState.conf.resolver
+      plan.output.filter(a => resolver(a.name, n)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"column $n not in ${plan.output.map(_.name).mkString(", ")}")
+        case many => throw new IllegalArgumentException(
+          s"column $n is ambiguous: ${many.size} matches in " +
+            many.map(_.name).mkString(", "))
+      }
+    }
     CatalystBridge.ofRows(left, AsofJoinPlan(
       Seq(attr(lPlan, leftKey)), Seq(attr(rPlan, rightKey)),
       attr(lPlan, leftTs), attr(rPlan, rightTs), lPlan, rPlan))

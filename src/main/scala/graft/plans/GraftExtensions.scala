@@ -32,10 +32,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftFunctions {
 
+  // builders run during analysis: malformed arguments must surface as
+  // clean argument errors, not internal NPE / ClassCastException /
+  // IndexOutOfBoundsException from es(i)/eval()
+  private def arity(fn: String, es: Seq[Expression], min: Int, max: Int): Unit =
+    if (es.length < min || es.length > max)
+      throw new IllegalArgumentException(
+        s"$fn expects ${if (min == max) s"$min" else s"$min to $max"} " +
+          s"arguments, got ${es.length}")
+
   private def intArg(e: Expression, name: String): Int = e match {
-    case lit if lit.foldable => lit.eval().asInstanceOf[Number].intValue()
+    case lit if lit.foldable =>
+      lit.eval() match {
+        case n: Number => n.intValue()
+        case other => throw new IllegalArgumentException(
+          s"$name must be a literal integer, got $other")
+      }
     case other => throw new IllegalArgumentException(
       s"$name must be a literal integer, got $other")
+  }
+
+  private def boolArg(e: Expression, name: String): Boolean = e match {
+    case lit if lit.foldable =>
+      lit.eval() match {
+        case b: java.lang.Boolean => b.booleanValue()
+        case other => throw new IllegalArgumentException(
+          s"$name must be a literal boolean, got $other")
+      }
+    case other => throw new IllegalArgumentException(
+      s"$name must be a literal boolean, got $other")
   }
 
   private def info(name: String, usage: String) =
@@ -45,27 +70,34 @@ object GraftFunctions {
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("text_fingerprint"),
       info("text_fingerprint", "text_fingerprint(str) - position-weighted rolling fingerprint mod 1e9+7"),
-      (es: Seq[Expression]) => TextFingerprint(es.head)),
+      (es: Seq[Expression]) => { arity("text_fingerprint", es, 1, 1)
+        TextFingerprint(es.head) }),
     (FunctionIdentifier("subword_count"),
       info("subword_count", "subword_count(str) - BPE-ish subword count"),
-      (es: Seq[Expression]) => SubwordCount(es.head)),
+      (es: Seq[Expression]) => { arity("subword_count", es, 1, 1)
+        SubwordCount(es.head) }),
     (FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(str, n[, distinct]) - word n-gram shingles"),
-      (es: Seq[Expression]) => WordShingles(es.head, intArg(es(1), "n"),
-        es.length > 2 && es(2).eval().asInstanceOf[Boolean])),
+      (es: Seq[Expression]) => { arity("word_shingles", es, 2, 3)
+        WordShingles(es.head, intArg(es(1), "n"),
+          es.length > 2 && boolArg(es(2), "distinct")) }),
     (FunctionIdentifier("array_cosine_sim"),
       info("array_cosine_sim", "array_cosine_sim(a, b) - cosine of two float arrays"),
-      (es: Seq[Expression]) => ArrayCosineSim(es.head, es(1))),
+      (es: Seq[Expression]) => { arity("array_cosine_sim", es, 2, 2)
+        ArrayCosineSim(es.head, es(1)) }),
     (FunctionIdentifier("pos_weighted_sum"),
       info("pos_weighted_sum", "pos_weighted_sum(arr) - sum of x_i*(i+1)"),
-      (es: Seq[Expression]) => PosWeightedSum(es.head)),
+      (es: Seq[Expression]) => { arity("pos_weighted_sum", es, 1, 1)
+        PosWeightedSum(es.head) }),
     (FunctionIdentifier("hyperplane_buckets"),
       info("hyperplane_buckets", "hyperplane_buckets(arr, planes, tables) - LSH bucket per table"),
-      (es: Seq[Expression]) => HyperplaneBuckets(es.head,
-        intArg(es(1), "planes"), intArg(es(2), "tables"))),
+      (es: Seq[Expression]) => { arity("hyperplane_buckets", es, 3, 3)
+        HyperplaneBuckets(es.head,
+          intArg(es(1), "planes"), intArg(es(2), "tables")) }),
     (FunctionIdentifier("shingle_explode"),
       info("shingle_explode", "shingle_explode(str, n) - generator: one row per word n-gram"),
-      (es: Seq[Expression]) => ShingleExplode(es.head, intArg(es(1), "n"))))
+      (es: Seq[Expression]) => { arity("shingle_explode", es, 2, 2)
+        ShingleExplode(es.head, intArg(es(1), "n")) }))
 
   /** Idempotent registration on a live session. */
   def register(spark: SparkSession): Unit =

@@ -35,7 +35,7 @@ case class ShingleExplode(child: Expression, n: Int)
     val v = child.eval(input)
     if (v == null) Iterator.empty
     else {
-      val toks = v.asInstanceOf[UTF8String].trim().toString.split("\\s+", -1)
+      val toks = ShingleUtil.tokenize(v.asInstanceOf[UTF8String])
       if (toks.length < n)
         Iterator.single(InternalRow(UTF8String.fromString(toks.mkString(" "))))
       else new Iterator[InternalRow] {

@@ -22,8 +22,15 @@ object ShingleUtil {
     * consecutive tokens. `distinct` keeps first occurrences in order
     * (array_distinct semantics).
     */
+  /** The one tokenizer shared by every shingle surface (array
+    * expression, generator, subword count): trim + precompiled \s+
+    * split. Single definition = the `shingle_explode(text,n) ==
+    * explode(word_shingles(text,n))` equivalence cannot drift. */
+  def tokenize(s: UTF8String): Array[String] =
+    ArrayExprUtil.WS.split(s.trim().toString, -1)
+
   def shingles(s: UTF8String, n: Int, distinct: Boolean): ArrayData = {
-    val toks = s.trim().toString.split("\\s+", -1)
+    val toks = tokenize(s)
     val out: Array[Any] =
       if (toks.length < n) {
         Array(UTF8String.fromString(toks.mkString(" ")))

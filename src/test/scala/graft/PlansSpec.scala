@@ -154,6 +154,31 @@ class PlansSpec extends AnyFunSuite {
     assert(rows == Seq("w1 w2", "w2 w3"))
   }
 
+  test("array natives refuse degenerate inputs instead of silently zeroing") {
+    import graft.plans.{ArrayCosineSim, StringArrayJaccard}
+    // mismatched lengths: loud error, never a truncated similarity
+    val ragged = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)))
+      .toDF("a", "b").select(ArrayCosineSim($"a", $"b"))
+    val e1 = intercept[Exception] { ragged.collect() }
+    assert(e1.toString.contains("length mismatch") ||
+      Option(e1.getCause).exists(_.toString.contains("length mismatch")))
+    // null element: loud error, never read as 0.0
+    val withNull = Seq(("x")).toDF("id")
+      .selectExpr("array(cast(1.0 as float), cast(null as float)) AS a",
+        "array(cast(1.0 as float), cast(1.0 as float)) AS b")
+      .select(ArrayCosineSim($"a", $"b"))
+    val e2 = intercept[Exception] { withNull.collect() }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.toString + msgs(t.getCause)
+    assert(msgs(e2).contains("null array element"))
+    // duplicate elements: distinct-view jaccard (array_intersect/union
+    // semantics), never > 1
+    val dup = Seq((Seq("x"), Seq("x", "x"))).toDF("a", "b")
+      .select(StringArrayJaccard($"a", $"b").as("j"))
+      .as[Double].head()
+    assert(dup == 1.0, s"expected distinct-view jaccard 1.0, got $dup")
+  }
+
   test("asofJoin picks the most recent right row at or before left ts") {
     def ts(s: String) = Timestamp.valueOf(s)
     val trades = Seq(
