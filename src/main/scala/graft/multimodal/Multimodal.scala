@@ -11,10 +11,13 @@ import org.apache.spark.sql.types._
   * IMAGE decode is REAL: payloads are PNG/JPEG bytes produced by the
   * JDK's ImageIO codec, and [[ImageCodec.parseHeader]] recovers
   * width/height/channels from the public file-format structure (PNG
-  * IHDR chunk, JPEG SOFn segment) by direct byte parsing. Audio/video
-  * decode remains a clearly-marked STUB ([[StubDecoder]], no PCM/
-  * ffmpeg in this container) — the mapPartitions plumbing around both
-  * is identical and is what a full codec drops into.
+  * IHDR chunk, JPEG SOFn segment) by direct byte parsing. AUDIO is
+  * REAL too: [[AudioCodec]] writes and parses the public RIFF/WAVE
+  * PCM container byte-level (fmt chunk → sample rate / channels /
+  * bit depth, data chunk → frame count). VIDEO decode remains the one
+  * clearly-marked STUB ([[StubDecoder]], no ffmpeg in this
+  * container) — the mapPartitions plumbing around all three is
+  * identical and is what a full codec drops into.
   *
   * Scale posture: binaries never pass through a shuffle (decode is a
   * narrow map); feature vectors, not blobs, flow downstream. Real
@@ -134,6 +137,132 @@ object Multimodal {
     }
   }
 
+  /** Real audio bytes + header parsing, pure JVM — the WAV/RIFF
+    * mirror of [[ImageCodec]].
+    *
+    * Encoding writes the public RIFF/WAVE container directly: "RIFF"
+    * + LE chunk size + "WAVE", a 16-byte PCM "fmt " chunk (format=1,
+    * channels, sample rate, byte rate, block align, bits/sample), and
+    * a "data" chunk of interleaved PCM frames (unsigned 8-bit or
+    * signed little-endian 16-bit — the two canonical PCM widths).
+    * Parsing walks the chunk list generically (4-byte id + LE32 size,
+    * word-aligned), so WAVs with extra chunks (LIST/INFO, fact) parse
+    * too, and recovers sample rate / channels / bit depth from "fmt "
+    * and the frame count from the "data" size ÷ block align. */
+  object AudioCodec {
+    private def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    private def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    private def rdLe16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def rdLe32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** PCM WAV with deterministic samples derived from `seed` — same
+      * bytes every run, so specs and oracles can predict the parse. */
+    def encodeWav(sampleRate: Int, channels: Int, bits: Int,
+                  nSamples: Int, seed: Long): Array[Byte] = {
+      require(bits == 8 || bits == 16, s"PCM width must be 8 or 16, got $bits")
+      val blockAlign = channels * bits / 8
+      val dataSize = nSamples * blockAlign
+      val bos = new java.io.ByteArrayOutputStream(44 + dataSize)
+      bos.write("RIFF".getBytes); bos.write(le32(36 + dataSize))
+      bos.write("WAVE".getBytes)
+      bos.write("fmt ".getBytes); bos.write(le32(16))
+      bos.write(le16(1)) // PCM
+      bos.write(le16(channels)); bos.write(le32(sampleRate))
+      bos.write(le32(sampleRate * blockAlign)); bos.write(le16(blockAlign))
+      bos.write(le16(bits))
+      bos.write("data".getBytes); bos.write(le32(dataSize))
+      var i = 0
+      while (i < nSamples) {
+        var c = 0
+        while (c < channels) {
+          if (bits == 8) bos.write(((seed * 31 + i * 17 + c * 7) % 256).toInt & 0xff)
+          else bos.write(le16(((seed * 131 + i * 7919 + c * 101) % 65536).toInt & 0xffff))
+          c += 1
+        }
+        i += 1
+      }
+      bos.toByteArray
+    }
+
+    /** (format, sample_rate, channels, bits, n_samples); all -1 when
+      * the bytes are not a parseable RIFF/WAVE file. */
+    def parseHeader(b: Array[Byte]): (String, Int, Int, Int, Int) = {
+      val bad = ("unknown", -1, -1, -1, -1)
+      if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return bad
+      var sampleRate, channels, bits, dataSize = -1
+      var o = 12
+      while (o + 8 <= b.length) {
+        val id = tag(b, o); val sz = rdLe32(b, o + 4)
+        if (sz < 0) return ("wav", -1, -1, -1, -1) // corrupt size: stop, don't loop
+        if (id == "fmt " && o + 8 + 16 <= b.length) {
+          channels = rdLe16(b, o + 10)
+          sampleRate = rdLe32(b, o + 12)
+          bits = rdLe16(b, o + 22)
+        } else if (id == "data") dataSize = sz
+        o += 8 + sz + (sz & 1) // chunks are word-aligned
+      }
+      if (sampleRate < 0 || dataSize < 0 || channels <= 0 || bits <= 0)
+        ("wav", -1, -1, -1, -1)
+      else ("wav", sampleRate, channels, bits, dataSize / (channels * bits / 8))
+    }
+  }
+
+  /** Deterministic audio-table recipe shared by the builders and the
+    * oracles — the WAV twin of the `img*` recipe above. */
+  def audRate(id: Long): Int = Array(8000, 16000, 22050, 44100)((id % 4).toInt)
+  def audChannels(id: Long): Int = 1 + (id % 2).toInt
+  def audBits(id: Long): Int = if (id % 5 == 0) 8 else 16
+  def audSamples(id: Long): Int = 32 + (id % 29).toInt
+
+  private def audioBytes(id: Long): Array[Byte] =
+    AudioCodec.encodeWav(audRate(id), audChannels(id), audBits(id),
+      audSamples(id), seed = id)
+
+  /** Media table with REAL audio payloads (RIFF/WAVE PCM, one per
+    * input id). Narrow map — encode happens executor-side. */
+  def audioMedia(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("kind", StringType),
+      StructField("payload", BinaryType)))
+    df.select(col(idCol).cast("long")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        Row(id, "audio", audioBytes(id))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Audio header decode as a standalone per-row operator: (media_id,
+    * fmt, sample_rate, channels, bits, n_samples) parsed from the
+    * payload bytes — never from metadata. */
+  def decodeAudioHeaders(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("fmt", StringType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("bits", IntegerType),
+      StructField("n_samples", IntegerType)))
+    val idI = media.schema.fieldIndex("media_id")
+    val pI  = media.schema.fieldIndex("payload")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val (fmt, sr, ch, bits, n) =
+          AudioCodec.parseHeader(r.getAs[Array[Byte]](pI))
+        Row(r.getLong(idI), fmt, sr, ch, bits, n)
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Decoder over REAL image payloads: header-parsed
     * [width, height, channels] features for images, stub features for
     * the (codec-less) audio/video kinds. */
@@ -198,7 +327,10 @@ object Multimodal {
 
   /** Mixed media table: image rows (id ≡ 0 mod 3) carry REAL encoded
     * PNG/JPEG payloads; audio/video rows keep the utf-8 stub payloads
-    * (no PCM/video codec in this container). */
+    * ON PURPOSE — the q_multimodal_features oracle predicts the stub
+    * decoder's byte statistics from the text, which keeps the whole
+    * mixed pipeline SQL-checkable. The REAL audio codec is gated
+    * separately by q_audio_headers over [[audioMedia]]. */
   def mixedMedia(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val schema = StructType(Seq(
       StructField("media_id", LongType),

@@ -35,6 +35,25 @@ import org.apache.spark.sql.types._
   */
 object Tsne {
 
+  /** Deterministic count-bounded stride sample for the viz pipeline.
+    *
+    * A FIXED stride keeps a fixed FRACTION of the corpus — fine at one
+    * scale factor, but the sample grows linearly with the table and
+    * eventually trips `project`'s `maxRows` guard. Deriving the stride
+    * from a cheap COUNT keeps the sample ≈ `target` rows at ANY scale
+    * factor: for a dense id column (0..n-1) the result is within one
+    * row of `target`; for sparse-but-roughly-uniform ids it stays the
+    * same order of magnitude, which is all a viz sample needs. The
+    * count is a single columnar scan of one column — negligible next
+    * to the solver it protects — and the selection itself is a plain
+    * pushdown-friendly filter: no window, no global sort, no shuffle. */
+  def boundedSample(df: DataFrame, idCol: String, target: Long = 500L): DataFrame = {
+    require(target > 0, s"sample target must be positive, got $target")
+    val n = df.select(col(idCol)).count()
+    val stride = math.max(1L, (n + target - 1) / target)
+    df.where(pmod(col(idCol), lit(stride)) === 0)
+  }
+
   /** Project `embCol` (array<float/double>) to 2-D t-SNE coordinates.
     * Returns a LAZY (idCol, x, y) DataFrame; the algorithm runs in a
     * single executor task when an action fires, and throws there if

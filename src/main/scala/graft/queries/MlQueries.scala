@@ -297,6 +297,27 @@ object MlQueries extends QueryModule {
       |  CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS INTEGER) AS channels
       |FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""".stripMargin
 
+  /** Per-row REAL-audio-codec gate, the WAV twin of q_image_headers:
+    * every payload is an actual RIFF/WAVE PCM file written by
+    * [[Multimodal.AudioCodec]], and the byte-level chunk-walking
+    * parser must recover sample rate, channel count, bit depth, and
+    * frame count for every row — the oracle predicts all of it from
+    * the id recipe, so a single mis-read offset or a wrong block-align
+    * division fails the hash. */
+  private def qAudioHeaders(implicit s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.audioMedia(
+      Tables.documents(s, dir).where(col("doc_id") % 3 === 1), "doc_id")
+    Multimodal.decodeAudioHeaders(media).orderBy(col("media_id"))
+  }
+
+  private val qAudioHeadersSql =
+    """SELECT doc_id AS media_id, 'wav' AS fmt,
+      |  [8000, 16000, 22050, 44100][CAST(doc_id % 4 AS INTEGER) + 1] AS sample_rate,
+      |  CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+      |  CAST(CASE WHEN doc_id % 5 = 0 THEN 8 ELSE 16 END AS INTEGER) AS bits,
+      |  CAST(32 + doc_id % 29 AS INTEGER) AS n_samples
+      |FROM documents WHERE doc_id % 3 = 1 ORDER BY media_id""".stripMargin
+
   /** t-SNE coordinates (reference C3, the viz tail of the pipeline,
     * `main.py:366–368`): stride-sample the embeddings down to a
     * bounded viz set (the distributed half of the contract — the
@@ -307,9 +328,12 @@ object MlQueries extends QueryModule {
     * across runs and partitionings, TsneSpec); the S7 PNG sink over
     * these coordinates is spec-gated in TsneSpec as well. */
   private def qTsneCoords(implicit s: SparkSession, dir: String): DataFrame = {
-    // deterministic stride sample: ≤ ~500 points at any scale factor
+    // count-bounded deterministic sample: the stride is derived from a
+    // cheap count, so this keeps ≈500 points at ANY scale factor (a
+    // fixed stride keeps a fixed fraction and would outgrow the
+    // solver's maxRows guard past sf~0.4)
     val embs = Tables.embeddings(s, dir)
-    val sampled = embs.where(pmod(col("vec_id"), lit(4)) === 0)
+    val sampled = graft.operators.Tsne.boundedSample(embs, "vec_id", target = 500L)
     val coords = graft.operators.Tsne.project(sampled, "vec_id", "embedding",
       perplexity = 5.0, iters = 300)
     coords.select(col("vec_id"), round(col("x"), 6).as("x"),
@@ -328,5 +352,6 @@ object MlQueries extends QueryModule {
     Q("q_sessionize", (s, d) => qSessionize(s, d), Some(qSessionizeSql)),
     Q("q_multimodal_features", (s, d) => qMultimodal(s, d), Some(qMultimodalSql)),
     Q("q_image_headers", (s, d) => qImageHeaders(s, d), Some(qImageHeadersSql)),
+    Q("q_audio_headers", (s, d) => qAudioHeaders(s, d), Some(qAudioHeadersSql)),
     Q("q_tsne_coords", (s, d) => qTsneCoords(s, d), None))
 }

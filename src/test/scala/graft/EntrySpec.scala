@@ -61,4 +61,30 @@ class EntrySpec extends AnyFunSuite {
       == ("jpeg", -1, -1, -1))
     assert(ImageCodec.parseHeader(Array.empty[Byte])._1 == "unknown")
   }
+
+  test("audio codec: WAV round-trips through the byte-level parser") {
+    import Multimodal.AudioCodec
+    // every (rate, channels, bits) combination the recipe can emit
+    for (rate <- Seq(8000, 16000, 22050, 44100); ch <- Seq(1, 2);
+         bits <- Seq(8, 16); n <- Seq(1, 32, 60)) {
+      val b = AudioCodec.encodeWav(rate, ch, bits, n, seed = 42L)
+      assert(b.length == 44 + n * ch * bits / 8)
+      assert(AudioCodec.parseHeader(b) == ("wav", rate, ch, bits, n))
+    }
+    // chunk walking is generic: an extra LIST chunk between fmt and
+    // data (odd-sized, exercising word alignment) must not derail it
+    val base = AudioCodec.encodeWav(16000, 2, 16, 10, seed = 7L)
+    val extra = new java.io.ByteArrayOutputStream()
+    extra.write(base, 0, 36) // RIFF..WAVE + fmt chunk
+    extra.write("LIST".getBytes); extra.write(Array[Byte](5, 0, 0, 0))
+    extra.write("INFOx".getBytes); extra.write(0) // pad to even
+    extra.write(base, 36, base.length - 36) // data chunk
+    assert(AudioCodec.parseHeader(extra.toByteArray) == ("wav", 16000, 2, 16, 10))
+    // non-audio bytes degrade, never throw
+    assert(AudioCodec.parseHeader("not audio".getBytes)._1 == "unknown")
+    assert(AudioCodec.parseHeader(Array.empty[Byte])._1 == "unknown")
+    // a RIFF/WAVE shell with no fmt/data parses as wav but unknown geometry
+    val shell = "RIFF".getBytes ++ Array[Byte](4, 0, 0, 0) ++ "WAVE".getBytes
+    assert(AudioCodec.parseHeader(shell) == ("wav", -1, -1, -1, -1))
+  }
 }

@@ -71,6 +71,21 @@ class TsneSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("bounded sample")), e.toString)
   }
 
+  test("boundedSample keeps ~target rows at every scale factor") {
+    // the same call over corpora two orders of magnitude apart must
+    // return the same-order sample — that is the scale-invariance
+    // contract that protects Tsne.project's maxRows guard at sf1+
+    for (n <- Seq(120L, 3000L, 50000L)) {
+      val df = spark.range(0, n).selectExpr("id AS vec_id")
+      val got = Tsne.boundedSample(df, "vec_id", target = 30L).count()
+      assert(got >= 15L && got <= 60L, s"n=$n sampled $got rows, want ~30")
+    }
+    // dense ids: exact-ish (within one row of target)
+    val dense = spark.range(0, 2000).selectExpr("id AS vec_id")
+    val k = Tsne.boundedSample(dense, "vec_id", target = 500L).count()
+    assert(k == 500L, s"dense 2000-row corpus sampled $k, want 500")
+  }
+
   test("scatterPng writes a parseable PNG with plotted content") {
     val df = clustered
     val coords = Tsne.project(df, "vec_id", "embedding", iters = 120)
