@@ -10,6 +10,12 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites must run sequentially inside the forked JVM: operators track
+// their internal caches in the global graft.core.Caches registry and
+// Verify.dump releases them per query — a concurrently executing suite
+// could otherwise have its in-flight cache unpersisted under it. This
+// is sbt's default; pinned here because correctness depends on it.
+Test / testForkedParallel := false
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

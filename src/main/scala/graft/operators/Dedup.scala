@@ -11,8 +11,9 @@ import graft.functions.TextFns
   * n-gram Jaccard.
   *
   * Scale posture:
-  *  - exact dedup is a grouped min over a content hash — one shuffle
-  *    on the 64-bit hash, never on the text;
+  *  - exact dedup is a grouped min keyed on (hash, content) — one
+  *    shuffle, hash-led so the partitioner and sort touch 8 bytes
+  *    first and content only breaks hash ties;
   *  - MinHash signatures come from one explode + one grouped
   *    aggregation; LSH banding turns all-pairs O(n²) into a bucket
   *    join where only same-bucket candidates pair up;
@@ -25,13 +26,21 @@ import graft.functions.TextFns
   */
 object Dedup {
 
-  /** Exact dedup: keep the smallest id per distinct content hash.
-    * Hashing (xxhash64) keeps the shuffle key 8 bytes regardless of
-    * document size; collisions at 64 bit are ~n²/2⁶⁵. */
+  /** Exact dedup: keep the smallest id per distinct CONTENT group.
+    *
+    * The xxhash64 leads the partition key purely as an accelerant (the
+    * partitioner and the within-partition sort fast-path on 8 bytes;
+    * content is only compared between hash-equal rows), but the
+    * content columns are in the key too, so equality is on the text
+    * itself — a 64-bit hash collision between distinct texts cannot
+    * collapse them, and the semantics match an oracle `GROUP BY text`
+    * exactly. Costs nothing over hash-only grouping: a window shuffles
+    * the full row regardless, the hash only ever shortened the KEY. */
   def exactDedup(df: DataFrame, idCol: String, contentCols: Seq[String]): DataFrame = {
     val h = xxhash64(contentCols.map(col): _*)
     df.withColumn("_h", h)
-      .withColumn("_keep", min(col(idCol)).over(Window.partitionBy(col("_h"))))
+      .withColumn("_keep", min(col(idCol))
+        .over(Window.partitionBy(col("_h") +: contentCols.map(col): _*)))
       .where(col(idCol) === col("_keep"))
       .drop("_h", "_keep")
   }

@@ -16,20 +16,31 @@ object Skew {
     * (key, salt) — hot keys fan out over `salts` reducers — stage 2
     * combines the partials per key. `aggs` maps output column name →
     * (stage1 aggregate of input, stage2 combiner of the partial).
+    *
+    * `saltCols` picks the columns hashed into the salt (default: the
+    * full row). Pass it explicitly when
+    *  - the hot key's rows are FULLY identical (key and value): a
+    *    full-row hash maps them all to ONE salt and the mitigation
+    *    silently does nothing — point `saltCols` at any stable
+    *    per-row id (ingest offset, doc_id, file+rownum) to restore
+    *    fan-out for the billions-of-identical-rows case;
+    *  - the row contains map-typed columns, which `xxhash64` rejects.
     */
   def saltedAgg(df: DataFrame, keys: Seq[String], salts: Int,
-                aggs: Map[String, (Column, String => Column)]): DataFrame = {
-    // DETERMINISTIC salt (hash of the full row), not
+                aggs: Map[String, (Column, String => Column)],
+                saltCols: Seq[String] = Nil): DataFrame = {
+    // DETERMINISTIC salt (hash of the salt columns), not
     // partition_id + monotonically_increasing_id: nondeterministic
     // salts are the SPARK-23207 failure class — a stage-1 shuffle
     // partition recomputed after executor loss re-salts its rows
     // differently from what other reducers already fetched, silently
     // double-counting/dropping rows. Hashing key+value still fans a
-    // hot key across salts whenever its values vary (the skew case);
-    // identical (key, value) duplicates sharing a salt only costs
-    // spread, never correctness.
+    // hot key across salts whenever its values vary (the common skew
+    // case); identical duplicates sharing a salt only costs spread,
+    // never correctness — see `saltCols` above for that corner.
+    val sc = if (saltCols.nonEmpty) saltCols else df.columns.toSeq
     val salted = df.withColumn("_salt",
-      pmod(xxhash64(df.columns.map(col): _*), lit(salts.toLong)))
+      pmod(xxhash64(sc.map(col): _*), lit(salts.toLong)))
     val stage1 = salted
       .groupBy((keys :+ "_salt").map(col): _*)
       .agg(aggs.head._2._1.as("_" + aggs.head._1),
@@ -42,8 +53,9 @@ object Skew {
 
   /** Salted count+sum per key — the common case. */
   def saltedCountSum(df: DataFrame, keys: Seq[String], valueCol: String,
-                     salts: Int = 16): DataFrame =
+                     salts: Int = 16, saltCols: Seq[String] = Nil): DataFrame =
     saltedAgg(df, keys, salts, scala.collection.immutable.ListMap(
       "n" -> (count(lit(1)), (c: String) => sum(col(c))),
-      "total" -> (sum(col(valueCol)), (c: String) => sum(col(c)))))
+      "total" -> (sum(col(valueCol)), (c: String) => sum(col(c)))),
+      saltCols)
 }

@@ -30,4 +30,28 @@ class SkewSpec extends AnyFunSuite {
     val p = out.queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning".r.findAllIn(p).length >= 2, p)
   }
+
+  test("saltCols restores fan-out when a hot key's rows are identical") {
+    // FULLY identical (key, value) rows: the full-row hash maps all of
+    // them to one salt (documented limitation) — salting on a stable
+    // per-row id must spread them AND stay correct
+    val df = spark.range(5000)
+      .select($"id", lit(0L).as("k"), lit(1L).as("v"))
+    val allCols = df.drop("id")
+    // full-row default over identical rows: ONE distinct salt
+    val defSalts = allCols.select(
+      pmod(xxhash64(allCols.columns.map(col): _*), lit(8L)).as("s"))
+      .distinct().count()
+    assert(defSalts == 1L, s"expected degenerate 1 salt, got $defSalts")
+    // id-salted: all 8 salts populated, result identical to direct agg
+    val idSalts = df.select(pmod(xxhash64($"id"), lit(8L)).as("s"))
+      .distinct().count()
+    assert(idSalts == 8L, s"expected 8 salts via id, got $idSalts")
+    val direct = df.groupBy($"k")
+      .agg(count(lit(1)).as("n"), sum($"v").as("total")).collect().toSeq
+    val salted = Skew.saltedCountSum(df.select($"k", $"v", $"id"),
+        Seq("k"), "v", salts = 8, saltCols = Seq("id"))
+      .collect().toSeq
+    assert(salted == direct)
+  }
 }
