@@ -13,6 +13,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Self-defense against host CPU steal: sample the 1-min load
+    // average at ENTRY (before the JVM itself generates any load — a
+    // mid-suite sample would just measure our own 32 threads) and
+    // carry it into the JSON line, so a capture taken on a busy host
+    // is machine-detectable from the bench evidence itself instead of
+    // needing a manual idle re-measure each round.
+    val entryLoad =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    if (entryLoad > 4.0)
+      System.err.println(f"[bench] WARNING: host 1-min load $entryLoad%.2f > 4 " +
+        "at entry — numbers below are likely steal-inflated; re-run idle")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -54,6 +67,7 @@ object Bench {
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+
     val results = selected.map { case (name, fn) =>
       val dt = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
@@ -75,7 +89,7 @@ object Bench {
     // total leads the line so a tail-truncated capture still loses only
     // per-query detail, never the headline number
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","load":$entryLoad%.2f,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // the full JSON also lands in a file: the driver's stdout capture
     // has truncated long lines (BENCH_r03 lost the TPC-H head)

@@ -104,6 +104,40 @@ object ScaleSmoke {
           docs.select(col("doc_id"), col("text")), "doc_id", Seq("text")),
           bits = 64, segments = 8, maxHamming = 7)
       }
+      // Adversarial mega-bucket: every doc a DISTINCT near-copy of one
+      // template (exact-collapse keeps all of them), so every rep
+      // lands in the same LSH bucket in every band — candidate pairs
+      // are C(n,2) and grow quadratically with the corpus. The
+      // per-bucket cap is the backstop: candidates stay hard-bounded
+      // at bands·C(cap,2) no matter how large the crowd gets.
+      val advDocs = spark.range(0, 250L * n)
+        .selectExpr("id AS doc_id",
+          "concat('the quick brown fox jumps over the lazy dog and runs far ', " +
+            "'past the quiet green hill before the rain begins variant ', id) AS text")
+      def candCount(cap: Int): Long = {
+        val ids = advDocs.select(col("doc_id"),
+          explode(graft.functions.TextFns.shinglesDistinct(col("text"), 3)).as("sh"))
+          .withColumn("wid", graft.operators.Dedup.md5Wid(col("sh")))
+        val sigs = graft.operators.Dedup.minhashSignatures(ids, "doc_id", "wid", 12)
+        val c = graft.operators.Dedup
+          .lshCandidatePairs(sigs, "doc_id", 4, 3, maxBucketSize = cap).count()
+        graft.core.Caches.releaseAll()
+        c
+      }
+      var uncapped = -1L
+      time("lsh_mega_bucket_uncapped") { uncapped = candCount(0); uncapped }
+      time("lsh_mega_bucket_cap64") {
+        val capped = candCount(64)
+        // the hard bound the cap guarantees: ≤ buckets·bands·C(64,2).
+        // This corpus makes ~1 mega-bucket per band (4·2016 = 8064);
+        // allow 2× for incidental small buckets from the unique-tail
+        // shingles — still O(1) while uncapped grows O(n²)
+        require(capped <= 2L * 4 * 64 * 63 / 2,
+          s"cap violated: $capped candidate pairs > ${2L * 4 * 64 * 63 / 2}")
+        require(uncapped < 0 || capped <= uncapped,
+          s"capped ($capped) exceeded uncapped ($uncapped)")
+        capped
+      }
       time("slice_deep") {
         // unbounded end → the zipWithIndex path (no global window)
         graft.operators.Selection

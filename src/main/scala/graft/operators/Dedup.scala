@@ -92,17 +92,40 @@ object Dedup {
     * signature subtree once PER BAND per join side); the banded frame
     * is cached because the self-join references it twice and
     * signatures are k longs per doc — negligible even at 100 TB of
-    * source text. */
+    * source text.
+    *
+    * The self-join is quadratic PER BUCKET. Exact-collapse upstream
+    * ([[nearDupPairsAfterExact]]) removes the dominant mega-bucket
+    * source (identical copies), but a corpus of n DISTINCT near-copies
+    * of one template still puts n reps in one bucket → C(n,2)
+    * candidates. `maxBucketSize` > 0 is the backstop for that true
+    * worst case: each (band, bsig) bucket keeps only its `maxBucketSize`
+    * smallest ids (a bucket-partitioned window — no global sort), so
+    * candidates are hard-bounded by buckets·bands·C(cap,2). Members
+    * dropped from one oversized bucket can still pair in their other
+    * bands; the recall loss is confined to pathological buckets, and a
+    * near-dup crowd that large is curation signal in itself. Default
+    * 0 = unlimited — the oracle-gated queries keep exact LSH
+    * semantics; the cap is opt-in for adversarial corpora. */
   def lshCandidatePairs(signatures: DataFrame, idCol: String,
-                        bands: Int, rowsPerBand: Int): DataFrame = {
+                        bands: Int, rowsPerBand: Int,
+                        maxBucketSize: Int = 0): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"), concat_ws("_",
         (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*)
         .as("bsig"))
     }
-    val banded = graft.core.Caches.track(signatures
+    val exploded = signatures
       .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.bsig").as("bsig")))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+    val capped =
+      if (maxBucketSize <= 0) exploded
+      else exploded
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(col("band"), col("bsig")).orderBy(col(idCol))))
+        .where(col("_rn") <= maxBucketSize)
+        .drop("_rn")
+    val banded = graft.core.Caches.track(capped)
     banded.alias("x").join(banded.alias("y"), Seq("band", "bsig"))
       .where(col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
@@ -126,7 +149,7 @@ object Dedup {
     * [[md5Wid]] via [[widSql]]). */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, k: Int = 12, bands: Int = 4,
-                   threshold: Double = 0.5): DataFrame = {
+                   threshold: Double = 0.5, maxBucketSize: Int = 0): DataFrame = {
     // k/bands truncation would silently band over a PREFIX of the
     // signature — a different recall curve than the caller asked for
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
@@ -137,7 +160,7 @@ object Dedup {
     val ids = sets.select(col(idCol), explode(col("shset")).as("sh"))
       .withColumn("wid", md5Wid(col("sh")))
     val sigs = minhashSignatures(ids, idCol, "wid", k)
-    val cands = lshCandidatePairs(sigs, idCol, bands, k / bands)
+    val cands = lshCandidatePairs(sigs, idCol, bands, k / bands, maxBucketSize)
     jaccardForPairs(cands, sets, idCol, "shset")
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
@@ -156,9 +179,10 @@ object Dedup {
     * ids (smallest id per exact-content group). */
   def nearDupPairsAfterExact(df: DataFrame, idCol: String, textCol: String,
                              n: Int = 3, k: Int = 12, bands: Int = 4,
-                             threshold: Double = 0.5): DataFrame = {
+                             threshold: Double = 0.5,
+                             maxBucketSize: Int = 0): DataFrame = {
     val reps = exactDedup(df.select(col(idCol), col(textCol)), idCol, Seq(textCol))
-    nearDupPairs(reps, idCol, textCol, n, k, bands, threshold)
+    nearDupPairs(reps, idCol, textCol, n, k, bands, threshold, maxBucketSize)
   }
 
   /** SimHash fingerprint per document over shingle/token ids: each of

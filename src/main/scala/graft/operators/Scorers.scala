@@ -174,6 +174,37 @@ object Scorers {
     ifdScore(withTokenLosses(templated, "prompt_to_use", "output", make))
   }
 
+  /** Per-turn IFD over the sharegpt conversation format the reference
+    * plans (`data/rawdata/readme.md:14–27`: conversation =
+    * array<struct<human, assistant>>): posexplode the turns, build the
+    * HISTORY-conditioned prompt per turn (all prior human/assistant
+    * exchanges + the current human message — multi-turn conditioning,
+    * not just the local turn), then score each assistant span with the
+    * same conditional-loss machinery and guards as the single-turn
+    * [[ifdPipeline]] (P6+P7). The history is an expression over the
+    * conversation array (slice + transform + array_join) — per-row,
+    * no window, no shuffle beyond the explode.
+    *
+    * Returns one row per surviving (id, turn) with `score_ifd`
+    * (null for empty spans, ratio ≤ 1 enforced). */
+  def sharegptIfdPipeline(conv: DataFrame, idCol: String, convCol: String,
+                          make: () => ModelBackend,
+                          maxLength: Int = 1024): DataFrame = {
+    val turns = conv
+      .select(col(idCol), col(convCol),
+        posexplode(col(convCol)).as(Seq("turn", "ex")))
+      .withColumn("_history",
+        array_join(transform(slice(col(convCol), lit(1), col("turn")),
+          x => concat(x("human"), lit(" "), x("assistant"))), " "))
+      .withColumn("prompt_to_use",
+        when(col("turn") === 0, col("ex.human"))
+          .otherwise(concat(col("_history"), lit(" "), col("ex.human"))))
+      .where(size(TextFns.tokens(col("prompt_to_use"))) < maxLength)
+      .select(col(idCol), col("turn"), col("prompt_to_use"),
+        col("ex.assistant").as("assistant"))
+    ifdScore(withTokenLosses(turns, "prompt_to_use", "assistant", make))
+  }
+
   /** Gradient extraction as long-format rows (reference P8/LESS,
     * `get_info.py:43–68`): per example, pseudo-gradient entries
     * `(param_key, idx, value)` — tensor-as-table, the only layout that

@@ -271,6 +271,68 @@ object DataSQueries extends QueryModule {
       |  CAST(SUM(length(ex.assistant)) AS BIGINT) AS chars_assistant
       |FROM turns GROUP BY turn ORDER BY turn""".stripMargin
 
+  // --------------------------------------- sharegpt per-turn IFD
+  /** Per-turn IFD over the synthesized sharegpt conversations (the
+    * multi-turn extension of q_ifd_full): each turn's assistant span
+    * scored conditionally on the FULL history + current human message,
+    * with the same empty-span/ratio guards. The proxy backend's md5
+    * hashing keeps even this conversation-shaped pipeline oracle-exact
+    * — DuckDB rebuilds the identical history prompt by list slicing. */
+  private def qSharegptIfd(implicit s: SparkSession, dir: String): DataFrame = {
+    val half = (length(col("text")) / 2).cast("int")
+    val conv = array(
+      struct(substring(col("text"), 1, 60).as("human"),
+        col("text").substr(half + 1, lit(60)).as("assistant")),
+      struct(col("source").as("human"), col("lang").as("assistant")))
+    Scorers.sharegptIfdPipeline(
+        docs.select(col("doc_id"), conv.as("conversation")),
+        "doc_id", "conversation", () => new Scorers.ProxyBackend(42L))
+      .select(col("doc_id"), col("turn"),
+        round(col("score_ifd"), 6).as("score_ifd"))
+      .orderBy(col("doc_id"), col("turn"))
+  }
+
+  private val qSharegptIfdSql = {
+    import Scorers.ProxyBackend.unitSql
+    def losses(prompt: String) =
+      s"""list_transform(toks, (t, i) ->
+         |      0.05 + 4.0 * ${unitSql(42L, s"'tl:' || $prompt || '#' || t || '#' || (i - 1)")})""".stripMargin
+    s"""WITH conv AS (
+       |  SELECT doc_id, [
+       |    struct_pack(human := substr(text, 1, 60),
+       |      assistant := substr(text, CAST(length(text) // 2 AS INTEGER) + 1, 60)),
+       |    struct_pack(human := source, assistant := lang)
+       |  ] AS conversation FROM documents),
+       |turns AS (
+       |  SELECT doc_id, conversation,
+       |    CAST(generate_subscripts(conversation, 1) - 1 AS INTEGER) AS turn,
+       |    unnest(conversation) AS ex
+       |  FROM conv),
+       |pr AS (
+       |  SELECT doc_id, turn,
+       |    CASE WHEN turn = 0 THEN ex.human
+       |      ELSE array_to_string(list_transform(conversation[1:turn],
+       |             x -> x.human || ' ' || x.assistant), ' ') || ' ' || ex.human
+       |    END AS prompt,
+       |    list_filter(string_split_regex(trim(ex.assistant), '\\s+'), t -> t <> '') AS toks
+       |  FROM turns),
+       |sc AS (
+       |  SELECT doc_id, turn,
+       |    ${losses("''")} AS la,
+       |    ${losses("prompt")} AS lc
+       |  FROM pr
+       |  WHERE len(string_split_regex(trim(prompt), '\\s+')) < 1024),
+       |r AS (
+       |  SELECT doc_id, turn,
+       |    CASE WHEN len(la) = 0 OR len(lc) = 0 THEN NULL
+       |      ELSE (list_aggregate(lc, 'sum') / len(lc))
+       |         / (list_aggregate(la, 'sum') / len(la)) END AS score
+       |  FROM sc)
+       |SELECT doc_id, turn, round(score, 6) AS score_ifd FROM r
+       |WHERE score IS NULL OR score <= 1.0
+       |ORDER BY doc_id, turn""".stripMargin
+  }
+
   // ------------------------------------ sharegpt FILE ingestion gate
   /** Sharegpt ingestion through the real reader
     * ([[graft.io.JsonIO.readSharegpt]]) over an actual JSONL file —
@@ -495,6 +557,7 @@ object DataSQueries extends QueryModule {
     Q("q_prompt_template", (s, d) => qPromptTemplate(s, d), Some(qPromptTemplateSql)),
     Q("q_sharegpt_turns", (s, d) => qSharegptTurns(s, d), Some(qSharegptTurnsSql)),
     Q("q_sharegpt_file", (s, d) => qSharegptFile(s, d), Some(qSharegptFileSql)),
+    Q("q_sharegpt_ifd", (s, d) => qSharegptIfd(s, d), Some(qSharegptIfdSql)),
     Q("q_ifd_ratio", (s, d) => qIfdRatio(s, d), Some(qIfdRatioSql)),
     Q("q_cluster_select", (s, d) => qClusterSelect(s, d), Some(qClusterSelectSql)),
     Q("q_sample_least_conf", (s, d) => qSampleLeastConf(s, d), Some(qSampleLeastConfSql)),

@@ -40,6 +40,35 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("lsh bucket cap bounds an adversarial mega-bucket, is a no-op otherwise") {
+    // 200 docs sharing one 12-wide signature → one bucket per band:
+    // uncapped candidates C(200,2); capped at 8, at most C(8,2)
+    val sigs = spark.range(0, 200).toDF("doc_id")
+      .select(col("doc_id") +: (0 until 12).map(i => lit(i.toLong).as(s"mh_$i")): _*)
+    val uncapped = Dedup.lshCandidatePairs(sigs, "doc_id", 4, 3).count()
+    graft.core.Caches.releaseAll()
+    assert(uncapped == 200L * 199 / 2)
+    val capped = Dedup.lshCandidatePairs(sigs, "doc_id", 4, 3, maxBucketSize = 8)
+    val cappedPairs = capped.as[(Long, Long)].collect().toSet
+    graft.core.Caches.releaseAll()
+    assert(cappedPairs.size == 8 * 7 / 2)
+    // deterministic: the cap keeps the SMALLEST ids per bucket
+    assert(cappedPairs.flatMap(p => Set(p._1, p._2)) == (0L until 8L).toSet)
+    // and the capped plan stays bucket-partitioned — no global window
+    val plan = capped.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("windowspecdefinition()"), plan)
+    // sanity: when no bucket exceeds the cap, results are identical
+    val small = spark.range(0, 5).toDF("doc_id")
+      .select(col("doc_id") +:
+        (0 until 12).map(i => (col("doc_id") * 100 + i).as(s"mh_$i")): _*)
+    val a = Dedup.lshCandidatePairs(small, "doc_id", 4, 3).collect().toSet
+    graft.core.Caches.releaseAll()
+    val b = Dedup.lshCandidatePairs(small, "doc_id", 4, 3, maxBucketSize = 8)
+      .collect().toSet
+    graft.core.Caches.releaseAll()
+    assert(a == b)
+  }
+
   test("simhash: identical shingle sets → identical fingerprints") {
     val ids = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 99L))
       .toDF("doc_id", "wid")
