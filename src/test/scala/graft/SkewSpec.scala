@@ -31,6 +31,49 @@ class SkewSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length >= 2, p)
   }
 
+  test("AQE OptimizeSkewedJoin splits the hot partition of a skewed SMJ") {
+    // Joins rely on AQE's runtime skew split rather than manual
+    // salting (Skew.saltedAgg covers aggregation). This proves the
+    // reliance is real on this engine's session shape: a 90%-hot-key
+    // sort-merge join must come out of AQE with skew=true splits.
+    // Thresholds are lowered to make a local-scale fixture skewed by
+    // AQE's definition (factor x median AND absolute bytes); the
+    // mechanism is identical at 100 TB with the defaults (256 MB).
+    val c = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> c.getOption(k)).toMap
+    try {
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+      c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768")
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      c.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // pad must be INCOMPRESSIBLE: skew detection reads the shuffle
+      // map sizes post-compression, and a constant pad lz4-compresses
+      // below any threshold no matter how many rows pile on the key
+      val left = spark.range(0, 200000).selectExpr(
+        "CASE WHEN id % 10 = 0 THEN id % 100 ELSE 0 END AS k",
+        "concat(md5(cast(id AS string)), md5(cast(id + 7 AS string))) AS pad")
+      val right = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS v")
+      val joined = left.join(right, "k")
+      // execute through the Dataset's OWN QueryExecution — .write /
+      // .foreach / .count all build a fresh one and would leave this
+      // plan un-finalized; collect() is the action that drives it
+      assert(joined.collect().length == 200000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected OptimizeSkewedJoin to mark the SMJ skew=true:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None)    => c.unset(k)
+    }
+  }
+
   test("saltCols restores fan-out when a hot key's rows are identical") {
     // FULLY identical (key, value) rows: the full-row hash maps all of
     // them to one salt (documented limitation) — salting on a stable
