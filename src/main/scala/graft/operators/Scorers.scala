@@ -27,7 +27,10 @@ import graft.functions.TextFns
   *
   * The shipped backend is a deterministic proxy (seeded splitmix-style
   * hashing) so the full pipeline runs and is testable without GPUs;
-  * real LLM backends drop in behind the same trait.
+  * real LLM backends drop in behind the same trait — [[HttpBackend]]
+  * is the shipped real-transport example (a vLLM/TGI-style HTTP
+  * scoring endpoint, spec'd bit-exact against the proxy through the
+  * full pipelines in HttpBackendSpec).
   */
 object Scorers {
 
