@@ -14,10 +14,12 @@ import org.apache.spark.sql.types._
   * IHDR chunk, JPEG SOFn segment) by direct byte parsing. AUDIO is
   * REAL too: [[AudioCodec]] writes and parses the public RIFF/WAVE
   * PCM container byte-level (fmt chunk → sample rate / channels /
-  * bit depth, data chunk → frame count). VIDEO decode remains the one
-  * clearly-marked STUB ([[StubDecoder]], no ffmpeg in this
-  * container) — the mapPartitions plumbing around all three is
-  * identical and is what a full codec drops into.
+  * bit depth, data chunk → frame count). VIDEO containers are REAL as
+  * well: [[VideoCodec]] writes and parses RIFF/AVI byte-level (avih
+  * MainAVIHeader → width/height/frames/µs-per-frame); only FRAME
+  * decode remains a clearly-marked stub ([[StubDecoder]] — no ffmpeg
+  * in this container) — the mapPartitions plumbing is identical and
+  * is what a full codec drops into.
   *
   * Scale posture: binaries never pass through a shuffle (decode is a
   * narrow map); feature vectors, not blobs, flow downstream. Real
@@ -150,17 +152,17 @@ object Multimodal {
     * too, and recovers sample rate / channels / bit depth from "fmt "
     * and the frame count from the "data" size ÷ block align. */
   object AudioCodec {
-    private def le16(v: Int): Array[Byte] =
+    private[multimodal] def le16(v: Int): Array[Byte] =
       Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
-    private def le32(v: Int): Array[Byte] =
+    private[multimodal] def le32(v: Int): Array[Byte] =
       Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
         ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
-    private def rdLe16(b: Array[Byte], o: Int): Int =
+    private[multimodal] def rdLe16(b: Array[Byte], o: Int): Int =
       (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
-    private def rdLe32(b: Array[Byte], o: Int): Int =
+    private[multimodal] def rdLe32(b: Array[Byte], o: Int): Int =
       (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
         ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
-    private def tag(b: Array[Byte], o: Int): String =
+    private[multimodal] def tag(b: Array[Byte], o: Int): String =
       new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
     /** PCM WAV with deterministic samples derived from `seed` — same
@@ -215,6 +217,75 @@ object Multimodal {
     }
   }
 
+  /** Real video-container bytes + header parsing, pure JVM — the AVI
+    * mirror of [[AudioCodec]] (AVI is RIFF too, so the chunk walk is
+    * the same public structure one level deeper).
+    *
+    * Encoding writes the minimal valid AVI skeleton: RIFF('AVI ') →
+    * LIST('hdrl'){ 'avih'(56-byte MainAVIHeader) } → LIST('movi'){} —
+    * geometry and timing live in the avih fields (µs/frame at +0,
+    * total frames at +16, width at +32, height at +36; all LE32).
+    * Frame PAYLOADS are intentionally absent: parsing the container is
+    * pure JVM; decoding frames needs a video codec this container
+    * does not ship, and the header is what the metadata/feature
+    * pipeline consumes. */
+  object VideoCodec {
+    import AudioCodec.{le32, rdLe32, tag}
+
+    /** Minimal AVI with deterministic avih fields. */
+    def encodeAvi(width: Int, height: Int, nFrames: Int, usPerFrame: Int): Array[Byte] = {
+      val avih = new java.io.ByteArrayOutputStream()
+      avih.write(le32(usPerFrame))           // dwMicroSecPerFrame
+      avih.write(le32(0)); avih.write(le32(0)) // dwMaxBytesPerSec, dwPaddingGranularity
+      avih.write(le32(0x10))                 // dwFlags: AVIF_HASINDEX
+      avih.write(le32(nFrames))              // dwTotalFrames
+      avih.write(le32(0)); avih.write(le32(1)) // dwInitialFrames, dwStreams
+      avih.write(le32(0))                    // dwSuggestedBufferSize
+      avih.write(le32(width)); avih.write(le32(height))
+      (0 until 4).foreach(_ => avih.write(le32(0))) // dwReserved[4]
+      val avihB = avih.toByteArray            // 56 bytes
+      val hdrl = new java.io.ByteArrayOutputStream()
+      hdrl.write("hdrl".getBytes)
+      hdrl.write("avih".getBytes); hdrl.write(le32(avihB.length)); hdrl.write(avihB)
+      val hdrlB = hdrl.toByteArray
+      val movi = "movi".getBytes
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write("RIFF".getBytes)
+      bos.write(le32(4 + 8 + hdrlB.length + 8 + movi.length))
+      bos.write("AVI ".getBytes)
+      bos.write("LIST".getBytes); bos.write(le32(hdrlB.length)); bos.write(hdrlB)
+      bos.write("LIST".getBytes); bos.write(le32(movi.length)); bos.write(movi)
+      bos.toByteArray
+    }
+
+    /** (format, width, height, n_frames, us_per_frame); all -1 when
+      * the bytes are not a parseable RIFF/AVI file. */
+    def parseHeader(b: Array[Byte]): (String, Int, Int, Int, Int) = {
+      val bad = ("unknown", -1, -1, -1, -1)
+      if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "AVI ") return bad
+      var o = 12
+      while (o + 8 <= b.length) {
+        val id = tag(b, o); val sz = rdLe32(b, o + 4)
+        if (sz < 0) return ("avi", -1, -1, -1, -1)
+        if (id == "LIST" && o + 12 <= b.length && tag(b, o + 8) == "hdrl") {
+          // walk the hdrl sub-chunks for avih
+          var p = o + 12
+          val lim = math.min(b.length, o + 8 + sz)
+          while (p + 8 <= lim) {
+            val sid = tag(b, p); val ssz = rdLe32(b, p + 4)
+            if (ssz < 0) return ("avi", -1, -1, -1, -1)
+            if (sid == "avih" && p + 8 + 40 <= lim)
+              return ("avi", rdLe32(b, p + 8 + 32), rdLe32(b, p + 8 + 36),
+                rdLe32(b, p + 8 + 16), rdLe32(b, p + 8))
+            p += 8 + ssz + (ssz & 1)
+          }
+        }
+        o += 8 + sz + (sz & 1)
+      }
+      ("avi", -1, -1, -1, -1)
+    }
+  }
+
   /** Deterministic audio-table recipe shared by the builders and the
     * oracles — the WAV twin of the `img*` recipe above. */
   def audRate(id: Long): Int = Array(8000, 16000, 22050, 44100)((id % 4).toInt)
@@ -237,6 +308,54 @@ object Multimodal {
       it.map { r =>
         val id = r.getLong(0)
         Row(id, "audio", audioBytes(id))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Deterministic video-table recipe shared by the builders and the
+    * oracles — the AVI twin of the `aud*` recipe above. */
+  def vidWidth(id: Long): Int = 160 + (id % 9).toInt * 16
+  def vidHeight(id: Long): Int = 120 + (id % 7).toInt * 8
+  def vidFrames(id: Long): Int = 10 + (id % 23).toInt
+  def vidUsPerFrame(id: Long): Int = 20000 + (id % 5).toInt * 10000
+
+  private def videoBytes(id: Long): Array[Byte] =
+    VideoCodec.encodeAvi(vidWidth(id), vidHeight(id), vidFrames(id),
+      vidUsPerFrame(id))
+
+  /** Media table with REAL video-container payloads (RIFF/AVI, one
+    * per input id). Narrow map — encode happens executor-side. */
+  def videoMedia(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("kind", StringType),
+      StructField("payload", BinaryType)))
+    df.select(col(idCol).cast("long")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        Row(id, "video", videoBytes(id))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Video header decode as a standalone per-row operator: (media_id,
+    * fmt, width, height, n_frames, us_per_frame) parsed from the
+    * payload bytes — never from metadata. */
+  def decodeVideoHeaders(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("fmt", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("us_per_frame", IntegerType)))
+    val idI = media.schema.fieldIndex("media_id")
+    val pI  = media.schema.fieldIndex("payload")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val (fmt, w, h, n, us) =
+          VideoCodec.parseHeader(r.getAs[Array[Byte]](pI))
+        Row(r.getLong(idI), fmt, w, h, n, us)
       }
     }(Encoders.row(schema))
   }

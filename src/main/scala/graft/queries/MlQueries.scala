@@ -318,6 +318,27 @@ object MlQueries extends QueryModule {
       |  CAST(32 + doc_id % 29 AS INTEGER) AS n_samples
       |FROM documents WHERE doc_id % 3 = 1 ORDER BY media_id""".stripMargin
 
+  /** Per-row REAL-video-container gate, the AVI third of the codec
+    * trio: every payload is a valid RIFF/AVI skeleton written by
+    * [[Multimodal.VideoCodec]], and the nested chunk walk (RIFF →
+    * LIST hdrl → avih) must recover geometry, frame count, and frame
+    * timing for every row — the oracle predicts all of it from the id
+    * recipe. Frame decode stays out of scope by design (header fields
+    * are what the metadata pipeline consumes; no ffmpeg offline). */
+  private def qVideoHeaders(implicit s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.videoMedia(
+      Tables.documents(s, dir).where(col("doc_id") % 3 === 2), "doc_id")
+    Multimodal.decodeVideoHeaders(media).orderBy(col("media_id"))
+  }
+
+  private val qVideoHeadersSql =
+    """SELECT doc_id AS media_id, 'avi' AS fmt,
+      |  CAST(160 + (doc_id % 9) * 16 AS INTEGER) AS width,
+      |  CAST(120 + (doc_id % 7) * 8 AS INTEGER) AS height,
+      |  CAST(10 + doc_id % 23 AS INTEGER) AS n_frames,
+      |  CAST(20000 + (doc_id % 5) * 10000 AS INTEGER) AS us_per_frame
+      |FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id""".stripMargin
+
   /** t-SNE coordinates (reference C3, the viz tail of the pipeline,
     * `main.py:366–368`): stride-sample the embeddings down to a
     * bounded viz set (the distributed half of the contract — the
@@ -353,5 +374,6 @@ object MlQueries extends QueryModule {
     Q("q_multimodal_features", (s, d) => qMultimodal(s, d), Some(qMultimodalSql)),
     Q("q_image_headers", (s, d) => qImageHeaders(s, d), Some(qImageHeadersSql)),
     Q("q_audio_headers", (s, d) => qAudioHeaders(s, d), Some(qAudioHeadersSql)),
+    Q("q_video_headers", (s, d) => qVideoHeaders(s, d), Some(qVideoHeadersSql)),
     Q("q_tsne_coords", (s, d) => qTsneCoords(s, d), None))
 }

@@ -87,4 +87,22 @@ class EntrySpec extends AnyFunSuite {
     val shell = "RIFF".getBytes ++ Array[Byte](4, 0, 0, 0) ++ "WAVE".getBytes
     assert(AudioCodec.parseHeader(shell) == ("wav", -1, -1, -1, -1))
   }
+
+  test("video codec: AVI round-trips through the nested chunk walker") {
+    import Multimodal.VideoCodec
+    for (w <- Seq(160, 304); h <- Seq(120, 168); n <- Seq(1, 10, 32);
+         us <- Seq(20000, 60000)) {
+      val b = VideoCodec.encodeAvi(w, h, n, us)
+      assert(VideoCodec.parseHeader(b) == ("avi", w, h, n, us))
+    }
+    // a WAV is RIFF but not AVI; random bytes are neither
+    import Multimodal.AudioCodec
+    val wav = AudioCodec.encodeWav(8000, 1, 8, 4, seed = 1L)
+    assert(VideoCodec.parseHeader(wav)._1 == "unknown")
+    assert(VideoCodec.parseHeader("not a video".getBytes)._1 == "unknown")
+    assert(VideoCodec.parseHeader(Array.empty[Byte])._1 == "unknown")
+    // an AVI shell with no hdrl parses as avi but unknown geometry
+    val shell = "RIFF".getBytes ++ Array[Byte](4, 0, 0, 0) ++ "AVI ".getBytes
+    assert(VideoCodec.parseHeader(shell) == ("avi", -1, -1, -1, -1))
+  }
 }
