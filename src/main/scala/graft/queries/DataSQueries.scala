@@ -374,6 +374,64 @@ object DataSQueries extends QueryModule {
        |FROM t GROUP BY category ORDER BY category""".stripMargin
   }
 
+  // ---------------------------- sharegpt FILE → per-turn IFD, joined up
+  /** The two halves composed end-to-end: REAL file ingestion
+    * ([[graft.io.JsonIO.readSharegpt]] over the JSONL fixture) feeding
+    * the per-turn history-conditioned IFD pipeline — the full path a
+    * user scoring conversation files runs, gated oracle-exact. */
+  private def qSharegptFileIfd(implicit s: SparkSession, dir: String): DataFrame = {
+    val path = graft.io.JsonIO.sharegptFixture()
+    Scorers.sharegptIfdPipeline(
+        graft.io.JsonIO.readSharegpt(s, path)
+          .select(col("conversation_id"), col("conversation")),
+        "conversation_id", "conversation", () => new Scorers.ProxyBackend(42L))
+      .select(col("conversation_id"), col("turn"),
+        round(col("score_ifd"), 6).as("score_ifd"))
+      .orderBy(col("conversation_id"), col("turn"))
+  }
+
+  private val qSharegptFileIfdSql = {
+    import Scorers.ProxyBackend.unitSql
+    scala.util.Try(graft.io.JsonIO.sharegptFixture())
+    def losses(prompt: String) =
+      s"""list_transform(toks, (t, i) ->
+         |      0.05 + 4.0 * ${unitSql(42L, s"'tl:' || $prompt || '#' || t || '#' || (i - 1)")})""".stripMargin
+    s"""WITH conv AS (
+       |  SELECT conversation_id, conversation
+       |  FROM read_json('${graft.io.JsonIO.SharegptFixturePath}',
+       |    format = 'newline_delimited',
+       |    columns = {conversation_id: 'VARCHAR', category: 'VARCHAR',
+       |               conversation: 'STRUCT(human VARCHAR, assistant VARCHAR)[]'})),
+       |turns AS (
+       |  SELECT conversation_id, conversation,
+       |    CAST(generate_subscripts(conversation, 1) - 1 AS INTEGER) AS turn,
+       |    unnest(conversation) AS ex
+       |  FROM conv),
+       |pr AS (
+       |  SELECT conversation_id, turn,
+       |    CASE WHEN turn = 0 THEN ex.human
+       |      ELSE array_to_string(list_transform(conversation[1:turn],
+       |             x -> x.human || ' ' || x.assistant), ' ') || ' ' || ex.human
+       |    END AS prompt,
+       |    list_filter(string_split_regex(trim(ex.assistant), '\\s+'), t -> t <> '') AS toks
+       |  FROM turns),
+       |sc AS (
+       |  SELECT conversation_id, turn,
+       |    ${losses("''")} AS la,
+       |    ${losses("prompt")} AS lc
+       |  FROM pr
+       |  WHERE len(string_split_regex(trim(prompt), '\\s+')) < 1024),
+       |r AS (
+       |  SELECT conversation_id, turn,
+       |    CASE WHEN len(la) = 0 OR len(lc) = 0 THEN NULL
+       |      ELSE (list_aggregate(lc, 'sum') / len(lc))
+       |         / (list_aggregate(la, 'sum') / len(la)) END AS score
+       |  FROM sc)
+       |SELECT conversation_id, turn, round(score, 6) AS score_ifd FROM r
+       |WHERE score IS NULL OR score <= 1.0
+       |ORDER BY conversation_id, turn""".stripMargin
+  }
+
   // ------------------------------------- T1 apply / weighted merge
   /** TaskVector algebra breadth (reference `merging.py:52–95`):
     * base + scale · weightedMerge(0.6·tv, 0.4·(−tv)) — exercises
@@ -558,6 +616,7 @@ object DataSQueries extends QueryModule {
     Q("q_sharegpt_turns", (s, d) => qSharegptTurns(s, d), Some(qSharegptTurnsSql)),
     Q("q_sharegpt_file", (s, d) => qSharegptFile(s, d), Some(qSharegptFileSql)),
     Q("q_sharegpt_ifd", (s, d) => qSharegptIfd(s, d), Some(qSharegptIfdSql)),
+    Q("q_sharegpt_file_ifd", (s, d) => qSharegptFileIfd(s, d), Some(qSharegptFileIfdSql)),
     Q("q_ifd_ratio", (s, d) => qIfdRatio(s, d), Some(qIfdRatioSql)),
     Q("q_cluster_select", (s, d) => qClusterSelect(s, d), Some(qClusterSelectSql)),
     Q("q_sample_least_conf", (s, d) => qSampleLeastConf(s, d), Some(qSampleLeastConfSql)),
