@@ -200,20 +200,29 @@ object Multimodal {
       val bad = ("unknown", -1, -1, -1, -1)
       if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return bad
       var sampleRate, channels, bits, dataSize = -1
-      var o = 12
+      // Long offsets: a hostile near-MaxInt chunk size must overflow
+      // the cursor PAST the length guard, not wrap it negative into
+      // an IndexOutOfBounds — degrade, never throw
+      var o = 12L
       while (o + 8 <= b.length) {
-        val id = tag(b, o); val sz = rdLe32(b, o + 4)
+        val oi = o.toInt
+        val id = tag(b, oi); val sz = rdLe32(b, oi + 4)
         if (sz < 0) return ("wav", -1, -1, -1, -1) // corrupt size: stop, don't loop
         if (id == "fmt " && o + 8 + 16 <= b.length) {
-          channels = rdLe16(b, o + 10)
-          sampleRate = rdLe32(b, o + 12)
-          bits = rdLe16(b, o + 22)
+          channels = rdLe16(b, oi + 10)
+          sampleRate = rdLe32(b, oi + 12)
+          bits = rdLe16(b, oi + 22)
         } else if (id == "data") dataSize = sz
-        o += 8 + sz + (sz & 1) // chunks are word-aligned
+        o += 8L + sz + (sz & 1) // chunks are word-aligned
       }
-      if (sampleRate < 0 || dataSize < 0 || channels <= 0 || bits <= 0)
+      // block align in Long: 4-bit ADPCM (block 0) or hostile 16-bit
+      // channel/width fields (Int overflow) must degrade, not divide
+      // by zero / wrap
+      val block = channels.toLong * bits / 8
+      if (sampleRate < 0 || dataSize < 0 || channels <= 0 || bits <= 0 ||
+          block <= 0 || block > Int.MaxValue)
         ("wav", -1, -1, -1, -1)
-      else ("wav", sampleRate, channels, bits, dataSize / (channels * bits / 8))
+      else ("wav", sampleRate, channels, bits, (dataSize / block).toInt)
     }
   }
 
@@ -263,24 +272,29 @@ object Multimodal {
     def parseHeader(b: Array[Byte]): (String, Int, Int, Int, Int) = {
       val bad = ("unknown", -1, -1, -1, -1)
       if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "AVI ") return bad
-      var o = 12
+      // Long offsets in BOTH walks: hostile near-MaxInt chunk sizes
+      // must run the cursor past the length guard, not wrap it
+      // negative into an IndexOutOfBounds — degrade, never throw
+      var o = 12L
       while (o + 8 <= b.length) {
-        val id = tag(b, o); val sz = rdLe32(b, o + 4)
+        val oi = o.toInt
+        val id = tag(b, oi); val sz = rdLe32(b, oi + 4)
         if (sz < 0) return ("avi", -1, -1, -1, -1)
-        if (id == "LIST" && o + 12 <= b.length && tag(b, o + 8) == "hdrl") {
+        if (id == "LIST" && o + 12 <= b.length && tag(b, oi + 8) == "hdrl") {
           // walk the hdrl sub-chunks for avih
           var p = o + 12
-          val lim = math.min(b.length, o + 8 + sz)
+          val lim = math.min(b.length.toLong, o + 8 + sz)
           while (p + 8 <= lim) {
-            val sid = tag(b, p); val ssz = rdLe32(b, p + 4)
+            val pi = p.toInt
+            val sid = tag(b, pi); val ssz = rdLe32(b, pi + 4)
             if (ssz < 0) return ("avi", -1, -1, -1, -1)
             if (sid == "avih" && p + 8 + 40 <= lim)
-              return ("avi", rdLe32(b, p + 8 + 32), rdLe32(b, p + 8 + 36),
-                rdLe32(b, p + 8 + 16), rdLe32(b, p + 8))
-            p += 8 + ssz + (ssz & 1)
+              return ("avi", rdLe32(b, pi + 8 + 32), rdLe32(b, pi + 8 + 36),
+                rdLe32(b, pi + 8 + 16), rdLe32(b, pi + 8))
+            p += 8L + ssz + (ssz & 1)
           }
         }
-        o += 8 + sz + (sz & 1)
+        o += 8L + sz + (sz & 1)
       }
       ("avi", -1, -1, -1, -1)
     }

@@ -292,24 +292,25 @@ object DataSQueries extends QueryModule {
       .orderBy(col("doc_id"), col("turn"))
   }
 
-  private val qSharegptIfdSql = {
+  /** Shared per-turn IFD oracle chain: `convCte` must yield
+    * (`idCol`, conversation). Everything downstream — history-prompt
+    * construction, proxy losses, P6/P7 guards — is ONE definition, so
+    * the synthesized-column and file-ingestion twins can never
+    * silently diverge in guard math. Mirrors
+    * [[Scorers.sharegptIfdPipeline]] clause for clause. */
+  private def sharegptIfdOracle(idCol: String, convCte: String): String = {
     import Scorers.ProxyBackend.unitSql
     def losses(prompt: String) =
       s"""list_transform(toks, (t, i) ->
          |      0.05 + 4.0 * ${unitSql(42L, s"'tl:' || $prompt || '#' || t || '#' || (i - 1)")})""".stripMargin
-    s"""WITH conv AS (
-       |  SELECT doc_id, [
-       |    struct_pack(human := substr(text, 1, 60),
-       |      assistant := substr(text, CAST(length(text) // 2 AS INTEGER) + 1, 60)),
-       |    struct_pack(human := source, assistant := lang)
-       |  ] AS conversation FROM documents),
+    s"""WITH conv AS ($convCte),
        |turns AS (
-       |  SELECT doc_id, conversation,
+       |  SELECT $idCol, conversation,
        |    CAST(generate_subscripts(conversation, 1) - 1 AS INTEGER) AS turn,
        |    unnest(conversation) AS ex
        |  FROM conv),
        |pr AS (
-       |  SELECT doc_id, turn,
+       |  SELECT $idCol, turn,
        |    CASE WHEN turn = 0 THEN ex.human
        |      ELSE array_to_string(list_transform(conversation[1:turn],
        |             x -> x.human || ' ' || x.assistant), ' ') || ' ' || ex.human
@@ -317,21 +318,29 @@ object DataSQueries extends QueryModule {
        |    list_filter(string_split_regex(trim(ex.assistant), '\\s+'), t -> t <> '') AS toks
        |  FROM turns),
        |sc AS (
-       |  SELECT doc_id, turn,
+       |  SELECT $idCol, turn,
        |    ${losses("''")} AS la,
        |    ${losses("prompt")} AS lc
        |  FROM pr
        |  WHERE len(string_split_regex(trim(prompt), '\\s+')) < 1024),
        |r AS (
-       |  SELECT doc_id, turn,
+       |  SELECT $idCol, turn,
        |    CASE WHEN len(la) = 0 OR len(lc) = 0 THEN NULL
        |      ELSE (list_aggregate(lc, 'sum') / len(lc))
        |         / (list_aggregate(la, 'sum') / len(la)) END AS score
        |  FROM sc)
-       |SELECT doc_id, turn, round(score, 6) AS score_ifd FROM r
+       |SELECT $idCol, turn, round(score, 6) AS score_ifd FROM r
        |WHERE score IS NULL OR score <= 1.0
-       |ORDER BY doc_id, turn""".stripMargin
+       |ORDER BY $idCol, turn""".stripMargin
   }
+
+  private val qSharegptIfdSql = sharegptIfdOracle("doc_id",
+    """
+       |  SELECT doc_id, [
+       |    struct_pack(human := substr(text, 1, 60),
+       |      assistant := substr(text, CAST(length(text) // 2 AS INTEGER) + 1, 60)),
+       |    struct_pack(human := source, assistant := lang)
+       |  ] AS conversation FROM documents""".stripMargin)
 
   // ------------------------------------ sharegpt FILE ingestion gate
   /** Sharegpt ingestion through the real reader
@@ -391,45 +400,14 @@ object DataSQueries extends QueryModule {
   }
 
   private val qSharegptFileIfdSql = {
-    import Scorers.ProxyBackend.unitSql
     scala.util.Try(graft.io.JsonIO.sharegptFixture())
-    def losses(prompt: String) =
-      s"""list_transform(toks, (t, i) ->
-         |      0.05 + 4.0 * ${unitSql(42L, s"'tl:' || $prompt || '#' || t || '#' || (i - 1)")})""".stripMargin
-    s"""WITH conv AS (
-       |  SELECT conversation_id, conversation
-       |  FROM read_json('${graft.io.JsonIO.SharegptFixturePath}',
-       |    format = 'newline_delimited',
-       |    columns = {conversation_id: 'VARCHAR', category: 'VARCHAR',
-       |               conversation: 'STRUCT(human VARCHAR, assistant VARCHAR)[]'})),
-       |turns AS (
-       |  SELECT conversation_id, conversation,
-       |    CAST(generate_subscripts(conversation, 1) - 1 AS INTEGER) AS turn,
-       |    unnest(conversation) AS ex
-       |  FROM conv),
-       |pr AS (
-       |  SELECT conversation_id, turn,
-       |    CASE WHEN turn = 0 THEN ex.human
-       |      ELSE array_to_string(list_transform(conversation[1:turn],
-       |             x -> x.human || ' ' || x.assistant), ' ') || ' ' || ex.human
-       |    END AS prompt,
-       |    list_filter(string_split_regex(trim(ex.assistant), '\\s+'), t -> t <> '') AS toks
-       |  FROM turns),
-       |sc AS (
-       |  SELECT conversation_id, turn,
-       |    ${losses("''")} AS la,
-       |    ${losses("prompt")} AS lc
-       |  FROM pr
-       |  WHERE len(string_split_regex(trim(prompt), '\\s+')) < 1024),
-       |r AS (
-       |  SELECT conversation_id, turn,
-       |    CASE WHEN len(la) = 0 OR len(lc) = 0 THEN NULL
-       |      ELSE (list_aggregate(lc, 'sum') / len(lc))
-       |         / (list_aggregate(la, 'sum') / len(la)) END AS score
-       |  FROM sc)
-       |SELECT conversation_id, turn, round(score, 6) AS score_ifd FROM r
-       |WHERE score IS NULL OR score <= 1.0
-       |ORDER BY conversation_id, turn""".stripMargin
+    sharegptIfdOracle("conversation_id",
+      s"""
+         |  SELECT conversation_id, conversation
+         |  FROM read_json('${graft.io.JsonIO.SharegptFixturePath}',
+         |    format = 'newline_delimited',
+         |    columns = {conversation_id: 'VARCHAR', category: 'VARCHAR',
+         |               conversation: 'STRUCT(human VARCHAR, assistant VARCHAR)[]'})""".stripMargin)
   }
 
   // ------------------------------------- T1 apply / weighted merge

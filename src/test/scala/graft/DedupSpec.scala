@@ -54,9 +54,11 @@ class DedupSpec extends AnyFunSuite {
     assert(cappedPairs.size == 8 * 7 / 2)
     // deterministic: the cap keeps the SMALLEST ids per bucket
     assert(cappedPairs.flatMap(p => Set(p._1, p._2)) == (0L until 8L).toSet)
-    // and the capped plan stays bucket-partitioned — no global window
+    // and the capped plan's window is PARTITIONED BY the bucket keys
+    // (a regression to a global window would print a spec without them)
     val plan = capped.queryExecution.optimizedPlan.toString
-    assert(!plan.contains("windowspecdefinition()"), plan)
+    assert("windowspecdefinition\\(band#\\d+L?, bsig#\\d+".r
+      .findFirstIn(plan).isDefined, plan)
     // sanity: when no bucket exceeds the cap, results are identical
     val small = spark.range(0, 5).toDF("doc_id")
       .select(col("doc_id") +:

@@ -86,6 +86,17 @@ class EntrySpec extends AnyFunSuite {
     // a RIFF/WAVE shell with no fmt/data parses as wav but unknown geometry
     val shell = "RIFF".getBytes ++ Array[Byte](4, 0, 0, 0) ++ "WAVE".getBytes
     assert(AudioCodec.parseHeader(shell) == ("wav", -1, -1, -1, -1))
+    // hostile near-MaxInt chunk size: cursor must run past the end,
+    // not wrap negative into an IndexOutOfBounds
+    val hostile = "RIFF".getBytes ++ Array[Byte](16, 0, 0, 0) ++
+      "WAVE".getBytes ++ "JUNK".getBytes ++
+      Array[Byte](0xf8.toByte, 0xff.toByte, 0xff.toByte, 0x7f.toByte)
+    assert(AudioCodec.parseHeader(hostile) == ("wav", -1, -1, -1, -1))
+    // 4-bit ADPCM-style fmt (block align 0): degrade, don't divide by 0
+    val base16 = AudioCodec.encodeWav(8000, 1, 16, 2, seed = 3L)
+    val adpcm = base16.clone()
+    adpcm(34) = 4; adpcm(35) = 0 // bitsPerSample := 4
+    assert(AudioCodec.parseHeader(adpcm) == ("wav", -1, -1, -1, -1))
   }
 
   test("video codec: AVI round-trips through the nested chunk walker") {
@@ -104,5 +115,10 @@ class EntrySpec extends AnyFunSuite {
     // an AVI shell with no hdrl parses as avi but unknown geometry
     val shell = "RIFF".getBytes ++ Array[Byte](4, 0, 0, 0) ++ "AVI ".getBytes
     assert(VideoCodec.parseHeader(shell) == ("avi", -1, -1, -1, -1))
+    // hostile near-MaxInt chunk size in the outer walk: no throw
+    val hostile = "RIFF".getBytes ++ Array[Byte](16, 0, 0, 0) ++
+      "AVI ".getBytes ++ "JUNK".getBytes ++
+      Array[Byte](0xf8.toByte, 0xff.toByte, 0xff.toByte, 0x7f.toByte)
+    assert(VideoCodec.parseHeader(hostile) == ("avi", -1, -1, -1, -1))
   }
 }

@@ -29,22 +29,27 @@ class OracleParitySpec extends AnyFunSuite {
     "q_quantile_bucket", "q_json_roundtrip", "q_image_headers",
     "q_audio_headers")
 
+  private val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR_VERIFY",
+    "/root/testdata/sf0.01")
+
   private def oracleEnabled: Boolean = {
     import scala.sys.process._
-    sys.env.get("SPARK_GRAFT_ORACLE") match {
-      case Some("0") => false // explicit opt-out
-      case Some(_)   => true  // explicit opt-in (legacy form)
+    sys.env.get("SPARK_GRAFT_ORACLE").map(_.toLowerCase) match {
+      case Some("0") | Some("false") => false // explicit opt-out
+      case Some(_)                   => true  // explicit opt-in (legacy form)
       case None => // default: on iff the host can actually run the gate
-        try Process(Seq("python3", "-c", "import duckdb")).! == 0
-        catch { case _: Exception => false }
+        // (duckdb importable AND the sf fixture present — a host with
+        // one but not the other gets the documented skip, not a fail)
+        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sfDir)) &&
+          (try Process(Seq("python3", "-c", "import duckdb")).! == 0
+           catch { case _: Exception => false })
     }
   }
 
   test("DuckDB oracle parity holds for the highest-churn queries") {
     assume(oracleEnabled,
-      "python3+duckdb unavailable (or SPARK_GRAFT_ORACLE=0): skipping parity gate")
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR_VERIFY",
-      "/root/testdata/sf0.01")
+      "python3+duckdb or test data unavailable (or SPARK_GRAFT_ORACLE=0): " +
+        "skipping parity gate")
     val out = Files.createTempDirectory("graft_oracle_gate").toString
     Verify.dump(spark, sfDir, out, Some(churn))
     import scala.sys.process._
