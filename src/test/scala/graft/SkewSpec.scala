@@ -74,6 +74,43 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // The third leg of the runtime-optimization evidence (with AQE
+    // skew split and coalesce): InjectRuntimeFilter must push a bloom
+    // filter built from the SELECTIVE dimension side into the fact
+    // scan, so at 100 TB the join reads a fraction of the fact table.
+    // The application-side size threshold defaults to 10 GB — far
+    // above any local fixture — so it is lowered here; the mechanism
+    // is identical at scale with the defaults.
+    val c = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> c.getOption(k)).toMap
+    try {
+      c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      // broadcast joins skip runtime filters (broadcast IS the filter);
+      // force the shuffle-join shape the 100 TB fact join takes
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = graft.core.Tables.lineitem(spark, TestSpark.SfDir)
+        .select(col("l_orderkey"), col("l_quantity"))
+      val ord = graft.core.Tables.orders(spark, TestSpark.SfDir)
+        .where(col("o_orderpriority") === "1-URGENT") // selective dim filter
+        .select(col("o_orderkey"), col("o_custkey"))
+      val joined = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"expected InjectRuntimeFilter to add a bloom probe to the fact scan:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None)    => c.unset(k)
+    }
+  }
+
   test("saltCols restores fan-out when a hot key's rows are identical") {
     // FULLY identical (key, value) rows: the full-row hash maps all of
     // them to one salt (documented limitation) — salting on a stable
