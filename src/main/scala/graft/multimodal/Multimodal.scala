@@ -326,6 +326,71 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** Real PCM SAMPLE decode (beyond the header): normalized doubles
+    * in interleaved order — unsigned 8-bit → (v−128)/128, signed LE
+    * 16-bit → v/32768. Returns None when the bytes are not decodable
+    * PCM. This is an actual decoder over the actual byte stream: a
+    * byte-order or sign-extension bug here changes every downstream
+    * energy number and fails the oracle hash. */
+  def decodePcm(b: Array[Byte]): Option[Array[Double]] = {
+    val (fmt, _, channels, bits, nSamples) = AudioCodec.parseHeader(b)
+    if (fmt != "wav" || nSamples < 0) return None
+    // locate the data chunk (same guarded walk as parseHeader)
+    var dataOff = -1L; var dataSz = -1
+    var o = 12L
+    while (o + 8 <= b.length && dataOff < 0) {
+      val oi = o.toInt
+      val id = AudioCodec.tag(b, oi); val sz = AudioCodec.rdLe32(b, oi + 4)
+      if (sz < 0) return None
+      if (id == "data") { dataOff = o + 8; dataSz = sz }
+      o += 8L + sz + (sz & 1)
+    }
+    if (dataOff < 0 || dataOff + dataSz > b.length) return None
+    val total = nSamples * channels
+    val out = new Array[Double](total)
+    var k = 0
+    while (k < total) {
+      val p = (dataOff + k.toLong * bits / 8).toInt
+      out(k) =
+        if (bits == 8) ((b(p) & 0xff) - 128) / 128.0
+        else AudioCodec.rdLe16(b, p).toShort / 32768.0
+      k += 1
+    }
+    Some(out)
+  }
+
+  /** Audio SAMPLE features per row, decoded from the real byte
+    * stream: RMS energy (left-to-right sum of squares — the fold
+    * order DuckDB's list_aggregate uses, so the oracle replays it
+    * bit-exactly) and peak amplitude. */
+  def decodeAudioFeatures(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("n_samples", IntegerType),
+      StructField("rms", DoubleType),
+      StructField("peak", DoubleType)))
+    val idI = media.schema.fieldIndex("media_id")
+    val pI  = media.schema.fieldIndex("payload")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](pI)
+        val (_, _, _, _, n) = AudioCodec.parseHeader(bytes)
+        decodePcm(bytes) match {
+          case Some(xs) =>
+            var ss = 0.0; var peak = 0.0; var i = 0
+            while (i < xs.length) {
+              ss += xs(i) * xs(i)
+              val a = math.abs(xs(i)); if (a > peak) peak = a
+              i += 1
+            }
+            val rms = math.sqrt(ss / xs.length)
+            Row(r.getLong(idI), n, rms, peak)
+          case None => Row(r.getLong(idI), -1, null, null)
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Deterministic video-table recipe shared by the builders and the
     * oracles — the AVI twin of the `aud*` recipe above. */
   def vidWidth(id: Long): Int = 160 + (id % 9).toInt * 16

@@ -318,6 +318,44 @@ object MlQueries extends QueryModule {
       |  CAST(32 + doc_id % 29 AS INTEGER) AS n_samples
       |FROM documents WHERE doc_id % 3 = 1 ORDER BY media_id""".stripMargin
 
+  /** Real PCM SAMPLE-decode gate (a level deeper than the header
+    * gate): Spark decodes the actual interleaved byte stream —
+    * unsigned-8-bit recentering, signed-LE-16-bit reinterpretation —
+    * and computes RMS energy + peak; the oracle replays the
+    * deterministic sample RECIPE arithmetic, never touching bytes. A
+    * sign-extension or byte-order bug on the Spark side changes every
+    * energy value and fails the hash. */
+  private def qAudioEnergy(implicit s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.audioMedia(
+      Tables.documents(s, dir).where(col("doc_id") % 3 === 1), "doc_id")
+    Multimodal.decodeAudioFeatures(media)
+      .select(col("media_id"), col("n_samples"),
+        round(col("rms"), 6).as("rms"), round(col("peak"), 6).as("peak"))
+      .orderBy(col("media_id"))
+  }
+
+  private val qAudioEnergySql =
+    """WITH aud AS (
+      |  SELECT doc_id,
+      |    CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+      |    CASE WHEN doc_id % 5 = 0 THEN 8 ELSE 16 END AS bits,
+      |    CAST(32 + doc_id % 29 AS BIGINT) AS ns
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |xs AS (
+      |  SELECT doc_id, ns,
+      |    list_transform(range(0, ns * ch), k ->
+      |      CASE WHEN bits = 8
+      |        THEN (CAST((doc_id * 31 + (k // ch) * 17 + (k % ch) * 7) % 256 AS DOUBLE) - 128) / 128.0
+      |        ELSE CAST(CASE WHEN (doc_id * 131 + (k // ch) * 7919 + (k % ch) * 101) % 65536 >= 32768
+      |                  THEN (doc_id * 131 + (k // ch) * 7919 + (k % ch) * 101) % 65536 - 65536
+      |                  ELSE (doc_id * 131 + (k // ch) * 7919 + (k % ch) * 101) % 65536 END AS DOUBLE) / 32768.0
+      |      END) AS x
+      |  FROM aud)
+      |SELECT doc_id AS media_id, CAST(ns AS INTEGER) AS n_samples,
+      |  round(sqrt(list_aggregate(list_transform(x, v -> v * v), 'sum') / len(x)), 6) AS rms,
+      |  round(list_aggregate(list_transform(x, v -> abs(v)), 'max'), 6) AS peak
+      |FROM xs ORDER BY media_id""".stripMargin
+
   /** Per-row REAL-video-container gate, the AVI third of the codec
     * trio: every payload is a valid RIFF/AVI skeleton written by
     * [[Multimodal.VideoCodec]], and the nested chunk walk (RIFF →
@@ -375,5 +413,6 @@ object MlQueries extends QueryModule {
     Q("q_image_headers", (s, d) => qImageHeaders(s, d), Some(qImageHeadersSql)),
     Q("q_audio_headers", (s, d) => qAudioHeaders(s, d), Some(qAudioHeadersSql)),
     Q("q_video_headers", (s, d) => qVideoHeaders(s, d), Some(qVideoHeadersSql)),
+    Q("q_audio_energy", (s, d) => qAudioEnergy(s, d), Some(qAudioEnergySql)),
     Q("q_tsne_coords", (s, d) => qTsneCoords(s, d), None))
 }

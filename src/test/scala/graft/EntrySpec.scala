@@ -99,6 +99,32 @@ class EntrySpec extends AnyFunSuite {
     assert(AudioCodec.parseHeader(adpcm) == ("wav", -1, -1, -1, -1))
   }
 
+  test("audio codec: PCM sample decode matches the generation recipe") {
+    import Multimodal.AudioCodec
+    // 16-bit stereo: decoded samples must equal the recipe arithmetic
+    // (signed reinterpretation of the LE pair, /32768)
+    val id = 7L
+    val b16 = AudioCodec.encodeWav(16000, 2, 16, 5, seed = id)
+    val xs16 = Multimodal.decodePcm(b16).get
+    assert(xs16.length == 10)
+    for (k <- 0 until 10) {
+      val (i, c) = (k / 2, k % 2)
+      val v = ((id * 131 + i * 7919 + c * 101) % 65536).toInt
+      val expected = (if (v >= 32768) v - 65536 else v) / 32768.0
+      assert(xs16(k) == expected, s"k=$k")
+    }
+    // 8-bit mono: unsigned recentering
+    val b8 = Multimodal.AudioCodec.encodeWav(8000, 1, 8, 4, seed = id)
+    val xs8 = Multimodal.decodePcm(b8).get
+    for (k <- 0 until 4) {
+      val v = ((id * 31 + k * 17) % 256).toInt
+      assert(xs8(k) == (v - 128) / 128.0, s"k=$k")
+    }
+    // non-PCM bytes decode to None, never throw
+    assert(Multimodal.decodePcm("nope".getBytes).isEmpty)
+    assert(Multimodal.decodePcm(Array.empty[Byte]).isEmpty)
+  }
+
   test("video codec: AVI round-trips through the nested chunk walker") {
     import Multimodal.VideoCodec
     for (w <- Seq(160, 304); h <- Seq(120, 168); n <- Seq(1, 10, 32);
