@@ -139,6 +139,61 @@ object Multimodal {
     }
   }
 
+  /** Real image PIXEL decode (a level deeper than the header parse):
+    * run the actual ImageIO PNG decoder over the payload and sum the
+    * RGB channels as exact integers. PNG is lossless, so for payloads
+    * produced by [[ImageCodec.encodePng]] the recovered pixels equal
+    * the generation recipe `(x·31 + y·17) & 0xffffff` exactly — an
+    * oracle can replay the channel sums with pure integer arithmetic,
+    * and any decode bug (stride, channel order, color conversion)
+    * breaks the equality. Returns None for non-PNG/undecodable bytes
+    * and for grayscale PNGs (TYPE_BYTE_GRAY encoding applies a
+    * luminance conversion — real, but not integer-replayable). */
+  def decodePngChannelSums(b: Array[Byte]): Option[(Int, Int, Long, Long, Long)] = {
+    val (fmt, _, _, channels) = ImageCodec.parseHeader(b)
+    if (fmt != "png" || channels != 3) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      catch { case _: Exception => null }
+    if (img == null) return None
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    Some((img.getWidth, img.getHeight, sr, sg, sb))
+  }
+
+  /** Pixel-sum features over image payloads: (media_id, width, height,
+    * sum_r, sum_g, sum_b) from a REAL PNG decode; undecodable or
+    * non-color rows yield -1/null. */
+  def decodePixelSums(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sum_r", LongType),
+      StructField("sum_g", LongType),
+      StructField("sum_b", LongType)))
+    val idI = media.schema.fieldIndex("media_id")
+    val pI  = media.schema.fieldIndex("payload")
+    media.mapPartitions { it =>
+      it.map { r =>
+        decodePngChannelSums(r.getAs[Array[Byte]](pI)) match {
+          case Some((w, h, sr, sg, sb)) =>
+            Row(r.getLong(idI), w, h, sr, sg, sb)
+          case None => Row(r.getLong(idI), -1, -1, null, null, null)
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Real audio bytes + header parsing, pure JVM — the WAV/RIFF
     * mirror of [[ImageCodec]].
     *

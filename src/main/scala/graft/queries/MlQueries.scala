@@ -356,6 +356,39 @@ object MlQueries extends QueryModule {
       |  round(list_aggregate(list_transform(x, v -> abs(v)), 'max'), 6) AS peak
       |FROM xs ORDER BY media_id""".stripMargin
 
+  /** Real image PIXEL-decode gate (a level deeper than q_image_headers,
+    * the image twin of q_audio_energy): Spark runs the actual ImageIO
+    * PNG decoder and sums RGB channels as exact integers; PNG is
+    * lossless, so the oracle replays the pixel-fill recipe
+    * `(x·31 + y·17) & 0xffffff` with pure integer arithmetic. The fill
+    * never reaches the R byte (values < 2¹⁶), so sum_r must be exactly
+    * 0 — which makes a swapped channel order (RGB/BGR, the classic
+    * decode bug) instantly visible. Color PNGs only: JPEG is lossy and
+    * the grayscale writer applies a luminance transform. */
+  private def qImagePixels(implicit s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.imageMedia(
+      Tables.documents(s, dir).where(col("doc_id") % 3 === 0 &&
+        col("doc_id") % 2 === 0 && col("doc_id") % 5 =!= 0), "doc_id")
+    Multimodal.decodePixelSums(media).orderBy(col("media_id"))
+  }
+
+  private val qImagePixelsSql =
+    """WITH img AS (
+      |  SELECT doc_id,
+      |    CAST(16 + doc_id % 17 AS BIGINT) AS w,
+      |    CAST(12 + doc_id % 13 AS BIGINT) AS h
+      |  FROM documents
+      |  WHERE doc_id % 3 = 0 AND doc_id % 2 = 0 AND doc_id % 5 <> 0)
+      |SELECT doc_id AS media_id,
+      |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+      |  CAST(list_aggregate(flatten(list_transform(range(w), x ->
+      |    list_transform(range(h), y -> (x * 31 + y * 17) // 65536 % 256))), 'sum') AS BIGINT) AS sum_r,
+      |  CAST(list_aggregate(flatten(list_transform(range(w), x ->
+      |    list_transform(range(h), y -> (x * 31 + y * 17) // 256 % 256))), 'sum') AS BIGINT) AS sum_g,
+      |  CAST(list_aggregate(flatten(list_transform(range(w), x ->
+      |    list_transform(range(h), y -> (x * 31 + y * 17) % 256))), 'sum') AS BIGINT) AS sum_b
+      |FROM img ORDER BY media_id""".stripMargin
+
   /** Per-row REAL-video-container gate, the AVI third of the codec
     * trio: every payload is a valid RIFF/AVI skeleton written by
     * [[Multimodal.VideoCodec]], and the nested chunk walk (RIFF →
@@ -414,5 +447,6 @@ object MlQueries extends QueryModule {
     Q("q_audio_headers", (s, d) => qAudioHeaders(s, d), Some(qAudioHeadersSql)),
     Q("q_video_headers", (s, d) => qVideoHeaders(s, d), Some(qVideoHeadersSql)),
     Q("q_audio_energy", (s, d) => qAudioEnergy(s, d), Some(qAudioEnergySql)),
+    Q("q_image_pixels", (s, d) => qImagePixels(s, d), Some(qImagePixelsSql)),
     Q("q_tsne_coords", (s, d) => qTsneCoords(s, d), None))
 }
