@@ -410,6 +410,38 @@ object MlQueries extends QueryModule {
       |  CAST(20000 + (doc_id % 5) * 10000 AS INTEGER) AS us_per_frame
       |FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id""".stripMargin
 
+  /** Frame sampling over REAL video containers: n_frames comes from
+    * the parsed avih header (not a byte-length heuristic), then the
+    * standard stride/cap sampling runs over it — the operator chain a
+    * video curation pipeline uses to pick frames for feature
+    * extraction. Oracle replays the recipe + the sampling arithmetic. */
+  private def qVideoFrameSample(implicit s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.videoMedia(
+      Tables.documents(s, dir).where(col("doc_id") % 3 === 2), "doc_id")
+    val headers = Multimodal.decodeVideoHeaders(media)
+    Multimodal.sampleFrames(headers, stride = 4, maxFrames = 8)
+      .select(col("media_id"), col("n_frames"),
+        size(col("frame_idx")).as("n_sampled"),
+        element_at(col("frame_idx"), -1).as("last_frame"))
+      .orderBy(col("media_id"))
+  }
+
+  private val qVideoFrameSampleSql =
+    """WITH v AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(10 + doc_id % 23 AS INTEGER) AS n_frames
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |s AS (
+      |  SELECT media_id, n_frames,
+      |    CASE WHEN n_frames > 1
+      |      THEN least(8, (n_frames - 1) // 4 + 1)
+      |      ELSE 1 END AS n_sampled
+      |  FROM v)
+      |SELECT media_id, n_frames, CAST(n_sampled AS INTEGER) AS n_sampled,
+      |  CAST(CASE WHEN n_frames > 1 THEN (n_sampled - 1) * 4 ELSE 0 END
+      |    AS INTEGER) AS last_frame
+      |FROM s ORDER BY media_id""".stripMargin
+
   /** t-SNE coordinates (reference C3, the viz tail of the pipeline,
     * `main.py:366–368`): stride-sample the embeddings down to a
     * bounded viz set (the distributed half of the contract — the
@@ -448,5 +480,6 @@ object MlQueries extends QueryModule {
     Q("q_video_headers", (s, d) => qVideoHeaders(s, d), Some(qVideoHeadersSql)),
     Q("q_audio_energy", (s, d) => qAudioEnergy(s, d), Some(qAudioEnergySql)),
     Q("q_image_pixels", (s, d) => qImagePixels(s, d), Some(qImagePixelsSql)),
+    Q("q_video_frame_sample", (s, d) => qVideoFrameSample(s, d), Some(qVideoFrameSampleSql)),
     Q("q_tsne_coords", (s, d) => qTsneCoords(s, d), None))
 }
