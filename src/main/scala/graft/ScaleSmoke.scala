@@ -33,15 +33,20 @@ object ScaleSmoke {
       }.reduce(_ unionAll _).repartition(32).cache()
     }
 
+    // SPARK_GRAFT_SMOKE_ONLY=stage1,stage2 restricts the stage set
+    // (e.g. re-measuring one stage at a bigger multiplier without
+    // paying for the whole suite)
+    val onlyStages = sys.env.get("SPARK_GRAFT_SMOKE_ONLY").map(_.split(",").toSet)
     for (n <- Seq(1, mult)) {
       val docs = docsX(n)
       docs.count() // materialize the cache; timings below are compute-only
-      def time(name: String)(f: => Long): Unit = {
-        val t0 = System.nanoTime()
-        val rows = f
-        val dt = (System.nanoTime() - t0) / 1e9
-        println(f"""{"scale_smoke":"$name","mult":$n,"rows":$rows,"sec":$dt%.2f}""")
-      }
+      def time(name: String)(f: => Long): Unit =
+        if (onlyStages.forall(_.contains(name))) {
+          val t0 = System.nanoTime()
+          val rows = f
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(f"""{"scale_smoke":"$name","mult":$n,"rows":$rows,"sec":$dt%.2f}""")
+        }
       time("exact_dedup") {
         graft.operators.Dedup.dupGroups(
           docs.withColumn("content_key", substring(col("text"), 1, 40)),
