@@ -442,6 +442,64 @@ object MlQueries extends QueryModule {
       |    AS INTEGER) AS last_frame
       |FROM s ORDER BY media_id""".stripMargin
 
+  /** The multimodal CAPSTONE: the production operator chain
+    * (media table → [[Multimodal.extractFeatures]] with one decoder
+    * init per partition → per-row features) over a table where EVERY
+    * payload is a real container and the decoder is the real
+    * [[Multimodal.RealDecoder]] — image headers, actual PCM sample
+    * decode, avih frame counts, in one pass. The oracle predicts every
+    * value from the id recipes (audio RMS/peak replayed in pure
+    * arithmetic, narrowed through REAL to match the float32 feature
+    * column). */
+  private def qMediaFeaturesReal(implicit s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.realMedia(Tables.documents(s, dir), "doc_id")
+    Multimodal.extractFeatures(media, () => new Multimodal.RealDecoder())
+      .select(col("media_id"), col("kind"), col("n_frames"),
+        round(element_at(col("features"), 1).cast("double"), 6).as("f0"),
+        round(element_at(col("features"), 2).cast("double"), 6).as("f1"))
+      .orderBy(col("media_id"))
+  }
+
+  private val qMediaFeaturesRealSql =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind
+      |  FROM documents),
+      |aud AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, ns * ch), k ->
+      |      CASE WHEN bits = 8
+      |        THEN (CAST((doc_id * 31 + (k // ch) * 17 + (k % ch) * 7) % 256 AS DOUBLE) - 128) / 128.0
+      |        ELSE CAST(CASE WHEN (doc_id * 131 + (k // ch) * 7919 + (k % ch) * 101) % 65536 >= 32768
+      |                  THEN (doc_id * 131 + (k // ch) * 7919 + (k % ch) * 101) % 65536 - 65536
+      |                  ELSE (doc_id * 131 + (k // ch) * 7919 + (k % ch) * 101) % 65536 END AS DOUBLE) / 32768.0
+      |      END) AS x
+      |  FROM (SELECT doc_id,
+      |          CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+      |          CASE WHEN doc_id % 5 = 0 THEN 8 ELSE 16 END AS bits,
+      |          CAST(32 + doc_id % 29 AS BIGINT) AS ns
+      |        FROM documents WHERE doc_id % 3 = 1)),
+      |audf AS (
+      |  SELECT doc_id,
+      |    CAST(CAST(sqrt(list_aggregate(list_transform(x, v -> v * v), 'sum') / len(x)) AS REAL) AS DOUBLE) AS rms,
+      |    CAST(CAST(list_aggregate(list_transform(x, v -> abs(v)), 'max') AS REAL) AS DOUBLE) AS peak
+      |  FROM aud)
+      |SELECT m.doc_id AS media_id, m.kind,
+      |  CAST(CASE m.kind
+      |    WHEN 'image' THEN 1
+      |    WHEN 'audio' THEN 32 + m.doc_id % 29
+      |    ELSE 10 + m.doc_id % 23 END AS INTEGER) AS n_frames,
+      |  round(CASE m.kind
+      |    WHEN 'image' THEN CAST(16 + m.doc_id % 17 AS DOUBLE)
+      |    WHEN 'audio' THEN audf.rms
+      |    ELSE CAST(160 + (m.doc_id % 9) * 16 AS DOUBLE) END, 6) AS f0,
+      |  round(CASE m.kind
+      |    WHEN 'image' THEN CAST(12 + m.doc_id % 13 AS DOUBLE)
+      |    WHEN 'audio' THEN audf.peak
+      |    ELSE CAST(120 + (m.doc_id % 7) * 8 AS DOUBLE) END, 6) AS f1
+      |FROM m LEFT JOIN audf ON m.doc_id = audf.doc_id
+      |ORDER BY media_id""".stripMargin
+
   /** t-SNE coordinates (reference C3, the viz tail of the pipeline,
     * `main.py:366–368`): stride-sample the embeddings down to a
     * bounded viz set (the distributed half of the contract — the
@@ -481,5 +539,6 @@ object MlQueries extends QueryModule {
     Q("q_audio_energy", (s, d) => qAudioEnergy(s, d), Some(qAudioEnergySql)),
     Q("q_image_pixels", (s, d) => qImagePixels(s, d), Some(qImagePixelsSql)),
     Q("q_video_frame_sample", (s, d) => qVideoFrameSample(s, d), Some(qVideoFrameSampleSql)),
+    Q("q_media_features_real", (s, d) => qMediaFeaturesReal(s, d), Some(qMediaFeaturesRealSql)),
     Q("q_tsne_coords", (s, d) => qTsneCoords(s, d), None))
 }
