@@ -442,6 +442,26 @@ object MlQueries extends QueryModule {
       |    AS INTEGER) AS last_frame
       |FROM s ORDER BY media_id""".stripMargin
 
+  /** STREAMING model scoring gate: the same `withModelScores`
+    * mapPartitions operator as the batch q_proxy_scores, run by
+    * Structured Streaming over an unbounded document source with a
+    * stateful per-source aggregation on top — "score documents as
+    * they arrive". Oracle-exact: per-row scores are rounded then
+    * summed through DECIMAL, so DuckDB replays the stream's totals
+    * digit-for-digit from the batch table. */
+  private def qStreamScores(implicit s: SparkSession, dir: String): DataFrame =
+    EventStreams.streamingProxyScores(s, dir,
+        () => new graft.operators.Scorers.ProxyBackend(42L))
+      .orderBy(col("source"))
+
+  private val qStreamScoresSql = {
+    import graft.operators.Scorers.ProxyBackend.unitSql
+    s"""SELECT source, COUNT(*) AS n,
+       |  ROUND(CAST(SUM(CAST(round(2.0 + 30.0 * ${unitSql(42L, "'ppl:' || text")}, 6)
+       |    AS DECIMAL(30,10))) AS DOUBLE), 4) AS ppl_total
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** The multimodal CAPSTONE: the production operator chain
     * (media table → [[Multimodal.extractFeatures]] with one decoder
     * init per partition → per-row features) over a table where EVERY
@@ -540,5 +560,6 @@ object MlQueries extends QueryModule {
     Q("q_image_pixels", (s, d) => qImagePixels(s, d), Some(qImagePixelsSql)),
     Q("q_video_frame_sample", (s, d) => qVideoFrameSample(s, d), Some(qVideoFrameSampleSql)),
     Q("q_media_features_real", (s, d) => qMediaFeaturesReal(s, d), Some(qMediaFeaturesRealSql)),
+    Q("q_stream_scores", (s, d) => qStreamScores(s, d), Some(qStreamScoresSql)),
     Q("q_tsne_coords", (s, d) => qTsneCoords(s, d), None))
 }

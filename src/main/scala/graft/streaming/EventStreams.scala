@@ -46,6 +46,53 @@ object EventStreams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Raw parquet schema of documents (for the streaming-scoring
+    * pipeline). */
+  val DocSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** The documents parquet as a bounded stream (same staging trick as
+    * [[eventsStream]]). */
+  def documentsStream(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val staged = Paths.get("/tmp/graft_stream_docs",
+      dir.replaceAll("[^a-zA-Z0-9]", "_"))
+    Files.createDirectories(staged)
+    val link = staged.resolve("documents.parquet")
+    if (!Files.exists(link))
+      Files.createSymbolicLink(link, Paths.get(s"$dir/documents.parquet"))
+    spark.readStream.schema(DocSchema).parquet(staged.toString)
+  }
+
+  /** STREAMING model scoring: the Scorers mapPartitions operator (one
+    * backend init per partition) applied to an unbounded document
+    * stream, aggregated per source. This is the "score documents as
+    * they arrive" deployment of the inference seam — the SAME
+    * `withModelScores` operator as batch (narrow deterministic map,
+    * so Structured Streaming runs it incrementally), with a stateful
+    * grouped aggregation on top. Exactly-rounded per-row scores are
+    * summed through DECIMAL so the batch oracle replays the totals
+    * digit-for-digit. */
+  def streamingProxyScores(spark: SparkSession, dir: String,
+                           make: () => graft.operators.Scorers.ModelBackend)
+      : DataFrame = {
+    val scored = graft.operators.Scorers.withModelScores(
+      documentsStream(spark, dir).select(col("doc_id"), col("source"), col("text")),
+      "text", make)
+    val agg = scored
+      .select(col("source"), round(col("ppl_ins_alone"), 6).as("ppl"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("ppl").cast(DecimalType(30, 10))).cast("double"), 4)
+          .as("ppl_total"))
+    val name = s"stream_scores_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    runToCompletion(spark, agg, name)
+  }
+
   /** Tumbling 1-hour windowed aggregation with a 2-hour watermark. */
   def hourlyAgg(events: DataFrame): DataFrame =
     events

@@ -53,6 +53,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(rocks.except(default).count() == 0)
   }
 
+  test("streaming model scoring equals the batch operator's totals") {
+    import graft.operators.Scorers
+    val streamed = EventStreams.streamingProxyScores(spark, TestSpark.SfDir,
+        () => new Scorers.ProxyBackend(42L))
+      .orderBy($"source").collect().toSeq
+    val batch = Scorers.withModelScores(
+        Tables.documents(spark, TestSpark.SfDir)
+          .select($"doc_id", $"source", $"text"), "text",
+        () => new Scorers.ProxyBackend(42L))
+      .select($"source", round($"ppl_ins_alone", 6).as("ppl"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"ppl".cast(org.apache.spark.sql.types.DecimalType(30, 10)))
+          .cast("double"), 4).as("ppl_total"))
+      .orderBy($"source").collect().toSeq
+    assert(streamed == batch) // exact: same operator, stream vs batch
+  }
+
   test("sessionize closes sessions on the 30-min gap") {
     val sessions = EventStreams.sessionize(spark, TestSpark.SfDir, 30)
     assert(sessions.count() > 0)
