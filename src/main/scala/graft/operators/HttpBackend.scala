@@ -44,13 +44,23 @@ final class HttpBackend(endpoint: String, maxRetries: Int = 2,
     var attempt = 0
     var last: Throwable = null
     while (attempt <= maxRetries) {
-      try {
-        val resp = client.send(req,
-          java.net.http.HttpResponse.BodyHandlers.ofString(UTF8))
-        if (resp.statusCode() == 200) return resp.body()
+      var resp: java.net.http.HttpResponse[String] = null
+      try resp = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString(UTF8))
+      catch { case e: Exception => last = e } // connect/timeout: transient
+      if (resp != null) {
+        val code = resp.statusCode()
+        if (code == 200) return resp.body()
         last = new RuntimeException(
-          s"inference endpoint returned HTTP ${resp.statusCode()}: ${resp.body().take(200)}")
-      } catch { case e: Exception => last = e }
+          s"inference endpoint returned HTTP $code: ${resp.body().take(200)}")
+        // Only 5xx and 429 are worth retrying; any other 4xx (bad
+        // request, auth) is permanent — retrying would burn maxRetries
+        // backoff sleeps PER ROW at billions of rows before the same
+        // hard failure.
+        if (code < 500 && code != 429)
+          throw new RuntimeException(
+            s"inference call failed, not retriable: ${last.getMessage}", last)
+      }
       attempt += 1
       if (attempt <= maxRetries) Thread.sleep(50L << (attempt - 1))
     }
@@ -70,6 +80,35 @@ final class HttpBackend(endpoint: String, maxRetries: Int = 2,
     call1("reward", "prompt" -> prompt, "completion" -> completion)
   override def tokenLoss(prompt: String, completion: String): Array[Double] =
     callN("token_loss", "prompt" -> prompt, "completion" -> completion)
+
+  /** The whole micro-batch in ONE request — the transport seam the
+    * batched operators ([[Scorers.withModelScoresBatched]]) drive.
+    * Request: {"op":"batch","ops":[...],"as":[...],"bs":[...]} (three
+    * parallel arrays, one slot per item). Response: {"lens":[...],
+    * "values":[...]} — per-item result lengths plus the flat
+    * concatenation, which keeps the protocol inside MiniJson's
+    * flat-arrays-only surface. */
+  override def scoreBatch(items: Seq[Scorers.BatchItem]): Seq[Array[Double]] = {
+    if (items.isEmpty) return Nil
+    val body = rawObj(
+      "op" -> "\"batch\"",
+      "ops" -> strArr(items.map(_.op)),
+      "as" -> strArr(items.map(_.a)),
+      "bs" -> strArr(items.map(_.b)))
+    val resp = post(body)
+    val lens = extractNumberArray(resp, "lens").map(_.toInt)
+    val values = extractNumberArray(resp, "values")
+    require(lens.length == items.length,
+      s"batch response has ${lens.length} results for ${items.length} items")
+    require(lens.sum == values.length,
+      s"batch response lens sum to ${lens.sum} but carries ${values.length} values")
+    var off = 0
+    lens.map { n =>
+      val a = java.util.Arrays.copyOfRange(values, off, off + n)
+      off += n
+      a
+    }.toSeq
+  }
 }
 
 /** Minimal JSON encode/extract for the flat inference protocol above —
@@ -100,17 +139,42 @@ object MiniJson {
     fields.map { case (k, v) => "\"" + k + "\":\"" + escape(v) + "\"" }
       .mkString("{", ",", "}")
 
-  def num(value: Double): String = s"""{"value":$value}"""
-  def nums(values: Seq[Double]): String =
-    values.mkString("{\"values\":[", ",", "]}")
+  /** JSON has no encoding for NaN/±Infinity — emitting them bare (as
+    * Scala's toString would) produces output a strict parser on either
+    * side rejects. The protocol's choice: scores must be finite; a
+    * model that emits a non-finite score is a server-side bug the
+    * transport surfaces loudly instead of smuggling through. */
+  private def fin(value: Double): Double = {
+    require(!value.isNaN && !value.isInfinite,
+      s"non-finite $value has no valid JSON encoding (protocol requires finite scores)")
+    value
+  }
 
-  /** Value of a string field, unescaping what [[escape]] emits. */
-  def extractString(json: String, key: String): String = {
-    val tag = "\"" + key + "\":\""
-    val from = json.indexOf(tag)
-    require(from >= 0, s"missing string field '$key' in: ${json.take(120)}")
+  def num(value: Double): String = s"""{"value":${fin(value)}}"""
+  def nums(values: Seq[Double]): String =
+    values.map(fin).mkString("{\"values\":[", ",", "]}")
+
+  /** Bare JSON array of numbers (for [[rawObj]] fields). */
+  def numArr(values: Seq[Double]): String =
+    values.map(fin).mkString("[", ",", "]")
+
+  /** Bare JSON array of strings (for [[rawObj]] fields). */
+  def strArr(values: Seq[String]): String =
+    values.map(v => "\"" + escape(v) + "\"").mkString("[", ",", "]")
+
+  /** {"k":v,...} where each value is ALREADY-ENCODED JSON (string
+    * literal, array, number) — the builder for the batch protocol's
+    * mixed-type objects. */
+  def rawObj(fields: (String, String)*): String =
+    fields.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+  /** Parse the string literal whose opening quote is at `start`;
+    * returns (value, index just past the closing quote). Unescapes
+    * what [[escape]] emits. */
+  private def parseStringAt(json: String, start: Int): (String, Int) = {
+    require(json.charAt(start) == '"', s"expected '\"' at $start")
     val b = new StringBuilder
-    var i = from + tag.length
+    var i = start + 1
     while (json.charAt(i) != '"') {
       val c = json.charAt(i)
       if (c == '\\') {
@@ -127,7 +191,35 @@ object MiniJson {
         }
       } else { b.append(c); i += 1 }
     }
-    b.toString
+    (b.toString, i + 1)
+  }
+
+  /** Value of a string field, unescaping what [[escape]] emits. */
+  def extractString(json: String, key: String): String = {
+    val tag = "\"" + key + "\":\""
+    val from = json.indexOf(tag)
+    require(from >= 0, s"missing string field '$key' in: ${json.take(120)}")
+    parseStringAt(json, from + tag.length - 1)._1
+  }
+
+  /** Elements of a string-array field (escape-aware: a ']' inside an
+    * element cannot end the scan). */
+  def extractStringArray(json: String, key: String): Seq[String] = {
+    val tag = "\"" + key + "\":["
+    val from = json.indexOf(tag)
+    require(from >= 0, s"missing string-array field '$key' in: ${json.take(120)}")
+    val out = Seq.newBuilder[String]
+    var i = from + tag.length
+    while (json.charAt(i) != ']') {
+      json.charAt(i) match {
+        case '"' =>
+          val (v, next) = parseStringAt(json, i)
+          out += v
+          i = next
+        case _ => i += 1 // comma / whitespace between elements
+      }
+    }
+    out.result()
   }
 
   def extractNumber(json: String, key: String): Double = {

@@ -34,6 +34,11 @@ import graft.functions.TextFns
   */
 object Scorers {
 
+  /** One element of a batched scoring request: `op` is one of
+    * ppl / embed / reward / token_loss; `a` and `b` are the op's
+    * string arguments (text, or prompt + completion). */
+  final case class BatchItem(op: String, a: String, b: String = "")
+
   /** A scoring model, initialized once per executor partition. */
   trait ModelBackend extends Serializable {
     /** Called once per partition before the first row. */
@@ -46,6 +51,22 @@ object Scorers {
     def reward(prompt: String, completion: String): Double
     /** Per-token NLL of `completion` conditioned on `prompt` (ragged). */
     def tokenLoss(prompt: String, completion: String): Array[Double]
+    /** Batched scoring: every item's result as a double array (ppl and
+      * reward are length-1, embed is the embedding, token_loss the
+      * ragged loss vector). The default delegates per item — an
+      * in-process backend gains nothing from batching; TRANSPORT
+      * backends override it to amortize one round-trip across a
+      * micro-batch ([[HttpBackend]] posts the whole batch as a single
+      * request). */
+    def scoreBatch(items: Seq[BatchItem]): Seq[Array[Double]] =
+      items.map {
+        case BatchItem("ppl", a, _)        => Array(ppl(a))
+        case BatchItem("embed", a, _)      => embed(a).map(_.toDouble)
+        case BatchItem("reward", a, b)     => Array(reward(a, b))
+        case BatchItem("token_loss", a, b) => tokenLoss(a, b)
+        case BatchItem(op, _, _) =>
+          throw new IllegalArgumentException(s"unknown batch op '$op'")
+      }
   }
 
   /** Deterministic proxy backend: seeded md5 hashing over the text,
@@ -123,6 +144,40 @@ object Scorers {
       it.map { r =>
         val t = if (r.isNullAt(idx)) "" else r.getString(idx)
         Row.fromSeq(r.toSeq ++ Seq(m.ppl(t), m.embed(t), m.reward("", t)))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** [[withModelScores]] driven through the batch seam: each partition
+    * micro-batches `batchSize` rows into ONE [[ModelBackend.scoreBatch]]
+    * call (3 items per row), which a transport backend turns into one
+    * round-trip per micro-batch instead of three per row — per-row
+    * round-trips would dominate wall-clock against a real inference
+    * server at scale. Output is row-for-row identical to
+    * [[withModelScores]] (HttpBackendSpec proves batch == per-row ==
+    * proxy, with a request-count assertion). */
+  def withModelScoresBatched(df: DataFrame, textCol: String,
+                             make: () => ModelBackend,
+                             batchSize: Int = 32): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val schema = df.schema
+      .add("ppl_ins_alone", DoubleType)
+      .add("emb_ins_alone", ArrayType(FloatType))
+      .add("score_rw", DoubleType)
+    val idx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { it =>
+      val m = make(); m.init()
+      it.grouped(batchSize).flatMap { rows =>
+        val items = rows.flatMap { r =>
+          val t = if (r.isNullAt(idx)) "" else r.getString(idx)
+          Seq(BatchItem("ppl", t), BatchItem("embed", t),
+            BatchItem("reward", "", t))
+        }
+        val out = m.scoreBatch(items)
+        rows.iterator.zipWithIndex.map { case (r, i) =>
+          Row.fromSeq(r.toSeq ++ Seq(out(3 * i)(0),
+            out(3 * i + 1).map(_.toFloat), out(3 * i + 2)(0)))
+        }
       }
     }(Encoders.row(schema))
   }

@@ -315,14 +315,15 @@ object DataSQueries extends QueryModule {
        |      ELSE array_to_string(list_transform(conversation[1:turn],
        |             x -> x.human || ' ' || x.assistant), ' ') || ' ' || ex.human
        |    END AS prompt,
-       |    list_filter(string_split_regex(trim(ex.assistant), '\\s+'), t -> t <> '') AS toks
+       |    list_filter(string_split_regex(trim(coalesce(ex.assistant, '')), '\\s+'),
+       |      t -> t <> '') AS toks
        |  FROM turns),
        |sc AS (
        |  SELECT $idCol, turn,
        |    ${losses("''")} AS la,
-       |    ${losses("prompt")} AS lc
+       |    ${losses("coalesce(prompt, '')")} AS lc
        |  FROM pr
-       |  WHERE len(string_split_regex(trim(prompt), '\\s+')) < 1024),
+       |  WHERE coalesce(len(string_split_regex(trim(prompt), '\\s+')), -1) < 1024),
        |r AS (
        |  SELECT $idCol, turn,
        |    CASE WHEN len(la) = 0 OR len(lc) = 0 THEN NULL

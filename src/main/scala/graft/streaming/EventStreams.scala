@@ -29,22 +29,36 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** The events parquet as a bounded stream (drives the streaming
-    * operators synchronously in tests/verify). The file-stream source
-    * requires a DIRECTORY; the single-file test fixture is staged via
-    * a /tmp symlink (production sources are directories already). */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    val staged = Paths.get("/tmp/graft_stream",
-      dir.replaceAll("[^a-zA-Z0-9]", "_"))
+  /** Stage `dir/file` into a per-source /tmp directory for the
+    * file-stream source (which requires a DIRECTORY; the single-file
+    * test fixture is staged via a symlink — production sources are
+    * directories already). The staging key includes a hash of the FULL
+    * source path: a sanitized-name-only key would collide two distinct
+    * dirs (e.g. `sf0.1a` vs `sf0_1a`) onto one symlink and silently
+    * stream the wrong table. A link whose target moved or vanished is
+    * recreated rather than trusted. */
+  private def stageFile(base: String, dir: String, file: String): String = {
+    import java.nio.file.{Files, LinkOption, Paths}
+    val target = Paths.get(s"$dir/$file").toAbsolutePath
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
+      Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(s"$dir/$file"))
+    val staged = Paths.get(base, key)
     Files.createDirectories(staged)
-    val link = staged.resolve("events.parquet")
-    if (!Files.exists(link))
-      Files.createSymbolicLink(link, Paths.get(s"$dir/events.parquet"))
-    spark.readStream.schema(RawSchema)
-      .parquet(staged.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val link = staged.resolve(file)
+    if (Files.isSymbolicLink(link) &&
+        (Files.readSymbolicLink(link) != target || !Files.exists(target)))
+      Files.delete(link)
+    if (!Files.exists(link, LinkOption.NOFOLLOW_LINKS))
+      Files.createSymbolicLink(link, target)
+    staged.toString
   }
+
+  /** The events parquet as a bounded stream (drives the streaming
+    * operators synchronously in tests/verify). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(RawSchema)
+      .parquet(stageFile("/tmp/graft_stream", dir, "events.parquet"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   /** Raw parquet schema of documents (for the streaming-scoring
     * pipeline). */
@@ -55,18 +69,11 @@ object EventStreams {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  /** The documents parquet as a bounded stream (same staging trick as
+  /** The documents parquet as a bounded stream (same staging as
     * [[eventsStream]]). */
-  def documentsStream(spark: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    val staged = Paths.get("/tmp/graft_stream_docs",
-      dir.replaceAll("[^a-zA-Z0-9]", "_"))
-    Files.createDirectories(staged)
-    val link = staged.resolve("documents.parquet")
-    if (!Files.exists(link))
-      Files.createSymbolicLink(link, Paths.get(s"$dir/documents.parquet"))
-    spark.readStream.schema(DocSchema).parquet(staged.toString)
-  }
+  def documentsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(DocSchema)
+      .parquet(stageFile("/tmp/graft_stream_docs", dir, "documents.parquet"))
 
   /** STREAMING model scoring: the Scorers mapPartitions operator (one
     * backend init per partition) applied to an unbounded document

@@ -11,26 +11,33 @@ import graft.operators.{HttpBackend, MiniJson, Scorers}
   * endpoint, and the full Spark scoring pipelines run against it
   * through [[HttpBackend]] — results must be EXACTLY what the in-JVM
   * proxy computes, which makes the proxy the oracle for the transport.
+  * The batched transport is held to the same bar PLUS a request-count
+  * assertion: N rows at micro-batch 32 must produce ⌈N/32⌉ requests.
   */
 class HttpBackendSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  /** Fixture inference server: the proxy model behind HTTP. */
-  private def withServer(failFirst: Int = 0)(f: String => Unit): Unit = {
+  /** Fixture inference server: the proxy model behind HTTP. Counts
+    * every request it receives (batching evidence). `failFirst`
+    * requests fail with `failCode` before normal service resumes. */
+  private def withServer(failFirst: Int = 0, failCode: Int = 503)
+      (f: (String, java.util.concurrent.atomic.AtomicInteger) => Unit): Unit = {
     // one model per server thread: ProxyBackend's MessageDigest is
     // stateful and NOT thread-safe (same reason the Spark side inits
     // one backend per partition)
     val models = ThreadLocal.withInitial[Scorers.ProxyBackend](
       () => new Scorers.ProxyBackend(seed = 42L))
     val failures = new java.util.concurrent.atomic.AtomicInteger(failFirst)
+    val requests = new java.util.concurrent.atomic.AtomicInteger(0)
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/score", { exchange =>
+      requests.incrementAndGet()
       val body = new String(exchange.getRequestBody.readAllBytes(), MiniJson.UTF8)
       val resp =
         if (failures.getAndDecrement() > 0) { // transient-failure mode
-          exchange.sendResponseHeaders(503, -1); None
+          exchange.sendResponseHeaders(failCode, -1); None
         } else Some({
           val model = models.get()
           MiniJson.extractString(body, "op") match {
@@ -43,6 +50,17 @@ class HttpBackendSpec extends AnyFunSuite {
           case "token_loss" => MiniJson.nums(model.tokenLoss(
             MiniJson.extractString(body, "prompt"),
             MiniJson.extractString(body, "completion")).toSeq)
+          case "batch" =>
+            // parallel arrays → BatchItems → the trait's own batch
+            // dispatch (the server IS a ModelBackend holder)
+            val items = MiniJson.extractStringArray(body, "ops")
+              .lazyZip(MiniJson.extractStringArray(body, "as"))
+              .lazyZip(MiniJson.extractStringArray(body, "bs"))
+              .map(Scorers.BatchItem(_, _, _))
+            val results = model.scoreBatch(items)
+            MiniJson.rawObj(
+              "lens" -> MiniJson.numArr(results.map(_.length.toDouble)),
+              "values" -> MiniJson.numArr(results.flatMap(_.toSeq)))
           case other => throw new IllegalArgumentException(s"bad op $other")
         }})
       resp.foreach { r =>
@@ -55,7 +73,7 @@ class HttpBackendSpec extends AnyFunSuite {
     // a few threads: local[*] partitions call concurrently
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
     server.start()
-    try f(s"http://127.0.0.1:${server.getAddress.getPort}/score")
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}/score", requests)
     finally server.stop(0)
   }
 
@@ -66,7 +84,7 @@ class HttpBackendSpec extends AnyFunSuite {
     (4L, "plain words once more for the scorer")).toDF("doc_id", "text")
 
   test("HTTP backend reproduces the proxy exactly through withModelScores") {
-    withServer() { url =>
+    withServer() { (url, _) =>
       def run(make: () => Scorers.ModelBackend) =
         Scorers.withModelScores(fixtureDocs, "text", make)
           .select($"doc_id", $"ppl_ins_alone", $"emb_ins_alone", $"score_rw")
@@ -78,7 +96,7 @@ class HttpBackendSpec extends AnyFunSuite {
   }
 
   test("HTTP backend reproduces the proxy exactly through the IFD pipeline") {
-    withServer() { url =>
+    withServer() { (url, _) =>
       val alpaca = fixtureDocs.select($"doc_id",
         substring($"text", 1, 20).as("instruction"),
         lit("").as("input"), $"text".as("output"))
@@ -91,11 +109,54 @@ class HttpBackendSpec extends AnyFunSuite {
     }
   }
 
+  test("batched transport == per-row == proxy, one request per micro-batch") {
+    // 70 rows in ONE partition at micro-batch 32 → exactly ⌈70/32⌉ = 3
+    // HTTP requests (each carrying 3 items per row), vs 210 per-row ones
+    val docs = spark.range(0, 70)
+      .select($"id".as("doc_id"),
+        concat(lit("document body number "), $"id").as("text"))
+      .coalesce(1)
+    val viaProxy = Scorers.withModelScores(docs, "text",
+        () => new Scorers.ProxyBackend(42L))
+      .select($"doc_id", $"ppl_ins_alone", $"emb_ins_alone", $"score_rw")
+      .collect().sortBy(_.getLong(0)).toSeq
+    withServer() { (url, requests) =>
+      val viaBatch = Scorers.withModelScoresBatched(docs, "text",
+          () => new HttpBackend(url), batchSize = 32)
+        .select($"doc_id", $"ppl_ins_alone", $"emb_ins_alone", $"score_rw")
+        .collect().sortBy(_.getLong(0)).toSeq
+      assert(viaBatch == viaProxy) // bit-exact through the batch wire
+      assert(requests.get() == 3, s"expected 3 batch requests, saw ${requests.get()}")
+    }
+  }
+
+  test("the trait's default scoreBatch delegates per item (proxy == batched proxy)") {
+    val docs = fixtureDocs
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"ppl_ins_alone", $"emb_ins_alone", $"score_rw")
+        .collect().sortBy(_.getLong(0)).toSeq
+    assert(
+      rows(Scorers.withModelScoresBatched(docs, "text",
+        () => new Scorers.ProxyBackend(42L), batchSize = 2)) ==
+      rows(Scorers.withModelScores(docs, "text",
+        () => new Scorers.ProxyBackend(42L))))
+  }
+
   test("transient endpoint failures are retried, not surfaced") {
-    withServer(failFirst = 2) { url =>
+    withServer(failFirst = 2) { (url, _) =>
       val b = new HttpBackend(url, maxRetries = 3)
       val direct = new Scorers.ProxyBackend(42L)
       assert(b.ppl("hello world") == direct.ppl("hello world"))
+    }
+  }
+
+  test("a permanent 4xx fails immediately — no retry burn") {
+    withServer(failFirst = 1000, failCode = 400) { (url, requests) =>
+      val b = new HttpBackend(url, maxRetries = 3)
+      val e = intercept[RuntimeException] { b.ppl("x") }
+      assert(e.getMessage.contains("not retriable"), e.getMessage)
+      assert(requests.get() == 1,
+        s"a 400 must not be retried; server saw ${requests.get()} requests")
     }
   }
 
@@ -107,7 +168,7 @@ class HttpBackendSpec extends AnyFunSuite {
   }
 
   test("MiniJson round-trips hostile strings") {
-    val hostile = "a\"b\\c\nd\te\rfgé中h"
+    val hostile = "a\"b\\c\nd\te\rfgé中h"
     val json = MiniJson.obj("text" -> hostile, "op" -> "ppl")
     assert(MiniJson.extractString(json, "text") == hostile)
     assert(MiniJson.extractString(json, "op") == "ppl")
@@ -115,5 +176,22 @@ class HttpBackendSpec extends AnyFunSuite {
       .toSeq == Seq(1.5, -2.25))
     assert(MiniJson.extractNumberArray(MiniJson.nums(Nil), "values").isEmpty)
     assert(MiniJson.extractNumber(MiniJson.num(3.75), "value") == 3.75)
+  }
+
+  test("MiniJson string arrays round-trip hostile elements (']' included)") {
+    val hostile = Seq("plain", "with ] bracket", "q\"uote", "back\\slash",
+      "new\nline", "", "中é")
+    val json = MiniJson.rawObj("items" -> MiniJson.strArr(hostile),
+      "n" -> MiniJson.numArr(Seq(7)))
+    assert(MiniJson.extractStringArray(json, "items") == hostile)
+    assert(MiniJson.extractNumberArray(json, "n").toSeq == Seq(7.0))
+    assert(MiniJson.extractStringArray(
+      MiniJson.rawObj("items" -> MiniJson.strArr(Nil)), "items").isEmpty)
+  }
+
+  test("MiniJson rejects non-finite numbers (invalid JSON)") {
+    intercept[IllegalArgumentException] { MiniJson.num(Double.NaN) }
+    intercept[IllegalArgumentException] { MiniJson.nums(Seq(1.0, Double.PositiveInfinity)) }
+    intercept[IllegalArgumentException] { MiniJson.numArr(Seq(Double.NegativeInfinity)) }
   }
 }
