@@ -143,6 +143,31 @@ object ScaleSmoke {
           s"capped ($capped) exceeded uncapped ($uncapped)")
         capped
       }
+      // Pair→cluster resolution on the real corpus: label-propagation
+      // ROUNDS must stay flat as the corpus grows (near-dup graphs are
+      // tiny cliques; rounds are bounded by the longest chain, not by
+      // corpus size). Iteration count is printed alongside the timing.
+      time("cc_clusters") {
+        val pairs = graft.operators.Dedup
+          .nearDupPairsAfterExact(docs, "doc_id", "text")
+        val (labels, iters) = graft.operators.Dedup
+          .connectedComponentsWithIters(pairs, "id_a", "id_b")
+        println(f"""{"scale_smoke":"cc_clusters_iters","mult":$n,"iters":$iters}""")
+        labels.count()
+      }
+      // Adversarial worst case: a planted PATH graph of length 4·n —
+      // the one shape where rounds grow (with the chain's length, the
+      // graph diameter). Real near-dup chains that long do not occur;
+      // this stage shows the cost model: rounds ∝ diameter, each round
+      // one bounded shuffle.
+      time("cc_chain") {
+        val chain = spark.range(0, 4L * n)
+          .selectExpr("id AS id_a", "id + 1 AS id_b")
+        val (labels, iters) = graft.operators.Dedup
+          .connectedComponentsWithIters(chain, "id_a", "id_b")
+        println(f"""{"scale_smoke":"cc_chain_iters","mult":$n,"iters":$iters}""")
+        labels.count()
+      }
       time("slice_deep") {
         // unbounded end → the zipWithIndex path (no global window)
         graft.operators.Selection

@@ -185,6 +185,96 @@ object Dedup {
     nearDupPairs(reps, idCol, textCol, n, k, bands, threshold, maxBucketSize)
   }
 
+  /** Connected components over an undirected pair graph (id_a, id_b)
+    * by iterative smallest-id label propagation — the step that turns
+    * near-dup candidate PAIRS into dedup GROUPS (pair A–B plus B–C →
+    * one keeper for {A,B,C}), which is what a corpus-dedup run
+    * actually keys its keep/drop decision on.
+    *
+    * Every node starts labeled with its own id; each round every node
+    * takes the min of its label, its neighbors' labels, AND its
+    * label's label (path halving — the comp pointers form a forest
+    * that contracts geometrically, the pointer-jumping trick of
+    * hash-min connected components); converged when a round changes
+    * nothing. Pure joins + grouped min — no graph library, nothing
+    * driver-side but the per-round change count.
+    *
+    * Scale posture: with path halving rounds are bounded by
+    * O(log diameter) — near-dup graphs are overwhelmingly tiny
+    * cliques/stars, so 2–3 rounds dominate (ScaleSmoke: round count
+    * flat at 20× corpus growth; even a planted 80-edge PATH — the
+    * adversarial worst shape — converges in ~10). Each round is one
+    * shuffle join on the edge list plus a grouped min plus a
+    * label-table self-join; all frames are localCheckpoint-ed so
+    * lineage (and the plan) stays constant-size across rounds. The
+    * edge list is ≪ corpus (only near-dup members appear), so even at
+    * 100 TB the propagation runs over a sliver of the data.
+    *
+    * Returns (id, comp): one row per node that appears in `pairs`,
+    * comp = smallest id reachable (the group keeper). */
+  def connectedComponents(pairs: DataFrame, idA: String, idB: String,
+                          maxIter: Int = 50): DataFrame =
+    connectedComponentsWithIters(pairs, idA, idB, maxIter)._1
+
+  /** [[connectedComponents]] plus the round count it took to converge
+    * (the ScaleSmoke evidence surface). */
+  def connectedComponentsWithIters(pairs: DataFrame, idA: String, idB: String,
+                                   maxIter: Int = 50): (DataFrame, Int) = {
+    val edges = pairs
+      .select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
+      .union(pairs
+        .select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst")))
+      .distinct() // robustness to duplicate input pairs; one shuffle, once
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges.join(labels.select(col("id").as("dst"),
+          col("comp").as("nbr_comp")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nbr_comp")).as("nbr_comp"))
+      // path halving: comp(comp(v)) — comp values are node ids, so the
+      // label table doubles as the lookup side
+      val hop = labels.select(col("id").as("comp"),
+        col("comp").as("comp_comp"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .join(hop, Seq("comp"), "left")
+        .select(col("id"), col("comp"),
+          least(coalesce(col("comp_comp"), col("comp")),
+            coalesce(col("nbr_comp"), col("comp"))).as("comp2"))
+        .localCheckpoint() // materialized: the change count below is a
+                           // cheap scan, not a recompute
+      changed = next.where(col("comp2") =!= col("comp")).count()
+      labels = next.select(col("id"), col("comp2").as("comp"))
+      iter += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "a pair graph with a chain that long is pathological; raise maxIter")
+    (labels, iter)
+  }
+
+  /** Near-dup CLUSTERS end to end: exact-collapse → MinHash+LSH pairs
+    * ([[nearDupPairsAfterExact]]) → connected components → one row per
+    * clustered representative with its keeper (the cluster's smallest
+    * id) and the cluster size. Docs with no near-dup stay absent (they
+    * are their own keeper by definition). */
+  def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, k: Int = 12, bands: Int = 4,
+                      threshold: Double = 0.5,
+                      maxBucketSize: Int = 0): DataFrame = {
+    val pairs = nearDupPairsAfterExact(df, idCol, textCol, n, k, bands,
+      threshold, maxBucketSize)
+    val comps = connectedComponents(pairs, "id_a", "id_b")
+    val sizes = comps.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+    comps.join(sizes, "comp")
+      .select(col("id").as(idCol), col("comp").as("keeper"), col("cluster_size"))
+  }
+
   /** SimHash fingerprint per document over shingle/token ids: each of
     * `bits` bit-positions votes ±1 per element; the sign vector packs
     * into one long. One explode + posexplode-free bit loop + one

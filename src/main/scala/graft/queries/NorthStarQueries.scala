@@ -89,11 +89,13 @@ object NorthStarQueries extends QueryModule {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** The full MinHash(12)+LSH(4×3)+verify pipeline as oracle SQL over
-    * a source relation: used verbatim by both the plain query
-    * (src = documents) and the exact-collapse-first scalable query
-    * (src = reps). */
-  private def minhashSqlOver(prefixCtes: String, src: String): String = {
+  /** The full MinHash(12)+LSH(4×3)+verify pipeline as a CTE chain
+    * ending in `pairs(id_a, id_b, jaccard)` over a source relation:
+    * used verbatim by the plain query (src = documents), the
+    * exact-collapse-first scalable query (src = reps), and the
+    * cluster-resolution query (which grows a recursive reachability
+    * CTE on top of `pairs`). */
+  private def minhashPairCtes(prefixCtes: String, src: String): String = {
     val mhCols = Dedup.hashCoeffs(MhK).zipWithIndex.map { case ((a, b), i) =>
       s"min((wid * $a + $b) %% ${Dedup.P}) AS mh_$i"
     }.mkString(", ").replace("%%", "%")
@@ -103,22 +105,26 @@ object NorthStarQueries extends QueryModule {
         .mkString(" || '_' || ")
       s"SELECT doc_id, $bnd AS band, $sig AS bsig FROM sigs"
     }.mkString(" UNION ALL ")
-    s"""WITH $prefixCtes${shingleCtesFrom(src)},
+    s"""$prefixCtes${shingleCtesFrom(src)},
        |sigs AS (SELECT doc_id, $mhCols FROM docw GROUP BY doc_id),
        |banded AS ($bandSelects),
        |cands AS (
        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
        |  FROM banded x JOIN banded y
-       |    ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id)
-       |SELECT id_a, id_b,
-       |  round(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
-       |    / len(list_distinct(list_concat(a.shset, b.shset))), 6) AS jaccard
-       |FROM cands JOIN sets a ON cands.id_a = a.doc_id
-       |           JOIN sets b ON cands.id_b = b.doc_id
-       |WHERE CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
-       |    / len(list_distinct(list_concat(a.shset, b.shset))) >= 0.5
-       |ORDER BY id_a, id_b""".stripMargin
+       |    ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+       |pairs AS (
+       |  SELECT id_a, id_b,
+       |    round(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.shset, b.shset))), 6) AS jaccard
+       |  FROM cands JOIN sets a ON cands.id_a = a.doc_id
+       |             JOIN sets b ON cands.id_b = b.doc_id
+       |  WHERE CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.shset, b.shset))) >= 0.5)""".stripMargin
   }
+
+  private def minhashSqlOver(prefixCtes: String, src: String): String =
+    s"""WITH ${minhashPairCtes(prefixCtes, src)}
+       |SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""".stripMargin
 
   private val qDedupMinhashLshSql = minhashSqlOver("", "documents")
 
@@ -516,12 +522,45 @@ object NorthStarQueries extends QueryModule {
     "reps AS (\n  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text),\n",
     "reps")
 
+  // --------------------------------------------- near-dup CLUSTERS
+  /** Pair→GROUP resolution: the scalable composed path's candidate
+    * pairs run through iterative smallest-id label propagation
+    * ([[Dedup.connectedComponents]]), emitting one row per clustered
+    * representative with its keeper and cluster size — the actual
+    * keep/drop decision surface of a corpus dedup (pair A–B + B–C →
+    * one keeper for {A,B,C}). Oracle-exact: DuckDB replays the
+    * propagation as a recursive reachability CTE over the SAME
+    * `pairs` relation (min over reachable ids ≡ converged min-label). */
+  private def qDedupClusters(implicit s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupClusters(docs, "doc_id", "text", n = 3, k = 12,
+        bands = 4, threshold = 0.5)
+      .orderBy(col("keeper"), col("doc_id"))
+
+  private val qDedupClustersSql =
+    s"""WITH RECURSIVE ${minhashPairCtes(
+          "reps AS (\n  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text),\n",
+          "reps")},
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst FROM pairs),
+       |reach(id, comp) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+       |lab AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id),
+       |sz AS (SELECT comp, COUNT(*) AS cluster_size FROM lab GROUP BY comp)
+       |SELECT lab.id AS doc_id, lab.comp AS keeper, sz.cluster_size
+       |FROM lab JOIN sz USING (comp)
+       |ORDER BY keeper, doc_id""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q_dedup_exact", (s, d) => qDedupExact(s, d), Some(qDedupExactSql)),
     Q("q_dedup_minhash_lsh", (s, d) => qDedupMinhashLsh(s, d), Some(qDedupMinhashLshSql)),
     Q("q_dedup_ngram_jaccard", (s, d) => qDedupNgramJaccard(s, d), Some(qDedupNgramJaccardSql)),
     Q("q_dedup_simhash", (s, d) => qDedupSimhash(s, d), Some(qDedupSimhashSql)),
     Q("q_dedup_minhash_scalable", (s, d) => qDedupMinhashScalable(s, d), Some(qDedupMinhashScalableSql)),
+    Q("q_dedup_clusters", (s, d) => qDedupClusters(s, d), Some(qDedupClustersSql)),
     Q("q_embed_cosine_topk", (s, d) => qCosineTopK(s, d), Some(qCosineTopKSql)),
     Q("q_embed_ann_lsh", (s, d) => qAnnLsh(s, d), Some(qAnnLshSql)),
     Q("q_embed_ivf", (s, d) => qIvfTopK(s, d), Some(qIvfTopKSql)),

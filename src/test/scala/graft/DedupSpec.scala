@@ -172,4 +172,50 @@ class DedupSpec extends AnyFunSuite {
     assert(sigs(1L) == sigs(2L))
     assert(sigs(1L) != sigs(3L))
   }
+
+  test("connectedComponents: transitive pairs resolve to one keeper per group") {
+    // {1,2,3} via 1–2, 2–3 (transitive); {8,9} direct; 5 never appears
+    val pairs = Seq((2L, 1L), (2L, 3L), (9L, 8L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 8L, 9L -> 8L))
+  }
+
+  test("connectedComponents: rounds track the chain (log-bounded), not the node count") {
+    // a path graph 0–1–2–…–9: the worst shape — the min label must
+    // travel from one end; path halving contracts it in O(log 9) rounds
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, itersChain) =
+      Dedup.connectedComponentsWithIters(chain, "id_a", "id_b")
+    assert(labels.as[(Long, Long)].collect().forall(_._2 == 0L))
+    assert(itersChain <= 7, s"9-edge path took $itersChain rounds (want ~log)")
+    // 200 extra 2-cliques (400 nodes): same chain, same round count —
+    // corpus size does not drive iterations
+    val wide = chain.union(
+      (100L until 300L).map(i => (2 * i, 2 * i + 1)).toDF("id_a", "id_b"))
+    val (_, itersWide) =
+      Dedup.connectedComponentsWithIters(wide, "id_a", "id_b")
+    assert(itersWide == itersChain, s"$itersWide != $itersChain")
+    // and a pure clique corpus converges in ~2 rounds regardless of size
+    val cliques = (0L until 200L).map(i => (2 * i, 2 * i + 1)).toDF("id_a", "id_b")
+    val (_, itersCliques) =
+      Dedup.connectedComponentsWithIters(cliques, "id_a", "id_b")
+    assert(itersCliques <= 2, s"cliques took $itersCliques rounds")
+  }
+
+  test("nearDupClusters groups the planted near-dups around the smallest keeper") {
+    val docs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),
+      (11L, "the quick brown fox jumps over the lazy dog today"),   // exact dup
+      (12L, "the quick brown fox jumps over the lazy dog tonight"), // near dup
+      (20L, "completely different content about large scale data systems"),
+      (30L, "another unrelated document with its own words entirely")
+    ).toDF("doc_id", "text")
+    val clusters = Dedup.nearDupClusters(docs, "doc_id", "text",
+      threshold = 0.5)
+      .as[(Long, Long, Long)].collect().toSet
+    // 11 collapsed into 10 by the exact stage; 10 and 12 cluster with
+    // keeper 10 and size 2; 20/30 have no near-dups → absent
+    assert(clusters == Set((10L, 10L, 2L), (12L, 10L, 2L)))
+  }
 }
