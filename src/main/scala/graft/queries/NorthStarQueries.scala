@@ -377,7 +377,10 @@ object NorthStarQueries extends QueryModule {
         round(TextFns.punctRatio(col("text")), 6).as("punct_ratio"))
       .orderBy(col("doc_id"))
 
-  private val qQualityScoreSql = {
+  /** (stopRatio, punct, quality) DuckDB fragments over a `text`
+    * column — the SQL twin of [[TextFns.qualityScore]], shared by the
+    * standalone quality query and the curation pipeline. */
+  private lazy val qualitySqlBits: (String, String, String) = {
     val tokCount = """len(string_split_regex(trim(text), '\s+'))"""
     val stopHits = TextFns.Stopwords.map { w =>
       s"(length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $w ', ''))) // ${w.length + 2}"
@@ -385,11 +388,18 @@ object NorthStarQueries extends QueryModule {
     val punct = s"CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)"
     val wordLen = s"CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / $tokCount"
     val stopRatio = s"CAST($stopHits AS DOUBLE) / $tokCount"
+    val quality =
+      s"""round(least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.4
+         |    + (1.0 - $punct) * 0.2
+         |    + least($stopRatio * 5.0, 1.0) * 0.2
+         |    + (CASE WHEN $wordLen BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.2, 6)""".stripMargin
+    (stopRatio, punct, quality)
+  }
+
+  private val qQualityScoreSql = {
+    val (stopRatio, punct, quality) = qualitySqlBits
     s"""SELECT doc_id,
-       |  round(least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.4
-       |    + (1.0 - $punct) * 0.2
-       |    + least($stopRatio * 5.0, 1.0) * 0.2
-       |    + (CASE WHEN $wordLen BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality,
+       |  $quality AS quality,
        |  round($stopRatio, 6) AS stopword_ratio,
        |  round($punct, 6) AS punct_ratio
        |FROM documents ORDER BY doc_id""".stripMargin
@@ -554,8 +564,76 @@ object NorthStarQueries extends QueryModule {
        |FROM lab JOIN sz USING (comp)
        |ORDER BY keeper, doc_id""".stripMargin
 
+  // ------------------------------------------- full curation pipeline
+  /** The whole "curate a corpus" flow in ONE query — what a training-
+    * data pipeline actually runs end to end: exact dedup (smallest-id
+    * representative per identical text) → MinHash+LSH near-dup pairs →
+    * connected-component cluster resolution → drop every non-keeper
+    * cluster member → quality-score the survivors → per-language
+    * middle-quality percentile band (small-group passthrough) → stride
+    * sample 5 per language. Oracle-exact end to end: every stage has a
+    * proven DuckDB twin (recursive reachability CTE for the
+    * propagation, quantile_cont band, rn/step stride arithmetic). */
+  private def qCuratePipeline(implicit s: SparkSession, dir: String): DataFrame = {
+    val reps = Dedup.exactDedup(
+      docs.select(col("doc_id"), col("text"), col("lang")), "doc_id", Seq("text"))
+    val pairs = Dedup.nearDupPairs(
+      reps.select(col("doc_id"), col("text")), "doc_id", "text",
+      n = 3, k = MhK, bands = MhBands, threshold = 0.5)
+    val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val dropIds = comps.where(col("id") =!= col("comp"))
+      .select(col("id").as("doc_id"))
+    val curated = reps.join(dropIds, Seq("doc_id"), "left_anti")
+    val scored = curated.select(col("doc_id"), col("lang"),
+      TextFns.qualityScore(col("text")).as("quality"))
+    val band = Selection.percentileBand(scored, "lang", "quality",
+      0.25, 0.75, minGroupSize = 20)
+    Selection.strideSample(band, "lang", "doc_id", 5)
+      .select(col("lang"), col("doc_id"), col("quality"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  private val qCuratePipelineSql = {
+    val (_, _, quality) = qualitySqlBits
+    s"""WITH RECURSIVE ${minhashPairCtes(
+          "reps AS (\n  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text),\n",
+          "reps")},
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst FROM pairs),
+       |reach(id, comp) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+       |lab AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id),
+       |curated AS (
+       |  SELECT r.doc_id, d.lang, d.text
+       |  FROM reps r JOIN documents d ON d.doc_id = r.doc_id
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM lab WHERE lab.id = r.doc_id AND lab.comp <> r.doc_id)),
+       |scored AS (SELECT doc_id, lang, $quality AS quality FROM curated),
+       |th AS (
+       |  SELECT lang, quantile_cont(quality, 0.25) AS lo,
+       |         quantile_cont(quality, 0.75) AS hi, count(*) AS n
+       |  FROM scored GROUP BY lang),
+       |band AS (
+       |  SELECT s.doc_id, s.lang, s.quality
+       |  FROM scored s JOIN th ON s.lang = th.lang
+       |  WHERE th.n < 20 OR (s.quality >= th.lo AND s.quality <= th.hi)),
+       |rn AS (
+       |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn,
+       |         count(*) OVER (PARTITION BY lang) AS cnt
+       |  FROM band)
+       |SELECT lang, doc_id, quality FROM (
+       |  SELECT *, greatest(cnt // 5, 1) AS step FROM rn)
+       |WHERE cnt <= 5 OR ((rn - 1) % step = 0 AND (rn - 1) // step < 5)
+       |ORDER BY lang, doc_id""".stripMargin
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q_dedup_exact", (s, d) => qDedupExact(s, d), Some(qDedupExactSql)),
+    Q("q_curate_pipeline", (s, d) => qCuratePipeline(s, d), Some(qCuratePipelineSql)),
     Q("q_dedup_minhash_lsh", (s, d) => qDedupMinhashLsh(s, d), Some(qDedupMinhashLshSql)),
     Q("q_dedup_ngram_jaccard", (s, d) => qDedupNgramJaccard(s, d), Some(qDedupNgramJaccardSql)),
     Q("q_dedup_simhash", (s, d) => qDedupSimhash(s, d), Some(qDedupSimhashSql)),
