@@ -442,6 +442,52 @@ object MlQueries extends QueryModule {
       |    AS INTEGER) AS last_frame
       |FROM s ORDER BY media_id""".stripMargin
 
+  /** REAL frame-decode gate — the r6 stub's retirement: every video
+    * payload is a full AVI whose LIST('movi') carries a genuine
+    * Motion-PNG (even ids) or Motion-JPEG (odd ids) '00dc' stream;
+    * [[Multimodal.decodeVideoFrames]] walks the container, stride-
+    * samples frame indices, and runs the ACTUAL image codec on each
+    * sampled frame. The oracle replays per-frame geometry for both
+    * codecs and — PNG being lossless — every channel sum of every
+    * sampled PNG frame in pure integer arithmetic from the fill recipe
+    * `(x·31 + y·17 + 7·frame) & 0xffffff`; a wrong chunk offset, frame
+    * order, channel order, or codec dispatch fails the hash. JPEG
+    * frames gate geometry (sums NULL: the DCT round trip is real but
+    * lossy — pixel-closeness for MJPEG is spec-asserted instead). */
+  private def qVideoFramesReal(implicit s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.framedVideoMedia(
+      Tables.documents(s, dir).where(col("doc_id") % 3 === 2), "doc_id")
+    Multimodal.decodeVideoFrames(media, stride = 2, maxFrames = 8)
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  private val qVideoFramesRealSql = {
+    def chan(expr: String) =
+      s"""CAST(list_aggregate(flatten(list_transform(range(w), x ->
+         |    list_transform(range(h), y -> $expr))), 'sum') AS BIGINT)""".stripMargin
+    s"""WITH v AS (
+       |  SELECT doc_id,
+       |    CAST(16 + (doc_id % 9) * 2 AS BIGINT) AS w,
+       |    CAST(12 + (doc_id % 7) * 2 AS BIGINT) AS h,
+       |    CAST(3 + doc_id % 4 AS BIGINT) AS nf,
+       |    doc_id % 2 = 0 AS is_png
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |fr AS (
+       |  SELECT doc_id, w, h, is_png,
+       |    unnest(range(0, nf, 2)) AS frame_idx
+       |  FROM v)
+       |SELECT doc_id AS media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       |  CASE WHEN is_png THEN 'png' ELSE 'jpeg' END AS codec,
+       |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       |  CASE WHEN is_png THEN
+       |    ${chan("(x * 31 + y * 17 + frame_idx * 7) // 65536 % 256")} END AS sum_r,
+       |  CASE WHEN is_png THEN
+       |    ${chan("(x * 31 + y * 17 + frame_idx * 7) // 256 % 256")} END AS sum_g,
+       |  CASE WHEN is_png THEN
+       |    ${chan("(x * 31 + y * 17 + frame_idx * 7) % 256")} END AS sum_b
+       |FROM fr ORDER BY media_id, frame_idx""".stripMargin
+  }
+
   /** STREAMING model scoring gate: the same `withModelScores`
     * mapPartitions operator as the batch q_proxy_scores, run by
     * Structured Streaming over an unbounded document source with a
@@ -559,6 +605,7 @@ object MlQueries extends QueryModule {
     Q("q_audio_energy", (s, d) => qAudioEnergy(s, d), Some(qAudioEnergySql)),
     Q("q_image_pixels", (s, d) => qImagePixels(s, d), Some(qImagePixelsSql)),
     Q("q_video_frame_sample", (s, d) => qVideoFrameSample(s, d), Some(qVideoFrameSampleSql)),
+    Q("q_video_frames_real", (s, d) => qVideoFramesReal(s, d), Some(qVideoFramesRealSql)),
     Q("q_media_features_real", (s, d) => qMediaFeaturesReal(s, d), Some(qMediaFeaturesRealSql)),
     Q("q_stream_scores", (s, d) => qStreamScores(s, d), Some(qStreamScoresSql)),
     Q("q_tsne_coords", (s, d) => qTsneCoords(s, d), None))

@@ -147,4 +147,62 @@ class EntrySpec extends AnyFunSuite {
       Array[Byte](0xf8.toByte, 0xff.toByte, 0xff.toByte, 0x7f.toByte)
     assert(VideoCodec.parseHeader(hostile) == ("avi", -1, -1, -1, -1))
   }
+
+  test("video codec: MJPEG/MPNG frame streams round-trip byte-exact") {
+    import Multimodal.{ImageCodec, VideoCodec}
+    val frames = (0 until 5).map(f => ImageCodec.encodeJpegFrame(24, 16, f * 7))
+    val avi = VideoCodec.encodeAviFrames(24, 16, 33333, frames)
+    // header still parses (dwTotalFrames = stream length) …
+    assert(VideoCodec.parseHeader(avi) == ("avi", 24, 16, 5, 33333))
+    // … and the movi walk returns the exact frame bytes written
+    val out = VideoCodec.extractFrames(avi)
+    assert(out.length == 5)
+    out.lazyZip(frames).foreach((a, b) => assert(a.sameElements(b)))
+    // odd-sized frames exercise word alignment
+    val odd = Seq(Array[Byte](1, 2, 3), Array[Byte](4), Array[Byte](5, 6))
+    val oddAvi = VideoCodec.encodeAviFrames(1, 1, 1000, odd)
+    VideoCodec.extractFrames(oddAvi).lazyZip(odd)
+      .foreach((a, b) => assert(a.sameElements(b)))
+    // frameless skeletons and hostile bytes degrade to empty, no throw
+    assert(VideoCodec.extractFrames(VideoCodec.encodeAvi(160, 120, 10, 20000)).isEmpty)
+    assert(VideoCodec.extractFrames("not a video".getBytes).isEmpty)
+    assert(VideoCodec.extractFrames(Array.empty[Byte]).isEmpty)
+    // corrupt frame-chunk size inside movi: keep what parsed cleanly
+    val corrupt = avi.clone()
+    // first '00dc' size field: find it and wreck it negative
+    val dcAt = avi.indexOfSlice("00dc".getBytes)
+    corrupt(dcAt + 7) = 0xff.toByte
+    assert(VideoCodec.extractFrames(corrupt).isEmpty) // bailed on first chunk
+  }
+
+  test("frame decode is REAL: PNG exact to the recipe, JPEG pixel-close") {
+    import Multimodal.ImageCodec
+    // PNG frame: decoded channel sums equal the fill recipe exactly
+    val (w, h, shift) = (20, 14, 21)
+    val Some(("png", pw, ph, Some((sr, sg, sb)))) =
+      Multimodal.decodeFrameStats(ImageCodec.encodePngFrame(w, h, shift))
+    assert((pw, ph) == (w, h))
+    val vals = for (x <- 0 until w; y <- 0 until h) yield x * 31 + y * 17 + shift
+    assert(sr == vals.map(v => (v >> 16) & 0xff).map(_.toLong).sum)
+    assert(sg == vals.map(v => (v >> 8) & 0xff).map(_.toLong).sum)
+    assert(sb == vals.map(v => v & 0xff).map(_.toLong).sum)
+    // JPEG frame: geometry exact, decoded pixels CLOSE to the recipe
+    // (the DCT round trip is real; closeness proves entropy decode ran
+    // over real coefficients, not a header shortcut)
+    val jb = ImageCodec.encodeJpegFrame(w, h, shift)
+    val Some(("jpeg", jw, jh, None)) = Multimodal.decodeFrameStats(jb)
+    assert((jw, jh) == (w, h))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jb))
+    val diffs = for (x <- 0 until w; y <- 0 until h) yield {
+      val want = (x * 31 + y * 17 + shift) & 0xffffff
+      val got = img.getRGB(x, y)
+      math.abs(((want >> 8) & 0xff) - ((got >> 8) & 0xff)) +
+        math.abs((want & 0xff) - (got & 0xff))
+    }
+    assert(diffs.sum.toDouble / diffs.length < 40.0,
+      s"mean per-pixel channel error ${diffs.sum.toDouble / diffs.length}")
+    // undecodable bytes → None, never throw
+    assert(Multimodal.decodeFrameStats("junk".getBytes).isEmpty)
+    assert(Multimodal.decodeFrameStats(Array.empty[Byte]).isEmpty)
+  }
 }
