@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Scale-smoke: multiply the corpus N× (re-keyed ids) and time the
   * text/dedup pipelines, to observe how their cost scales between the
@@ -173,6 +174,59 @@ object ScaleSmoke {
         graft.operators.Selection
           .sliceRows(docs.select(col("doc_id"), col("source")),
             "doc_id", 400L, -1L).count()
+      }
+      // Streaming STATE GROWTH: a windowed aggregation over a stream
+      // that keeps arriving (one file per micro-batch, event time
+      // advancing an hour per batch, 1000 keys/hour). Without
+      // watermark eviction, state rows grow ~1000 per batch forever;
+      // with the 2-hour watermark they must plateau at ≈ (watermark +
+      // window) worth of open windows regardless of how many batches
+      // arrive. The per-batch numRowsTotal curve is printed and the
+      // plateau is ENFORCED (≤ 5× keys even as input grows to
+      // batches× keys).
+      time("stream_state") {
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        val users = 1000L
+        val batches = 6 + n
+        val root = Files.createTempDirectory("graft_state_smoke")
+        val watched = root.resolve("stream"); Files.createDirectories(watched)
+        val baseUs = 1700000000L * 1000000L
+        for (k <- 0 until batches) {
+          val tmp = root.resolve(s"tmp_$k").toString
+          spark.range(0, users)
+            .selectExpr("id AS user_id",
+              s"timestamp_micros(${baseUs}L + $k * 3600000000L + (id % 60) * 60000000L) AS ts",
+              "CAST(id % 7 AS DOUBLE) AS value")
+            .coalesce(1).write.parquet(tmp)
+          val part = Files.list(Paths.get(tmp))
+            .filter(p => p.toString.endsWith(".parquet")).findFirst.get
+          Files.move(part, watched.resolve(f"slice_$k%03d.parquet"),
+            StandardCopyOption.ATOMIC_MOVE)
+          Thread.sleep(15) // distinct mtimes → in-order file batches
+        }
+        val stream = spark.readStream
+          .schema(StructType(Seq(
+            StructField("user_id", LongType),
+            StructField("ts", TimestampType),
+            StructField("value", DoubleType))))
+          .option("maxFilesPerTrigger", "1")
+          .parquet(watched.toString)
+        val agg = stream.withWatermark("ts", "2 hours")
+          .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+          .agg(sum(col("value")).as("v"))
+        graft.streaming.EventStreams.withStreamParallelism(spark, 4) {
+          val q = agg.writeStream.outputMode("append").format("memory")
+            .queryName(s"state_smoke_$n").start()
+          try q.processAllAvailable() finally q.stop()
+          val perBatch = q.recentProgress.toSeq
+            .filter(_.stateOperators.nonEmpty)
+            .map(p => p.stateOperators.map(_.numRowsTotal).sum)
+          println(s"""{"scale_smoke":"stream_state_rows","mult":$n,""" +
+            s""""batches":${perBatch.length},"rows":[${perBatch.mkString(",")}]}""")
+          require(perBatch.nonEmpty && perBatch.max <= 5 * users,
+            s"streaming state grew unbounded: ${perBatch.mkString(",")}")
+          perBatch.last
+        }
       }
       time("packing") {
         val w = org.apache.spark.sql.expressions.Window
