@@ -175,6 +175,33 @@ object ScaleSmoke {
           .sliceRows(docs.select(col("doc_id"), col("source")),
             "doc_id", 400L, -1L).count()
       }
+      // INCREMENTAL dedup: a fixed 250-doc daily delta against the n×
+      // corpus whose signature store was built by a "previous run"
+      // (materialized OUTSIDE the timer — that is the point of the
+      // store). The timed path is delta shingling + a broadcast probe
+      // of the store + delta-sized verification; compare its growth
+      // against the full-re-dedup stage (minhash_near_dup) which
+      // recomputes and self-joins the whole corpus every time.
+      locally {
+        val store = graft.operators.Dedup
+          .bandedSignatures(docs, "doc_id", "text").localCheckpoint()
+        val storeSets = graft.operators.Dedup
+          .shingleSets(docs, "doc_id", "text").localCheckpoint()
+        val delta = docs.select(col("doc_id"), col("text"))
+          .where(col("doc_id") % 37 === 3).limit(250)
+          .withColumn("doc_id", col("doc_id") + 900000000L)
+          .localCheckpoint()
+        time("incremental_dedup") {
+          val nb = graft.operators.Dedup
+            .bandedSignatures(delta, "doc_id", "text")
+          val allSets = storeSets.unionAll(graft.operators.Dedup
+            .shingleSets(delta, "doc_id", "text"))
+          val c = graft.operators.Dedup
+            .incrementalNearDupPairs(nb, store, allSets, "doc_id").count()
+          graft.core.Caches.releaseAll()
+          c
+        }
+      }
       // Streaming STATE GROWTH: a windowed aggregation over a stream
       // that keeps arriving (one file per micro-batch, event time
       // advancing an hour per batch, 1000 keys/hour). Without

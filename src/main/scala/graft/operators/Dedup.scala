@@ -107,17 +107,25 @@ object Dedup {
     * near-dup crowd that large is curation signal in itself. Default
     * 0 = unlimited — the oracle-gated queries keep exact LSH
     * semantics; the cap is opt-in for adversarial corpora. */
-  def lshCandidatePairs(signatures: DataFrame, idCol: String,
-                        bands: Int, rowsPerBand: Int,
-                        maxBucketSize: Int = 0): DataFrame = {
+  /** Banded view of a signature frame: (idCol, band, bsig) — one row
+    * per doc per band. This is also the INCREMENTAL-dedup store layout
+    * (persist bucketed by (band, bsig); see [[incrementalNearDupPairs]]). */
+  def bandExplode(signatures: DataFrame, idCol: String,
+                  bands: Int, rowsPerBand: Int): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"), concat_ws("_",
         (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*)
         .as("bsig"))
     }
-    val exploded = signatures
+    signatures
       .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+  }
+
+  def lshCandidatePairs(signatures: DataFrame, idCol: String,
+                        bands: Int, rowsPerBand: Int,
+                        maxBucketSize: Int = 0): DataFrame = {
+    val exploded = bandExplode(signatures, idCol, bands, rowsPerBand)
     val capped =
       if (maxBucketSize <= 0) exploded
       else exploded
@@ -273,6 +281,62 @@ object Dedup {
     val sizes = comps.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
     comps.join(sizes, "comp")
       .select(col("id").as(idCol), col("comp").as("keeper"), col("cluster_size"))
+  }
+
+  /** Distinct n-gram shingle sets: (idCol, shset) — the verification
+    * half of the incremental-dedup store. */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3): DataFrame =
+    df.select(col(idCol), TextFns.shinglesDistinct(col(textCol), n).as("shset"))
+
+  /** End-to-end banded LSH signatures from raw text: the frame a
+    * resumable dedup PERSISTS per corpus (one row per doc per band).
+    * Store it bucketed by (band, bsig) — the daily delta probe then
+    * joins the corpus side shuffle-free. */
+  def bandedSignatures(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, k: Int = 12, bands: Int = 4): DataFrame = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val ids = shingleSets(df, idCol, textCol, n)
+      .select(col(idCol), explode(col("shset")).as("sh"))
+      .withColumn("wid", md5Wid(col("sh")))
+    bandExplode(minhashSignatures(ids, idCol, "wid", k), idCol, bands, k / bands)
+  }
+
+  /** INCREMENTAL near-dup — the daily-ingest shape at 100 TB: dedup a
+    * small DELTA of new documents against a corpus whose banded
+    * signatures ([[bandedSignatures]]) and shingle sets
+    * ([[shingleSets]]) were persisted by a previous run. Candidates =
+    * (delta × corpus bucket probe) ∪ (delta-internal pairs), then the
+    * usual Jaccard verification. Output equals the FULL run's pairs
+    * restricted to pairs touching the delta (per-doc signatures are
+    * independent, so splitting the corpus cannot change any pair) —
+    * which is exactly what the oracle gate checks.
+    *
+    * Scale posture: corpus signatures are never recomputed and never
+    * shuffled — the delta side is explicitly broadcast, so the probe
+    * is one scan of the signature store (bucket/partition pruning on a
+    * partitioned store shrinks even that); delta shingling, signing,
+    * and the internal self-join are all delta-sized. A full re-dedup
+    * at corpus size N costs O(N) shingling + an O(N) bucket self-join
+    * EVERY day; this costs it once, then O(delta) per day
+    * (ScaleSmoke: incremental wall-clock near-flat at 20× corpus
+    * growth while the full run grows linearly). */
+  def incrementalNearDupPairs(newBanded: DataFrame, corpusBanded: DataFrame,
+                              allSets: DataFrame, idCol: String,
+                              threshold: Double = 0.5): DataFrame = {
+    val nb = graft.core.Caches.track(newBanded) // referenced twice
+    val cross = broadcast(nb.alias("x"))
+      .join(corpusBanded.alias("y"), Seq("band", "bsig"))
+      .where(col(s"x.$idCol") =!= col(s"y.$idCol"))
+      .select(least(col(s"x.$idCol"), col(s"y.$idCol")).as("id_a"),
+        greatest(col(s"x.$idCol"), col(s"y.$idCol")).as("id_b"))
+    val internal = nb.alias("x").join(nb.alias("y"), Seq("band", "bsig"))
+      .where(col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+    val cands = cross.union(internal).distinct()
+    jaccardForPairs(cands, allSets, idCol, "shset")
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** SimHash fingerprint per document over shingle/token ids: each of

@@ -564,6 +564,35 @@ object NorthStarQueries extends QueryModule {
        |FROM lab JOIN sz USING (comp)
        |ORDER BY keeper, doc_id""".stripMargin
 
+  // ---------------------------------------------- incremental dedup
+  /** Daily-ingest dedup gate: documents split into a persisted CORPUS
+    * (doc_id % 10 ≠ 0) and a new DELTA (doc_id % 10 = 0); the delta is
+    * deduped against the corpus's persisted banded signatures plus
+    * itself ([[Dedup.incrementalNearDupPairs]] — corpus never
+    * recomputed, never shuffled, delta broadcast). Oracle-exact via
+    * the restriction identity: the incremental result must equal the
+    * FULL corpus+delta run's pairs restricted to pairs touching the
+    * delta. */
+  private def qDedupIncremental(implicit s: SparkSession, dir: String): DataFrame = {
+    val all = docs.select(col("doc_id"), col("text"))
+    val delta = all.where(col("doc_id") % 10 === 0)
+    val corpus = all.where(col("doc_id") % 10 =!= 0)
+    val corpusBanded = Dedup.bandedSignatures(corpus, "doc_id", "text",
+      n = 3, k = MhK, bands = MhBands)
+    val newBanded = Dedup.bandedSignatures(delta, "doc_id", "text",
+      n = 3, k = MhK, bands = MhBands)
+    val allSets = graft.core.Caches.track(
+      Dedup.shingleSets(all, "doc_id", "text", n = 3))
+    Dedup.incrementalNearDupPairs(newBanded, corpusBanded, allSets, "doc_id")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val qDedupIncrementalSql =
+    s"""WITH ${minhashPairCtes("", "documents")}
+       |SELECT id_a, id_b, jaccard FROM pairs
+       |WHERE id_a % 10 = 0 OR id_b % 10 = 0
+       |ORDER BY id_a, id_b""".stripMargin
+
   // ------------------------------------------- full curation pipeline
   /** The whole "curate a corpus" flow in ONE query — what a training-
     * data pipeline actually runs end to end: exact dedup (smallest-id
@@ -639,6 +668,7 @@ object NorthStarQueries extends QueryModule {
     Q("q_dedup_simhash", (s, d) => qDedupSimhash(s, d), Some(qDedupSimhashSql)),
     Q("q_dedup_minhash_scalable", (s, d) => qDedupMinhashScalable(s, d), Some(qDedupMinhashScalableSql)),
     Q("q_dedup_clusters", (s, d) => qDedupClusters(s, d), Some(qDedupClustersSql)),
+    Q("q_dedup_incremental", (s, d) => qDedupIncremental(s, d), Some(qDedupIncrementalSql)),
     Q("q_embed_cosine_topk", (s, d) => qCosineTopK(s, d), Some(qCosineTopKSql)),
     Q("q_embed_ann_lsh", (s, d) => qAnnLsh(s, d), Some(qAnnLshSql)),
     Q("q_embed_ivf", (s, d) => qIvfTopK(s, d), Some(qIvfTopKSql)),

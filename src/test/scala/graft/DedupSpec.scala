@@ -203,6 +203,36 @@ class DedupSpec extends AnyFunSuite {
     assert(itersCliques <= 2, s"cliques took $itersCliques rounds")
   }
 
+  test("incremental dedup == full run restricted to delta-touching pairs; corpus never shuffles") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely different content about large scale data systems"),
+      (10L, "the quick brown fox jumps over the lazy dog this morning"), // delta: near-dups 1,2
+      (20L, "totally novel delta document with brand new words"),
+      (30L, "totally novel delta document with brand new words indeed")  // delta-internal pair w/ 20
+    ).toDF("doc_id", "text")
+    val delta = docs.where($"doc_id" >= 10L)
+    val corpus = docs.where($"doc_id" < 10L)
+    val incr = Dedup.incrementalNearDupPairs(
+      Dedup.bandedSignatures(delta, "doc_id", "text"),
+      Dedup.bandedSignatures(corpus, "doc_id", "text"),
+      Dedup.shingleSets(docs, "doc_id", "text"), "doc_id", threshold = 0.3)
+    // restriction identity vs the full run
+    val full = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.3)
+      .where($"id_a" >= 10L || $"id_b" >= 10L)
+    val a = incr.as[(Long, Long, Double)].collect().toSet
+    val b = full.as[(Long, Long, Double)].collect().toSet
+    assert(a == b, s"incremental $a != restricted-full $b")
+    assert(a.exists { case (x, y, _) => x < 10L && y >= 10L }, "no cross pair found")
+    assert(a.contains((20L, 30L, a.find(p => p._1 == 20L).get._3)), "no internal pair")
+    // the store probe must broadcast the DELTA side — the corpus store
+    // is scanned, never shuffled (no Exchange feeding its join side)
+    val plan = incr.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    graft.core.Caches.releaseAll()
+  }
+
   test("nearDupClusters groups the planted near-dups around the smallest keeper") {
     val docs = Seq(
       (10L, "the quick brown fox jumps over the lazy dog today"),
