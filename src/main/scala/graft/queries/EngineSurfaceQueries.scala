@@ -18,7 +18,7 @@ import graft.streaming.EventStreams
 object EngineSurfaceQueries extends QueryModule {
 
   private def dsum(c: Column, scale: Int = 4): Column =
-    round(sum(c.cast(DecimalType(30, scale))).cast("double"), 2)
+    round(sum(c.cast(DecimalType(30, scale))), 2).cast("double")
 
   private def t(n: String)(implicit s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, n)
@@ -34,7 +34,7 @@ object EngineSurfaceQueries extends QueryModule {
         CAST(grouping(o_orderstatus) AS INT) AS g_st,
         CAST(grouping(o_orderpriority) AS INT) AS g_pr,
         COUNT(*) AS n,
-        ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE), 2) AS total
+        CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,4))), 2) AS DOUBLE) AS total
       FROM orders_gs
       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                               (o_orderstatus, o_orderpriority), ())
@@ -46,7 +46,7 @@ object EngineSurfaceQueries extends QueryModule {
       |  CAST(grouping(o_orderstatus) AS INT) AS g_st,
       |  CAST(grouping(o_orderpriority) AS INT) AS g_pr,
       |  COUNT(*) AS n,
-      |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE), 2) AS total
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,4))), 2) AS DOUBLE) AS total
       |FROM orders
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
       |                        (o_orderstatus, o_orderpriority), ())
@@ -213,7 +213,7 @@ object EngineSurfaceQueries extends QueryModule {
       |      - INTERVAL 30 MINUTE AS win_start,
       |    event_type, value FROM events)
       |SELECT win_start, event_type, COUNT(*) AS n,
-      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE), 2) AS total_value
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(30,4))), 2) AS DOUBLE) AS total_value
       |FROM hops GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
 
   /** Streaming twin of the hopping window (watermark + sliding

@@ -190,7 +190,7 @@ object MlQueries extends QueryModule {
 
   private val qStreamHourlySql =
     """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
-      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE), 2) AS total_value
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(30,4))), 2) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
   /** Stateful sessionization (30-min gap) via flatMapGroupsWithState;
@@ -503,8 +503,8 @@ object MlQueries extends QueryModule {
   private val qStreamScoresSql = {
     import graft.operators.Scorers.ProxyBackend.unitSql
     s"""SELECT source, COUNT(*) AS n,
-       |  ROUND(CAST(SUM(CAST(round(2.0 + 30.0 * ${unitSql(42L, "'ppl:' || text")}, 6)
-       |    AS DECIMAL(30,10))) AS DOUBLE), 4) AS ppl_total
+       |  CAST(ROUND(SUM(CAST(round(2.0 + 30.0 * ${unitSql(42L, "'ppl:' || text")}, 6)
+       |    AS DECIMAL(30,10))), 4) AS DOUBLE) AS ppl_total
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   }
 

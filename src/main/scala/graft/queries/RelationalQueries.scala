@@ -24,18 +24,28 @@ import graft.core.Tables
 object RelationalQueries extends QueryModule {
 
   /** Exact, order-independent sum of a money-like double: through
-    * DECIMAL and back, rounded to cents. The DECIMAL sum is exact in
-    * both engines; the final DECIMAL→DOUBLE cast can differ by 1 ulp
-    * between Spark (correctly-rounded BigDecimal) and DuckDB (int128
-    * scaling), so the last rounding step pins a shared grid far coarser
-    * than that noise. */
+    * DECIMAL, rounded to cents IN THE DECIMAL DOMAIN, then cast to
+    * double. Rounding before the cast matters: both engines round the
+    * same exact decimal half-up, and the scale-2 result converts to
+    * double in one correctly-rounded step (cents magnitude « 2^53).
+    * Rounding AFTER the cast — round(double, 2) — diverges when a
+    * group sum lands exactly on a half-cent boundary: Spark rounds the
+    * double's exact BigDecimal expansion while DuckDB rounds in float
+    * arithmetic (found live: q9 at sf1, 279788514.835 → .84 vs .83). */
   private def dsum(c: Column, scale: Int = 4): Column =
-    round(sum(c.cast(DecimalType(30, scale))).cast("double"), 2)
+    round(sum(c.cast(DecimalType(30, scale))), 2).cast("double")
 
-  /** Mean of a money-like double, rounded to a 1e-6 grid (double
-    * division noise is ~1e-15 relative). */
+  /** Mean of a money-like double, pinned to a 1e-6 grid with pure
+    * IEEE arithmetic: floor(x·1e6 + 0.5)/1e6. Both engines evaluate
+    * the identical op sequence on identical inputs (the DECIMAL sum's
+    * double cast is single-rounded in both while |unscaled| < 2^53,
+    * true at every gate sf), so there is no divergence even exactly
+    * at half-grid boundaries — unlike round(double, 6), which Spark
+    * evaluates on the double's exact decimal expansion but DuckDB in
+    * float arithmetic (the q9-at-sf1 bug class). Halves go to +inf. */
   private def davg(c: Column, scale: Int = 4): Column =
-    round(sum(c.cast(DecimalType(30, scale))).cast("double") / count(lit(1)), 6)
+    floor(sum(c.cast(DecimalType(30, scale))).cast("double") / count(lit(1))
+      * lit(1e6) + lit(0.5)) / lit(1e6)
 
   private def t(n: String)(implicit s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, n)
@@ -62,12 +72,12 @@ object RelationalQueries extends QueryModule {
 
   private val q1Sql =
     """SELECT l_returnflag, l_linestatus,
-      |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE), 2) AS sum_qty,
-      |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE), 2) AS sum_base_price,
-      |  ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))) AS DOUBLE), 2) AS sum_disc_price,
-      |  ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(30,12))) AS DOUBLE), 2) AS sum_charge,
-      |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
-      |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(30,4))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+      |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,4))), 2) AS DOUBLE) AS sum_qty,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,4))), 2) AS DOUBLE) AS sum_base_price,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_disc_price,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(30,12))), 2) AS DOUBLE) AS sum_charge,
+      |  FLOOR(CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000.0 AS avg_qty,
+      |  FLOOR(CAST(SUM(CAST(l_discount AS DECIMAL(30,4))) AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000.0 AS avg_disc,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '2000-01-01'
@@ -93,7 +103,7 @@ object RelationalQueries extends QueryModule {
 
   private val q3Sql =
     """SELECT l_orderkey, o_orderdate,
-      |  ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))) AS DOUBLE), 2) AS revenue
+      |  CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -125,7 +135,7 @@ object RelationalQueries extends QueryModule {
 
   private val q5Sql =
     """SELECT r_name, n_name,
-      |  ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))) AS DOUBLE), 2) AS revenue,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue,
       |  COUNT(*) AS n_items
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -199,7 +209,7 @@ object RelationalQueries extends QueryModule {
 
   private val qRollupSql =
     """SELECT r_name, n_name,
-      |  ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE), 2) AS total_bal,
+      |  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(30,4))), 2) AS DOUBLE) AS total_bal,
       |  COUNT(*) AS n_cust
       |FROM customer
       |JOIN nation ON c_nationkey = n_nationkey
@@ -294,7 +304,7 @@ object RelationalQueries extends QueryModule {
 
   private val qHourlyEventsSql =
     """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
-      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE), 2) AS total_value
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(30,4))), 2) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
   // -------------------------------------------- RANGE-frame window
@@ -316,15 +326,15 @@ object RelationalQueries extends QueryModule {
       .withColumn("sec", col("ts").cast("long"))
       .select(col("user_id"), col("sec"),
         count(lit(1)).over(w).as("n_1h"),
-        round(sum(col("value").cast(DecimalType(30, 4))).over(w)
-          .cast("double"), 2).as("v_1h"))
+        round(sum(col("value").cast(DecimalType(30, 4))).over(w), 2)
+          .cast("double").as("v_1h"))
       .orderBy(col("user_id"), col("sec"))
   }
 
   private val qWindowRangeSql =
     """SELECT user_id, epoch_us(ts) // 1000000 AS sec,
       |  COUNT(*) OVER w AS n_1h,
-      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(30,4))) OVER w AS DOUBLE), 2) AS v_1h
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(30,4))) OVER w, 2) AS DOUBLE) AS v_1h
       |FROM events WHERE user_id <= 30
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
       |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
@@ -347,7 +357,7 @@ object RelationalQueries extends QueryModule {
   private val qCaseAggSql =
     """SELECT o_orderpriority, COUNT(*) AS n,
       |  CAST(SUM(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
-      |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE), 2) AS sum_price,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,4))), 2) AS DOUBLE) AS sum_price,
       |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
@@ -363,7 +373,7 @@ object RelationalQueries extends QueryModule {
 
   private val qCubeSql =
     """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-      |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE), 2) AS total
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,4))), 2) AS DOUBLE) AS total
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
@@ -396,12 +406,12 @@ object RelationalQueries extends QueryModule {
           col("l_quantity").cast(DecimalType(30, 4)).as("qty")),
         Seq("l_returnflag"), "qty")
       .select(col("l_returnflag"), col("n"),
-        round(col("total").cast("double"), 2).as("total_qty"))
+        round(col("total"), 2).cast("double").as("total_qty"))
       .orderBy(col("l_returnflag"))
 
   private val qSkewSaltedSql =
     """SELECT l_returnflag, COUNT(*) AS n,
-      |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE), 2) AS total_qty
+      |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,4))), 2) AS DOUBLE) AS total_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ------------------------------------------------------ HLL distinct

@@ -21,7 +21,7 @@ import graft.core.Tables
 object TpchQueries extends QueryModule {
 
   private def dsum(c: Column, scale: Int = 4): Column =
-    round(sum(c.cast(DecimalType(30, scale))).cast("double"), 2)
+    round(sum(c.cast(DecimalType(30, scale))), 2).cast("double")
 
   private def t(n: String)(implicit s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, n)
@@ -43,7 +43,7 @@ object TpchQueries extends QueryModule {
         count(lit(1)).as("n_items"))
 
   private val q6Sql =
-    """SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,8))) AS DOUBLE), 2) AS revenue,
+    """SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue,
       |  COUNT(*) AS n_items
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -103,7 +103,7 @@ object TpchQueries extends QueryModule {
   private val q7Sql =
     s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
-       |  ROUND(CAST(SUM(CAST($revSql AS DECIMAL(30,8))) AS DOUBLE), 2) AS revenue
+       |  CAST(ROUND(SUM(CAST($revSql AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue
        |FROM lineitem
        |JOIN orders ON l_orderkey = o_orderkey
        |JOIN supplier ON l_suppkey = s_suppkey
@@ -133,7 +133,7 @@ object TpchQueries extends QueryModule {
 
   private val q9Sql =
     s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
-       |  ROUND(CAST(SUM(CAST($revSql - p_retailprice * l_quantity * 0.05 AS DECIMAL(30,8))) AS DOUBLE), 2) AS sum_profit
+       |  CAST(ROUND(SUM(CAST($revSql - p_retailprice * l_quantity * 0.05 AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_profit
        |FROM lineitem
        |JOIN part ON l_partkey = p_partkey
        |JOIN supplier ON l_suppkey = s_suppkey
@@ -161,7 +161,7 @@ object TpchQueries extends QueryModule {
 
   private val q10Sql =
     s"""SELECT c_custkey, c_name, n_name,
-       |  ROUND(CAST(SUM(CAST($revSql AS DECIMAL(30,8))) AS DOUBLE), 2) AS revenue,
+       |  CAST(ROUND(SUM(CAST($revSql AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue,
        |  ROUND(MAX(c_acctbal), 2) AS c_acctbal
        |FROM lineitem
        |JOIN orders ON l_orderkey = o_orderkey
@@ -184,16 +184,21 @@ object TpchQueries extends QueryModule {
       .where(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-06-01").cast("timestamp"))
       .join(broadcast(t("part")), col("l_partkey") === col("p_partkey"))
-      .agg(round(promoRev.cast("double") * 100.0 / allRev.cast("double"), 6)
+      // decimal sums rounded to cents BEFORE the double cast (scale-8
+      // unscaled values pass 2^53, where DuckDB's int128→double cast
+      // double-rounds vs Spark's BigDecimal) so both engines divide
+      // identical doubles; then the 1e-6 grid pin in pure IEEE ops
+      .agg((floor(round(promoRev, 2).cast("double") * 100.0
+          / round(allRev, 2).cast("double") * lit(1e6) + lit(0.5)) / lit(1e6))
         .as("promo_share"),
         count(lit(1)).as("n_items"))
   }
 
   private val q14Sql =
-    s"""SELECT ROUND(
-       |    CAST(SUM(CASE WHEN p_type = 'PROMO' THEN CAST($revSql AS DECIMAL(30,8)) ELSE CAST(0 AS DECIMAL(30,8)) END) AS DOUBLE)
+    s"""SELECT FLOOR(
+       |    CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO' THEN CAST($revSql AS DECIMAL(30,8)) ELSE CAST(0 AS DECIMAL(30,8)) END), 2) AS DOUBLE)
        |    * 100.0
-       |    / CAST(SUM(CAST($revSql AS DECIMAL(30,8))) AS DOUBLE), 6) AS promo_share,
+       |    / CAST(ROUND(SUM(CAST($revSql AS DECIMAL(30,8))), 2) AS DOUBLE) * 1000000 + 0.5) / 1000000.0 AS promo_share,
        |  COUNT(*) AS n_items
        |FROM lineitem JOIN part ON l_partkey = p_partkey
        |WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-06-01'""".stripMargin
@@ -219,7 +224,7 @@ object TpchQueries extends QueryModule {
   }
 
   private val q17Sql =
-    """SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE), 2) AS total_price,
+    """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,4))), 2) AS DOUBLE) AS total_price,
       |  COUNT(*) AS n_items
       |FROM lineitem
       |JOIN part ON l_partkey = p_partkey
@@ -276,7 +281,7 @@ object TpchQueries extends QueryModule {
       .agg(dsum(rev, 8).as("revenue"), count(lit(1)).as("n_items"))
 
   private val q19Sql =
-    s"""SELECT ROUND(CAST(SUM(CAST($revSql AS DECIMAL(30,8))) AS DOUBLE), 2) AS revenue,
+    s"""SELECT CAST(ROUND(SUM(CAST($revSql AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue,
        |  COUNT(*) AS n_items
        |FROM lineitem JOIN part ON l_partkey = p_partkey
        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
@@ -289,9 +294,12 @@ object TpchQueries extends QueryModule {
     * single row) composed with a left-anti join on a filtered fact,
     * grouped by nation. */
   private def q22(implicit s: SparkSession, dir: String): DataFrame = {
+    // 1e-6 grid pin via pure IEEE floor(x*1e6+0.5) — identical op
+    // sequence in DuckDB's replay, no half-boundary divergence (the
+    // q9-at-sf1 bug class; see RelationalQueries.davg)
     val thr = t("customer").where(col("c_acctbal") > 0.0)
-      .agg(round((sum(col("c_acctbal").cast(DecimalType(30, 4))).cast("double") /
-        count(lit(1))), 6).as("avg_bal"))
+      .agg((floor(sum(col("c_acctbal").cast(DecimalType(30, 4))).cast("double") /
+        count(lit(1)) * lit(1e6) + lit(0.5)) / lit(1e6)).as("avg_bal"))
     val recent = t("orders")
       .where(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
     t("customer")
@@ -305,9 +313,9 @@ object TpchQueries extends QueryModule {
 
   private val q22Sql =
     """SELECT c_nationkey, COUNT(*) AS numcust,
-      |  ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE), 2) AS totacctbal
+      |  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(30,4))), 2) AS DOUBLE) AS totacctbal
       |FROM customer
-      |WHERE c_acctbal > (SELECT ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE) / COUNT(*), 6)
+      |WHERE c_acctbal > (SELECT FLOOR(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000.0
       |                   FROM customer WHERE c_acctbal > 0.0)
       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
       |                  AND o_orderdate >= TIMESTAMP '1999-01-01')

@@ -94,7 +94,7 @@ object EventStreams {
       .select(col("source"), round(col("ppl_ins_alone"), 6).as("ppl"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("ppl").cast(DecimalType(30, 10))).cast("double"), 4)
+        round(sum(col("ppl").cast(DecimalType(30, 10))), 4).cast("double")
           .as("ppl_total"))
     val name = s"stream_scores_${java.util.UUID.randomUUID.toString.replace("-", "")}"
     runToCompletion(spark, agg, name)
@@ -106,7 +106,7 @@ object EventStreams {
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("value").cast(DecimalType(30, 4))).cast("double"), 2)
+        round(sum(col("value").cast(DecimalType(30, 4))), 2).cast("double")
           .as("total_value"))
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("total_value"))
@@ -176,7 +176,7 @@ object EventStreams {
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("value").cast(DecimalType(30, 4))).cast("double"), 2)
+        round(sum(col("value").cast(DecimalType(30, 4))), 2).cast("double")
           .as("total_value"))
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("total_value"))
