@@ -133,4 +133,61 @@ object Selection {
       case "EntropySampling"  => df.orderBy(metric.desc).limit(n)
       case other => throw new IllegalArgumentException(s"unknown strategy $other")
     }
+
+  /** Greedy token-budget selection — "the best `budget` tokens of the
+    * corpus": take rows in (score DESC, id ASC) order while the
+    * running token total stays within `budget`. This is the selection
+    * every training-data pipeline runs right before a training job
+    * ("fill 500 B tokens from the highest-quality documents").
+    *
+    * Scale design — NO global sort. A naive implementation is one
+    * `SUM(tokens) OVER (ORDER BY score DESC, id)` — a total order,
+    * i.e. every row through one reducer. Instead the greedy prefix is
+    * decomposed by score bucket (`floor(score·1000)`, monotone in
+    * score, so equal scores share a bucket and higher buckets strictly
+    * precede lower ones in greedy order):
+    *   1. per-bucket token totals — one shuffled aggregate onto ≤1001
+    *      groups;
+    *   2. EXCLUSIVE running total over the bucket histogram — a
+    *      broadcast theta self-join (`higher.bucket > bucket`, ≤1001²
+    *      pairs) + re-aggregate. Deliberately NOT a window: the
+    *      engine-wide invariant "no empty-partition ordered window in
+    *      any registered plan" (PlanShapeSpec sweep) stays absolute,
+    *      with no bounded-input exception to reason about;
+    *   3. intra-bucket refinement window partitioned BY BUCKET
+    *      (ordered score DESC, id ASC): each partition sorts only its
+    *      own bucket's rows.
+    * A row is selected iff bucketPrefix + intraCum ≤ budget, which
+    * equals the global greedy prefix EXACTLY — so a plain global
+    * window replays it for the oracle, while the plan stays parallel
+    * at any corpus size (the only global structure is the 1001-row
+    * histogram).
+    *
+    * Returns the selected rows with `cum_tokens` (the row's global
+    * greedy running total, ≤ budget). `scoreCol` must be
+    * cross-engine-deterministic if oracle-gated (e.g.
+    * [[graft.functions.TextFns.qualityScore]], rounded to 6 dp).
+    */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, scoreCol: String,
+                        tokenCol: String, budget: Long): DataFrame = {
+    val bucket = floor(col(scoreCol) * lit(1000)).cast("long")
+    val rows = df.withColumn("_tb_bucket", bucket)
+    val hist = rows.groupBy(col("_tb_bucket"))
+      .agg(sum(col(tokenCol).cast("long")).as("_tb_btok"))
+    // exclusive prefix over ≤1001 histogram rows via broadcast theta
+    // self-join — see scaladoc point 2
+    val higher = hist.select(col("_tb_bucket").as("_tb_hb"),
+      col("_tb_btok").as("_tb_htok"))
+    val prefix = hist.join(broadcast(higher), col("_tb_hb") > col("_tb_bucket"), "left")
+      .groupBy(col("_tb_bucket"))
+      .agg(coalesce(sum(col("_tb_htok")), lit(0L)).as("_tb_prefix"))
+    val wIntra = Window.partitionBy(col("_tb_bucket"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rows.join(broadcast(prefix), "_tb_bucket")
+      .withColumn("cum_tokens",
+        col("_tb_prefix") + sum(col(tokenCol).cast("long")).over(wIntra))
+      .where(col("cum_tokens") <= lit(budget))
+      .drop("_tb_bucket", "_tb_prefix")
+  }
 }

@@ -660,7 +660,43 @@ object NorthStarQueries extends QueryModule {
        |ORDER BY lang, doc_id""".stripMargin
   }
 
+  /** Token-budget corpus selection ("the best 8,000 tokens"): greedy
+    * by (quality DESC, doc_id) while the running token total fits the
+    * budget — the pre-training-job selection, gated exactly. Spark
+    * runs [[Selection.tokenBudgetSelect]]'s bucket-decomposed plan (no
+    * global sort — a ≤1001-row histogram window plus per-bucket
+    * refinement windows); the oracle replays the SAME semantics as one
+    * plain global window, which is the equivalence the decomposition
+    * guarantees. Absolute budget: selects ~half the corpus at sf0.01
+    * and a sharpening top slice as the corpus grows — output size
+    * SHRINKS with sf, the operator's cost does not. */
+  private def qTokenBudget(implicit s: SparkSession, dir: String): DataFrame = {
+    val scored = docs.select(col("doc_id"),
+      TextFns.qualityScore(col("text")).as("quality"),
+      TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+    graft.operators.Selection
+      .tokenBudgetSelect(scored, "doc_id", "quality", "n_tokens", budget = 8000L)
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qTokenBudgetSql = {
+    val (_, _, quality) = qualitySqlBits
+    s"""WITH scored AS (
+       |  SELECT doc_id, $quality AS quality,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |sel AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |  FROM scored)
+       |SELECT doc_id, n_tokens, cum_tokens FROM sel
+       |WHERE cum_tokens <= 8000 ORDER BY doc_id""".stripMargin
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q_token_budget", (s, d) => qTokenBudget(s, d), Some(qTokenBudgetSql)),
     Q("q_dedup_exact", (s, d) => qDedupExact(s, d), Some(qDedupExactSql)),
     Q("q_curate_pipeline", (s, d) => qCuratePipeline(s, d), Some(qCuratePipelineSql)),
     Q("q_dedup_minhash_lsh", (s, d) => qDedupMinhashLsh(s, d), Some(qDedupMinhashLshSql)),

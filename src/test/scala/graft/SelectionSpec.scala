@@ -80,4 +80,37 @@ class SelectionSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet
     assert(least == Set(2L, 3L))
   }
+
+  test("tokenBudgetSelect equals the naive global greedy window") {
+    import org.apache.spark.sql.expressions.Window
+    // adversarial: duplicate scores straddling bucket boundaries
+    // (0.1239 vs 0.124), many ties inside one bucket, varying tokens
+    val df = (1 to 400).map { i =>
+      val score = (i % 25) / 200.0 + (if (i % 3 == 0) 0.0005 else 0.0)
+      (i.toLong, score, (i % 7 + 1).toLong)
+    }.toDF("id", "score", "ntok")
+    for (budget <- Seq(0L, 17L, 250L, 800L, 100000L)) {
+      val got = Selection.tokenBudgetSelect(df, "id", "score", "ntok", budget)
+        .select($"id", $"cum_tokens").as[(Long, Long)].collect().toMap
+      val wNaive = Window.orderBy($"score".desc, $"id".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val want = df.withColumn("cum_tokens", sum($"ntok").over(wNaive))
+        .where($"cum_tokens" <= budget)
+        .select($"id", $"cum_tokens").as[(Long, Long)].collect().toMap
+      assert(got == want, s"budget=$budget")
+      assert(got.values.forall(_ <= budget))
+    }
+  }
+
+  test("tokenBudgetSelect plan sorts per bucket, not globally") {
+    // the row-bearing window must be hash-partitioned on the bucket;
+    // the only single-partition window allowed is the ≤1001-row
+    // histogram (its input is an Aggregate, not the row stream)
+    val df = (1 to 100).map(i => (i.toLong, i / 100.0, 1L))
+      .toDF("id", "score", "ntok")
+    val plan = Selection.tokenBudgetSelect(df, "id", "score", "ntok", 50L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(_tb_bucket"),
+      s"expected bucket-partitioned window exchange in:\n$plan")
+  }
 }
