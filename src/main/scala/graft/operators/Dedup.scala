@@ -339,6 +339,27 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** The WRITE half of the resumable-dedup lifecycle: absorb a
+    * processed delta's frames into the persisted store. Per-doc frames
+    * are independent, so the merge is a keyed upsert — delta rows
+    * REPLACE any prior rows for the same id (re-ingest / repair of an
+    * updated document), everything else unions through untouched.
+    * Works for both persisted frames ([[bandedSignatures]] and
+    * [[shingleSets]]) since both are keyed by `idCol`.
+    *
+    * Scale posture: the anti-join probe side is the delta's distinct
+    * ids — broadcast, so absorbing a day's delta is ONE scan of the
+    * store with no shuffle of it; rewrite the merged store bucketed by
+    * (band, bsig) so the next day's probe stays shuffle-free. The
+    * identity that keeps the lifecycle sound (spec-asserted, including
+    * re-ingest): mergeSignatureStore(frames(corpus), frames(delta)) ==
+    * frames(corpus ∪ delta) row-for-row. */
+  def mergeSignatureStore(store: DataFrame, delta: DataFrame,
+                          idCol: String): DataFrame =
+    store.join(broadcast(delta.select(col(idCol)).distinct()),
+        Seq(idCol), "left_anti")
+      .unionByName(delta)
+
   /** SimHash fingerprint per document over shingle/token ids: each of
     * `bits` bit-positions votes ±1 per element; the sign vector packs
     * into one long. One explode + posexplode-free bit loop + one

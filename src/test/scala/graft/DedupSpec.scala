@@ -233,6 +233,38 @@ class DedupSpec extends AnyFunSuite {
     graft.core.Caches.releaseAll()
   }
 
+  test("mergeSignatureStore upsert == recomputing frames over corpus+delta") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely different content about large scale data systems")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (2L, "doc two was re-ingested with entirely rewritten text"), // upsert
+      (10L, "a brand new delta document arriving on day two")
+    ).toDF("doc_id", "text")
+    val merged = corpus.where($"doc_id" =!= 2L).unionByName(delta)
+    // both persisted frames obey the identity, including the re-ingest
+    val gotB = Dedup.mergeSignatureStore(
+      Dedup.bandedSignatures(corpus, "doc_id", "text"),
+      Dedup.bandedSignatures(delta, "doc_id", "text"), "doc_id")
+      .as[(Long, Int, String)].collect().toSet
+    val wantB = Dedup.bandedSignatures(merged, "doc_id", "text")
+      .as[(Long, Int, String)].collect().toSet
+    assert(gotB == wantB)
+    val gotS = Dedup.mergeSignatureStore(
+      Dedup.shingleSets(corpus, "doc_id", "text"),
+      Dedup.shingleSets(delta, "doc_id", "text"), "doc_id")
+      .as[(Long, Seq[String])].collect().map { case (i, s) => (i, s.toSet) }.toSet
+    val wantS = Dedup.shingleSets(merged, "doc_id", "text")
+      .as[(Long, Seq[String])].collect().map { case (i, s) => (i, s.toSet) }.toSet
+    assert(gotS == wantS)
+    // stale band rows for the re-ingested doc must be gone
+    val day1Doc2 = Dedup.bandedSignatures(corpus, "doc_id", "text")
+      .where($"doc_id" === 2L).as[(Long, Int, String)].collect().toSet
+    assert(gotB.intersect(day1Doc2).isEmpty, "stale pre-upsert rows survived")
+  }
+
   test("nearDupClusters groups the planted near-dups around the smallest keeper") {
     val docs = Seq(
       (10L, "the quick brown fox jumps over the lazy dog today"),
