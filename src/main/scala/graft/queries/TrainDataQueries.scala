@@ -419,7 +419,73 @@ object TrainDataQueries extends QueryModule {
         element_at(col("approx"), 2).as("p95"))
       .orderBy(col("l_returnflag"))
 
+  /** Mixture resampling TO A TARGET distribution — the step real
+    * pipelines run before q_mixture_resample's mechanism: given target
+    * shares per mixture class (here 40/30/20/10 over source id % 4),
+    * DERIVE each class's keep rate instead of being handed one.
+    * N* = min_c(count_c / t_c) is the largest corpus obeying the
+    * targets exactly with no class oversampled; rate_c is
+    * t_c · N* / count_c (the binding class keeps everything). The
+    * whole derivation is
+    * relational: one grouped count onto ≤4 rows, a 1-row min, rates
+    * broadcast back onto the corpus for the usual local hash-Bernoulli
+    * keep — no collect, no sort, one corpus-wide shuffle (the count).
+    * rate_e6 = floor(rate·1e6): both engines floor identical IEEE
+    * doubles (mirrored op order), immune to round()'s cross-engine
+    * half-boundary divergence. */
+  private def qMixtureTarget(implicit s: SparkSession, dir: String): DataFrame = {
+    val cls = (substring(col("source"), 4, 10).cast("int") % 4).as("mix_class")
+    val d2 = docs.select(cls, col("doc_id"))
+    val tgt = element_at(array(lit(0.4), lit(0.3), lit(0.2), lit(0.1)),
+      col("mix_class") + 1)
+    val counts = d2.groupBy(col("mix_class"))
+      .agg(count(lit(1)).as("n_cls")).withColumn("t", tgt)
+    val nstar = counts.agg(
+      min(col("n_cls").cast("double") / col("t")).as("nstar"))
+    val rates = counts.crossJoin(broadcast(nstar))
+      .withColumn("rate",
+        least(lit(1.0), col("t") * col("nstar") / col("n_cls").cast("double")))
+    val u = conv(substring(
+        md5(concat(lit("77:"), col("doc_id").cast("string")).cast("binary")),
+        1, 15), 16, 10).cast("long").cast("double") / lit(1152921504606846976.0)
+    d2.join(broadcast(rates.select(col("mix_class"), col("rate"))), "mix_class")
+      .select(col("mix_class"), (u < col("rate")).cast("int").as("kept"),
+        col("rate"))
+      .groupBy(col("mix_class"))
+      .agg(count(lit(1)).as("n_total"), sum(col("kept")).as("n_kept"),
+        floor(max(col("rate")) * lit(1e6)).cast("long").as("rate_e6"))
+      .orderBy(col("mix_class"))
+  }
+
+  private val qMixtureTargetSql = {
+    val h15 = graft.operators.Scorers.ProxyBackend
+      .h15Sql(77L, "CAST(doc_id AS VARCHAR)")
+    s"""WITH cls AS (
+       |  SELECT CAST(substr(source, 4) AS INTEGER) % 4 AS mix_class, doc_id
+       |  FROM documents),
+       |counts AS (
+       |  SELECT mix_class, COUNT(*) AS n_cls,
+       |    CAST(CASE mix_class WHEN 0 THEN 0.4 WHEN 1 THEN 0.3
+       |         WHEN 2 THEN 0.2 ELSE 0.1 END AS DOUBLE) AS t
+       |  FROM cls GROUP BY mix_class),
+       |ns AS (SELECT MIN(CAST(n_cls AS DOUBLE) / t) AS nstar FROM counts),
+       |rates AS (
+       |  SELECT mix_class,
+       |    least(1.0, t * nstar / CAST(n_cls AS DOUBLE)) AS rate
+       |  FROM counts, ns),
+       |kept AS (
+       |  SELECT c.mix_class, r.rate,
+       |    CASE WHEN CAST($h15 AS DOUBLE) / 1152921504606846976.0 < r.rate
+       |      THEN 1 ELSE 0 END AS kept
+       |  FROM cls c JOIN rates r USING (mix_class))
+       |SELECT mix_class, COUNT(*) AS n_total,
+       |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+       |  CAST(FLOOR(MAX(rate) * 1000000) AS BIGINT) AS rate_e6
+       |FROM kept GROUP BY mix_class ORDER BY mix_class""".stripMargin
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q_mixture_target", (s, d) => qMixtureTarget(s, d), Some(qMixtureTargetSql)),
     Q("q_chunk_documents", (s, d) => qChunkDocuments(s, d), Some(qChunkDocumentsSql)),
     Q("q_pack_sequences", (s, d) => qPackSequences(s, d), Some(qPackSequencesSql)),
     Q("q_decontaminate", (s, d) => qDecontaminate(s, d), Some(qDecontaminateSql)),
