@@ -265,6 +265,19 @@ object ScaleSmoke {
           .selectExpr("start_tok div 512 AS first_bin")
           .groupBy(col("first_bin")).count().count()
       }
+      // Token-budget selection: the sort-free greedy prefix (bucket
+      // histogram + theta-join prefix + per-bucket windows). With a
+      // FIXED absolute budget the selected set shrinks relative to the
+      // corpus as it grows; cost must stay ~linear in corpus size (the
+      // scoring scan), never the naive global-window sort shape.
+      time("token_budget") {
+        val scored = docs.select(col("doc_id"),
+          graft.functions.TextFns.qualityScore(col("text")).as("quality"),
+          graft.functions.TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+        graft.operators.Selection
+          .tokenBudgetSelect(scored, "doc_id", "quality", "n_tokens", 8000L)
+          .count()
+      }
       docs.unpersist()
     }
     spark.stop()
