@@ -168,6 +168,52 @@ object Selection {
     * cross-engine-deterministic if oracle-gated (e.g.
     * [[graft.functions.TextFns.qualityScore]], rounded to 6 dp).
     */
+  /** Per-stratum deterministic fraction sample WITHOUT a per-stratum
+    * global window. The classic form — `row_number() OVER (PARTITION
+    * BY stratum ORDER BY md5(id))  ≤ ceil(cnt·f)` — funnels the whole
+    * corpus through one reducer per stratum, and strata are few (a
+    * handful of languages) while rows are billions: the hot-partition
+    * shape this engine avoids.
+    *
+    * Same decomposition as [[tokenBudgetSelect]], with the md5 hash's
+    * own 2-hex-char PREFIX as the bucket (a string-prefix bucket
+    * refines the (md5, id) order exactly, so bucket order + intra
+    * order == the stratum's total order):
+    *   1. (stratum, bucket) counts — one shuffled agg onto
+    *      strata×256 groups;
+    *   2. per-stratum exclusive prefix over buckets via a broadcast
+    *      theta self-join (same stratum, earlier bucket), and
+    *      per-stratum totals for the ceil(cnt·fraction) quota;
+    *   3. row_number windows partitioned by (stratum, BUCKET) —
+    *      strata×256-way parallel instead of strata-way hot.
+    * Global rank = prefix + intra rank, selected iff ≤ the stratum
+    * quota — row-identical to the single-window form (the oracle
+    * replays THAT), which is exactly what the hash gate proves. */
+  def stratifiedFractionSample(df: DataFrame, stratumCol: String,
+                               idCol: String, fraction: Double): DataFrame = {
+    val rows = df
+      .withColumn("_ss_key", md5(col(idCol).cast("string")))
+      .withColumn("_ss_bucket", substring(col("_ss_key"), 1, 2))
+    val hist = rows.groupBy(col(stratumCol), col("_ss_bucket"))
+      .agg(count(lit(1)).as("_ss_bn"))
+    val totals = hist.groupBy(col(stratumCol))
+      .agg(sum(col("_ss_bn")).as("_ss_cnt"))
+    val earlier = hist.select(col(stratumCol).as("_ss_es"),
+      col("_ss_bucket").as("_ss_eb"), col("_ss_bn").as("_ss_en"))
+    val prefix = hist.join(broadcast(earlier),
+        col("_ss_es") === col(stratumCol) && col("_ss_eb") < col("_ss_bucket"),
+        "left")
+      .groupBy(col(stratumCol), col("_ss_bucket"))
+      .agg(coalesce(sum(col("_ss_en")), lit(0L)).as("_ss_prefix"))
+    val wIntra = Window.partitionBy(col(stratumCol), col("_ss_bucket"))
+      .orderBy(col("_ss_key"), col(idCol))
+    rows.join(broadcast(prefix), Seq(stratumCol, "_ss_bucket"))
+      .join(broadcast(totals), stratumCol)
+      .withColumn("_ss_rn", col("_ss_prefix") + row_number().over(wIntra))
+      .where(col("_ss_rn") <= ceil(col("_ss_cnt") * lit(fraction)))
+      .drop("_ss_key", "_ss_bucket", "_ss_prefix", "_ss_cnt", "_ss_rn")
+  }
+
   def tokenBudgetSelect(df: DataFrame, idCol: String, scoreCol: String,
                         tokenCol: String, budget: Long): DataFrame = {
     val bucket = floor(col(scoreCol) * lit(1000)).cast("long")

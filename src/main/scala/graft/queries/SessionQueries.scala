@@ -169,17 +169,17 @@ object SessionQueries extends QueryModule {
     * deterministic via the md5 shuffle order ([[TextFns]] docs; same
     * hex both engines). One window per stratum — at scale the strata
     * are independent partitions, no global sort. */
-  private def qSampleStratified(implicit s: SparkSession, dir: String): DataFrame = {
-    val byLang = Window.partitionBy(col("lang"))
-    val w = byLang.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    Tables.documents(s, dir)
-      .select(col("lang"), col("doc_id"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(byLang))
-      .where(col("rn") <= ceil(col("cnt") * 0.1))
+  /** 10% per language, hash-ordered — since r7 via the bucket-
+    * decomposed [[graft.operators.Selection.stratifiedFractionSample]]
+    * (strata×256-way parallel windows instead of one hot reducer per
+    * language); the oracle still replays the single-window form, and
+    * the unchanged hash gate is the refactor's row-identity proof. */
+  private def qSampleStratified(implicit s: SparkSession, dir: String): DataFrame =
+    graft.operators.Selection.stratifiedFractionSample(
+        Tables.documents(s, dir).select(col("lang"), col("doc_id")),
+        "lang", "doc_id", 0.1)
       .select(col("lang"), col("doc_id"))
       .orderBy(col("lang"), col("doc_id"))
-  }
 
   private val qSampleStratifiedSql =
     """SELECT lang, doc_id FROM (

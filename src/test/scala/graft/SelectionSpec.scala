@@ -102,6 +102,31 @@ class SelectionSpec extends AnyFunSuite {
     }
   }
 
+  test("stratifiedFractionSample equals the naive per-stratum window") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 500).map(i => (s"L${i % 3}", i.toLong)).toDF("lang", "id")
+    for (f <- Seq(0.0, 0.07, 0.1, 0.5, 1.0)) {
+      val got = Selection.stratifiedFractionSample(df, "lang", "id", f)
+        .select($"lang", $"id").as[(String, Long)].collect().toSet
+      val byLang = Window.partitionBy($"lang")
+      val w = byLang.orderBy(md5($"id".cast("string")), $"id")
+      val want = df.withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(byLang))
+        .where($"rn" <= ceil($"cnt" * f))
+        .select($"lang", $"id").as[(String, Long)].collect().toSet
+      assert(got == want, s"fraction=$f")
+    }
+  }
+
+  test("stratifiedFractionSample plan windows per (stratum, bucket)") {
+    val df = (1 to 100).map(i => (s"L${i % 2}", i.toLong)).toDF("lang", "id")
+    val plan = Selection.stratifiedFractionSample(df, "lang", "id", 0.1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(lang") &&
+      plan.contains("_ss_bucket"),
+      s"expected (stratum, bucket)-partitioned window exchange in:\n$plan")
+  }
+
   test("tokenBudgetSelect plan sorts per bucket, not globally") {
     // the row-bearing window must be hash-partitioned on the bucket;
     // the only single-partition window allowed is the ≤1001-row
