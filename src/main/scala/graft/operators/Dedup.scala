@@ -228,6 +228,21 @@ object Dedup {
     * (the ScaleSmoke evidence surface). */
   def connectedComponentsWithIters(pairs: DataFrame, idA: String, idB: String,
                                    maxIter: Int = 50): (DataFrame, Int) = {
+    // The smallest-id label algebra needs numeric ids; a string doc key
+    // under cast("long") would become NULL silently and corrupt the
+    // edge list. Fail at plan time instead (hash a string key to a
+    // synthetic long id upstream if needed).
+    Seq(idA, idB).foreach { c =>
+      import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+      val ok = pairs.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _                                             => false
+      }
+      require(ok,
+        s"connectedComponents: id column '$c' must be an integral type, " +
+          s"got ${pairs.schema(c).dataType.simpleString} — non-numeric ids would " +
+          "silently become NULL under cast(long) and corrupt the edge list")
+    }
     val edges = pairs
       .select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
       .union(pairs

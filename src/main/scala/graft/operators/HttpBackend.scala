@@ -210,7 +210,7 @@ object MiniJson {
     require(from >= 0, s"missing string-array field '$key' in: ${json.take(120)}")
     val out = Seq.newBuilder[String]
     var i = from + tag.length
-    while (json.charAt(i) != ']') {
+    while (i < json.length && json.charAt(i) != ']') {
       json.charAt(i) match {
         case '"' =>
           val (v, next) = parseStringAt(json, i)
@@ -219,6 +219,7 @@ object MiniJson {
         case _ => i += 1 // comma / whitespace between elements
       }
     }
+    require(i < json.length, s"unterminated string-array '$key'")
     out.result()
   }
 

@@ -134,40 +134,6 @@ object Selection {
       case other => throw new IllegalArgumentException(s"unknown strategy $other")
     }
 
-  /** Greedy token-budget selection — "the best `budget` tokens of the
-    * corpus": take rows in (score DESC, id ASC) order while the
-    * running token total stays within `budget`. This is the selection
-    * every training-data pipeline runs right before a training job
-    * ("fill 500 B tokens from the highest-quality documents").
-    *
-    * Scale design — NO global sort. A naive implementation is one
-    * `SUM(tokens) OVER (ORDER BY score DESC, id)` — a total order,
-    * i.e. every row through one reducer. Instead the greedy prefix is
-    * decomposed by score bucket (`floor(score·1000)`, monotone in
-    * score, so equal scores share a bucket and higher buckets strictly
-    * precede lower ones in greedy order):
-    *   1. per-bucket token totals — one shuffled aggregate onto ≤1001
-    *      groups;
-    *   2. EXCLUSIVE running total over the bucket histogram — a
-    *      broadcast theta self-join (`higher.bucket > bucket`, ≤1001²
-    *      pairs) + re-aggregate. Deliberately NOT a window: the
-    *      engine-wide invariant "no empty-partition ordered window in
-    *      any registered plan" (PlanShapeSpec sweep) stays absolute,
-    *      with no bounded-input exception to reason about;
-    *   3. intra-bucket refinement window partitioned BY BUCKET
-    *      (ordered score DESC, id ASC): each partition sorts only its
-    *      own bucket's rows.
-    * A row is selected iff bucketPrefix + intraCum ≤ budget, which
-    * equals the global greedy prefix EXACTLY — so a plain global
-    * window replays it for the oracle, while the plan stays parallel
-    * at any corpus size (the only global structure is the 1001-row
-    * histogram).
-    *
-    * Returns the selected rows with `cum_tokens` (the row's global
-    * greedy running total, ≤ budget). `scoreCol` must be
-    * cross-engine-deterministic if oracle-gated (e.g.
-    * [[graft.functions.TextFns.qualityScore]], rounded to 6 dp).
-    */
   /** Per-stratum deterministic fraction sample WITHOUT a per-stratum
     * global window. The classic form — `row_number() OVER (PARTITION
     * BY stratum ORDER BY md5(id))  ≤ ceil(cnt·f)` — funnels the whole
@@ -214,9 +180,57 @@ object Selection {
       .drop("_ss_key", "_ss_bucket", "_ss_prefix", "_ss_cnt", "_ss_rn")
   }
 
+  /** Greedy token-budget selection — "the best `budget` tokens of the
+    * corpus": take rows in (score DESC, id ASC) order while the
+    * running token total stays within `budget`. This is the selection
+    * every training-data pipeline runs right before a training job
+    * ("fill 500 B tokens from the highest-quality documents").
+    *
+    * Scale design — NO global sort. A naive implementation is one
+    * `SUM(tokens) OVER (ORDER BY score DESC, id)` — a total order,
+    * i.e. every row through one reducer. Instead the greedy prefix is
+    * decomposed by score bucket (`floor(score·1000)`, monotone in
+    * score, so equal scores share a bucket and higher buckets strictly
+    * precede lower ones in greedy order):
+    *   1. per-bucket token totals — one shuffled aggregate onto ≤1001
+    *      groups;
+    *   2. EXCLUSIVE running total over the bucket histogram — a
+    *      broadcast theta self-join (`higher.bucket > bucket`, ≤1001²
+    *      pairs) + re-aggregate. Deliberately NOT a window: the
+    *      engine-wide invariant "no empty-partition ordered window in
+    *      any registered plan" (PlanShapeSpec sweep) stays absolute,
+    *      with no bounded-input exception to reason about;
+    *   3. intra-bucket refinement window partitioned BY BUCKET
+    *      (ordered score DESC, id ASC): each partition sorts only its
+    *      own bucket's rows.
+    * A row is selected iff bucketPrefix + intraCum ≤ budget, which
+    * equals the global greedy prefix EXACTLY — so a plain global
+    * window replays it for the oracle, while the plan stays parallel
+    * at any corpus size (the only global structure is the 1001-row
+    * histogram).
+    *
+    * `scoreCol` MUST be non-null and in [0,1] — the ≤1001-bucket
+    * broadcast-prefix claim depends on it (an unbounded score would
+    * silently inflate the histogram theta join, and a NULL score
+    * would silently drop the row at the prefix join). The contract is
+    * ENFORCED: a codegen'd `raise_error` guard fails the job with a
+    * descriptive message on the first offending row — no extra pass,
+    * no silent blow-up.
+    *
+    * Returns the selected rows with `cum_tokens` (the row's global
+    * greedy running total, ≤ budget). `scoreCol` must be
+    * cross-engine-deterministic if oracle-gated (e.g.
+    * [[graft.functions.TextFns.qualityScore]], rounded to 6 dp).
+    */
   def tokenBudgetSelect(df: DataFrame, idCol: String, scoreCol: String,
                         tokenCol: String, budget: Long): DataFrame = {
-    val bucket = floor(col(scoreCol) * lit(1000)).cast("long")
+    val checkedScore = when(
+      col(scoreCol).isNull || col(scoreCol) < 0.0 || col(scoreCol) > 1.0,
+      raise_error(concat(
+        lit(s"tokenBudgetSelect: score column '$scoreCol' must be non-null in [0,1], got "),
+        coalesce(col(scoreCol).cast("string"), lit("NULL")))).cast("double"))
+      .otherwise(col(scoreCol))
+    val bucket = floor(checkedScore * lit(1000)).cast("long")
     val rows = df.withColumn("_tb_bucket", bucket)
     val hist = rows.groupBy(col("_tb_bucket"))
       .agg(sum(col(tokenCol).cast("long")).as("_tb_btok"))

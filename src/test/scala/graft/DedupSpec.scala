@@ -181,6 +181,16 @@ class DedupSpec extends AnyFunSuite {
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 8L, 9L -> 8L))
   }
 
+  test("connectedComponents rejects non-integral id columns at plan time") {
+    // string keys under cast(long) would become NULL silently and
+    // corrupt the edge list — the guard fails fast instead
+    val strPairs = Seq(("a", "b")).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(strPairs, "id_a", "id_b")
+    }
+    assert(e.getMessage.contains("must be an integral type"), e.getMessage)
+  }
+
   test("connectedComponents: rounds track the chain (log-bounded), not the node count") {
     // a path graph 0–1–2–…–9: the worst shape — the min label must
     // travel from one end; path halving contracts it in O(log 9) rounds

@@ -189,6 +189,19 @@ class HttpBackendSpec extends AnyFunSuite {
       MiniJson.rawObj("items" -> MiniJson.strArr(Nil)), "items").isEmpty)
   }
 
+  test("MiniJson fails descriptively on truncated arrays (transport corruption)") {
+    // a response cut mid-flight must surface as a protocol error, not
+    // a StringIndexOutOfBoundsException
+    val e1 = intercept[IllegalArgumentException] {
+      MiniJson.extractStringArray("""{"items":["a","b"""", "items")
+    }
+    assert(e1.getMessage.contains("unterminated string-array 'items'"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      MiniJson.extractNumberArray("""{"values":[1,2""", "values")
+    }
+    assert(e2.getMessage.contains("unterminated array 'values'"), e2.getMessage)
+  }
+
   test("MiniJson rejects non-finite numbers (invalid JSON)") {
     intercept[IllegalArgumentException] { MiniJson.num(Double.NaN) }
     intercept[IllegalArgumentException] { MiniJson.nums(Seq(1.0, Double.PositiveInfinity)) }

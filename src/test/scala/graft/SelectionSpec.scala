@@ -102,6 +102,26 @@ class SelectionSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenBudgetSelect fails loudly on null or out-of-[0,1] scores") {
+    def msgChain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val outOfRange = Seq((1L, 0.5, 1L), (2L, 1.5, 1L)).toDF("id", "score", "ntok")
+    val e1 = intercept[Exception] {
+      Selection.tokenBudgetSelect(outOfRange, "id", "score", "ntok", 10L).collect()
+    }
+    assert(msgChain(e1).contains("must be non-null in [0,1]"), msgChain(e1))
+    val withNull = Seq((1L, Some(0.5), 1L), (2L, None: Option[Double], 1L))
+      .toDF("id", "score", "ntok")
+    val e2 = intercept[Exception] {
+      Selection.tokenBudgetSelect(withNull, "id", "score", "ntok", 10L).collect()
+    }
+    assert(msgChain(e2).contains("must be non-null in [0,1]"), msgChain(e2))
+    // boundary values 0.0 and 1.0 are legal, not guard-tripped
+    val ok = Seq((1L, 0.0, 1L), (2L, 1.0, 1L)).toDF("id", "score", "ntok")
+    assert(Selection.tokenBudgetSelect(ok, "id", "score", "ntok", 10L).count() == 2)
+  }
+
   test("stratifiedFractionSample equals the naive per-stratum window") {
     import org.apache.spark.sql.expressions.Window
     val df = (1 to 500).map(i => (s"L${i % 3}", i.toLong)).toDF("lang", "id")
