@@ -202,6 +202,40 @@ object ScaleSmoke {
           c
         }
       }
+      // PERSISTED store probe vs recompute: same delta, same SMJ probe
+      // shape (broadcast-free — the big-delta planner), but one path
+      // reads the corpus's bucketed ON-DISK signature store while the
+      // other re-shingles + re-signs + re-shuffles the corpus from raw
+      // text. The store path's cost must stay delta-shaped as the
+      // corpus grows; the recompute path pays the corpus every day.
+      locally {
+        val tag = s"smoke_$n"
+        graft.operators.Dedup.SignatureStore.writeOnce(
+          spark, docs.select(col("doc_id"), col("text")),
+          "doc_id", "text", tag, buckets = 32) // outside the timer: persisted by a previous run
+        val delta = docs.select(col("doc_id"), col("text"))
+          .where(col("doc_id") % 37 === 3).limit(250)
+          .withColumn("doc_id", col("doc_id") + 900000000L)
+          .localCheckpoint()
+        time("incremental_store_probe") {
+          val nb = graft.operators.Dedup.bandedSignatures(delta, "doc_id", "text")
+          val c = graft.operators.Dedup.probeSignatureStore(
+            graft.operators.Dedup.SignatureStore.banded(spark, tag),
+            nb, "doc_id").count()
+          graft.core.Caches.releaseAll()
+          c
+        }
+        time("incremental_recompute_probe") {
+          val nb = graft.operators.Dedup.bandedSignatures(delta, "doc_id", "text")
+          val corpusBanded = graft.operators.Dedup
+            .bandedSignatures(docs.select(col("doc_id"), col("text")),
+              "doc_id", "text")
+          val c = graft.operators.Dedup.probeSignatureStore(
+            corpusBanded, nb, "doc_id").count()
+          graft.core.Caches.releaseAll()
+          c
+        }
+      }
       // Streaming STATE GROWTH: a windowed aggregation over a stream
       // that keeps arriving (one file per micro-batch, event time
       // advancing an hour per batch, 1000 keys/hour). Without

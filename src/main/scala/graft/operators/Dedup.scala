@@ -375,6 +375,115 @@ object Dedup {
         Seq(idCol), "left_anti")
       .unionByName(delta)
 
+  /** The PERSISTED half of the resumable-dedup lifecycle: the banded
+    * signatures and shingle sets written as real bucketed on-disk
+    * tables, so the daily delta probe joins the corpus side with ZERO
+    * Exchange on the store (the layout [[bandedSignatures]]'s scaladoc
+    * promises, made concrete).
+    *
+    * Layout: `banded` bucketed by (band, bsig) — the probe's join key —
+    * and `sets` bucketed by the id — the verification join's key. A
+    * bucketed scan reports `HashPartitioning(keys, buckets)`, so a
+    * sort-merge probe shuffles ONLY the delta side (delta-sized
+    * exchange; the 100 TB store is read in place, and bucket pruning
+    * can shrink even that read). The in-memory variant
+    * ([[incrementalNearDupPairs]]) broadcasts a tiny delta instead;
+    * this path is for deltas too big to broadcast — both leave the
+    * store unshuffled.
+    *
+    * Catalog notes: tables are EXTERNAL (explicit `path`) under a
+    * per-user scratch dir, so the data survives JVMs while the
+    * in-memory catalog entry is re-registered per session; re-writes
+    * use overwrite. */
+  object SignatureStore {
+    /** Per-user scratch root (not a fixed world-writable path);
+      * override with GRAFT_FIXTURE_DIR. */
+    def root: String = sys.env.getOrElse("GRAFT_FIXTURE_DIR",
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        "graft_fixtures_" + sys.props.getOrElse("user.name", "anon")).toString)
+
+    def bandedTable(tag: String): String = s"graft_sig_banded_$tag"
+    def setsTable(tag: String): String   = s"graft_sig_sets_$tag"
+
+    /** Write the corpus's two store frames as bucketed external
+      * tables. One pass over the corpus; the banded frame is sorted
+      * within buckets by the join key so the probe's store side needs
+      * no sort either when Spark can exploit it. */
+    def write(spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
+              idCol: String, textCol: String, tag: String,
+              n: Int = 3, k: Int = 12, bands: Int = 4,
+              buckets: Int = 8): Unit = {
+      val base = java.nio.file.Paths.get(root, s"sig_store_$tag")
+      java.nio.file.Files.createDirectories(base)
+      spark.sql(s"DROP TABLE IF EXISTS ${bandedTable(tag)}")
+      spark.sql(s"DROP TABLE IF EXISTS ${setsTable(tag)}")
+      bandedSignatures(corpus, idCol, textCol, n, k, bands)
+        .write.mode("overwrite")
+        .option("path", base.resolve("banded").toString)
+        .bucketBy(buckets, "band", "bsig").sortBy("band", "bsig")
+        .saveAsTable(bandedTable(tag))
+      shingleSets(corpus, idCol, textCol, n)
+        .write.mode("overwrite")
+        .option("path", base.resolve("sets").toString)
+        .bucketBy(buckets, idCol).sortBy(idCol)
+        .saveAsTable(setsTable(tag))
+    }
+
+    // tags already persisted by THIS JVM — lets a bench iterate on the
+    // probe without paying the corpus write each call (the lifecycle's
+    // point: persist once, probe daily)
+    private val written = scala.collection.mutable.Set[String]()
+    def writeOnce(spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
+                  idCol: String, textCol: String, tag: String,
+                  n: Int = 3, k: Int = 12, bands: Int = 4,
+                  buckets: Int = 8): Unit = synchronized {
+      if (!written.contains(tag)) {
+        write(spark, corpus, idCol, textCol, tag, n, k, bands, buckets)
+        written += tag
+      }
+    }
+
+    def banded(spark: org.apache.spark.sql.SparkSession, tag: String): DataFrame =
+      spark.table(bandedTable(tag))
+    def sets(spark: org.apache.spark.sql.SparkSession, tag: String): DataFrame =
+      spark.table(setsTable(tag))
+  }
+
+  /** Store-side bucket probe: candidate (id_a, id_b) pairs between a
+    * delta's banded signatures and the PERSISTED store. The `merge`
+    * hint pins the sort-merge shape the bucketed layout exists for —
+    * the store scan's HashPartitioning(band, bsig) satisfies the join
+    * requirement directly, so the only Exchange in the probe is the
+    * delta side (plan-asserted in DedupSpec). */
+  def probeSignatureStore(storeBanded: DataFrame, newBanded: DataFrame,
+                          idCol: String): DataFrame =
+    storeBanded.alias("y")
+      .join(newBanded.alias("x").hint("merge"), Seq("band", "bsig"))
+      .where(col(s"x.$idCol") =!= col(s"y.$idCol"))
+      .select(least(col(s"x.$idCol"), col(s"y.$idCol")).as("id_a"),
+        greatest(col(s"x.$idCol"), col(s"y.$idCol")).as("id_b"))
+
+  /** [[incrementalNearDupPairs]] against the PERSISTED store: same
+    * output contract (full run's pairs restricted to delta-touching
+    * pairs), but the corpus side is the on-disk bucketed table probed
+    * shuffle-free via [[probeSignatureStore]] — the daily-ingest shape
+    * when the delta itself is too large to broadcast. */
+  def incrementalNearDupPairsFromStore(newBanded: DataFrame,
+                                       storeBanded: DataFrame,
+                                       allSets: DataFrame, idCol: String,
+                                       threshold: Double = 0.5): DataFrame = {
+    val nb = graft.core.Caches.track(newBanded) // referenced twice
+    val cross = probeSignatureStore(storeBanded, nb, idCol)
+    val internal = nb.alias("x").join(nb.alias("y"), Seq("band", "bsig"))
+      .where(col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+    val cands = cross.union(internal).distinct()
+    jaccardForPairs(cands, allSets, idCol, "shset")
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** SimHash fingerprint per document over shingle/token ids: each of
     * `bits` bit-positions votes ±1 per element; the sign vector packs
     * into one long. One explode + posexplode-free bit loop + one

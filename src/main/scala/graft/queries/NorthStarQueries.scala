@@ -593,6 +593,32 @@ object NorthStarQueries extends QueryModule {
        |WHERE id_a % 10 = 0 OR id_b % 10 = 0
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** The PERSISTED-store lifecycle gated end to end: the corpus's
+    * banded signatures and shingle sets are written as REAL bucketed
+    * on-disk tables ([[Dedup.SignatureStore]], bucketed by the probe's
+    * join keys), read back from disk, and probed by the delta through
+    * the sort-merge shape the layout exists for — zero Exchange on the
+    * store side (plan-asserted in DedupSpec). Same restriction-identity
+    * oracle as [[qDedupIncremental]]: splitting persisted-corpus vs
+    * delta cannot change any pair. The store is written once per JVM
+    * per sf dir (the lifecycle's point — persist once, probe daily);
+    * the gated read path always comes FROM DISK. */
+  private def qDedupIncrementalStore(implicit s: SparkSession, dir: String): DataFrame = {
+    val all = docs.select(col("doc_id"), col("text"))
+    val delta = all.where(col("doc_id") % 10 === 0)
+    val corpus = all.where(col("doc_id") % 10 =!= 0)
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    Dedup.SignatureStore.writeOnce(s, corpus, "doc_id", "text", tag,
+      n = 3, k = MhK, bands = MhBands)
+    val newBanded = Dedup.bandedSignatures(delta, "doc_id", "text",
+      n = 3, k = MhK, bands = MhBands)
+    val allSets = Dedup.SignatureStore.sets(s, tag)
+      .unionByName(Dedup.shingleSets(delta, "doc_id", "text", n = 3))
+    Dedup.incrementalNearDupPairsFromStore(newBanded,
+        Dedup.SignatureStore.banded(s, tag), allSets, "doc_id")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ------------------------------------------- full curation pipeline
   /** The whole "curate a corpus" flow in ONE query — what a training-
     * data pipeline actually runs end to end: exact dedup (smallest-id
@@ -705,6 +731,7 @@ object NorthStarQueries extends QueryModule {
     Q("q_dedup_minhash_scalable", (s, d) => qDedupMinhashScalable(s, d), Some(qDedupMinhashScalableSql)),
     Q("q_dedup_clusters", (s, d) => qDedupClusters(s, d), Some(qDedupClustersSql)),
     Q("q_dedup_incremental", (s, d) => qDedupIncremental(s, d), Some(qDedupIncrementalSql)),
+    Q("q_dedup_incremental_store", (s, d) => qDedupIncrementalStore(s, d), Some(qDedupIncrementalSql)),
     Q("q_embed_cosine_topk", (s, d) => qCosineTopK(s, d), Some(qCosineTopKSql)),
     Q("q_embed_ann_lsh", (s, d) => qAnnLsh(s, d), Some(qAnnLshSql)),
     Q("q_embed_ivf", (s, d) => qIvfTopK(s, d), Some(qIvfTopKSql)),

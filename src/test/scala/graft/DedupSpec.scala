@@ -275,6 +275,62 @@ class DedupSpec extends AnyFunSuite {
     assert(gotB.intersect(day1Doc2).isEmpty, "stale pre-upsert rows survived")
   }
 
+  test("persisted signature store: on-disk probe matches in-memory and plans zero store-side Exchange") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely different content about large scale data systems"),
+      (10L, "the quick brown fox jumps over the lazy dog this morning"),
+      (20L, "totally novel delta document with brand new words"),
+      (30L, "totally novel delta document with brand new words indeed")
+    ).toDF("doc_id", "text")
+    val delta = docs.where($"doc_id" >= 10L)
+    val corpus = docs.where($"doc_id" < 10L)
+    Dedup.SignatureStore.write(spark, corpus, "doc_id", "text", "spec",
+      buckets = 4)
+    val nb = Dedup.bandedSignatures(delta, "doc_id", "text")
+    val allSets = Dedup.SignatureStore.sets(spark, "spec")
+      .unionByName(Dedup.shingleSets(delta, "doc_id", "text"))
+    val got = Dedup.incrementalNearDupPairsFromStore(nb,
+        Dedup.SignatureStore.banded(spark, "spec"), allSets, "doc_id",
+        threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    val want = Dedup.incrementalNearDupPairs(
+        Dedup.bandedSignatures(delta, "doc_id", "text"),
+        Dedup.bandedSignatures(corpus, "doc_id", "text"),
+        Dedup.shingleSets(docs, "doc_id", "text"), "doc_id", threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == want, s"store-backed $got != in-memory $want")
+    assert(got.nonEmpty)
+    // the probe itself: sort-merge against the bucketed store — the
+    // ONLY exchange is the delta side (store read in place). Broadcast
+    // disabled so the 100 TB (big-delta) planner shape is what's
+    // asserted, as in BucketingSpec.
+    val thresholds = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = thresholds.map(k => k -> spark.conf.getOption(k))
+    thresholds.foreach(spark.conf.set(_, "-1"))
+    val plan = try {
+      val probe = Dedup.probeSignatureStore(
+        Dedup.SignatureStore.banded(spark, "spec"), nb, "doc_id")
+      probe.collect() // AQE: final plan only after execution
+      probe.queryExecution.executedPlan.toString
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+    assert(plan.contains("SortMergeJoin"), plan.take(1200))
+    assert(plan.contains("Bucketed: true"), s"store scan not bucketed:\n$plan")
+    // count exchanges in the JOIN region only — the text below the
+    // cache boundary is the delta frame's own (cached) build plan,
+    // not part of the probe
+    val joinRegion = plan.split("InMemoryRelation").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(joinRegion).length
+    assert(exchanges == 1,
+      s"expected exactly the delta-side exchange, found $exchanges:\n$joinRegion")
+    graft.core.Caches.releaseAll()
+  }
+
   test("nearDupClusters groups the planted near-dups around the smallest keeper") {
     val docs = Seq(
       (10L, "the quick brown fox jumps over the lazy dog today"),
