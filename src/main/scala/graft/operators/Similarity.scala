@@ -168,6 +168,43 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
   }
 
+  /** Embedding-space near-dup PAIRS via multi-table hyperplane-LSH
+    * bucket blocking + exact-cosine verification — the scale sibling
+    * of the brute-force all-pairs baseline (q_dedup_embed_cosine),
+    * exactly as [[Dedup.nearDupPairs]]'s banded LSH is for text.
+    *
+    * Scale posture: candidates come from a per-(table, bucket)
+    * self-join — pairs ≈ n²/2^planes per table instead of n²/2 — and
+    * only candidates pay the exact cosine; the verification joins are
+    * id-keyed lookups. With `planes` sized to the corpus (2^planes
+    * buckets ≫ avg bucket occupancy) the blocked join stays linear-ish
+    * while a genuine near-dup pair (cosine ≥ ~0.9, angle ≤ ~26°)
+    * collides in at least one of `tables` tables with probability
+    * 1 − (1 − (1−θ/π)^planes)^tables ≈ 0.98 at 8×12 — the recall spec
+    * plants such pairs and measures both recall and the scan
+    * fraction. Buckets are the deterministic arithmetic hyperplanes
+    * ([[hyperplaneBucket]]), so DuckDB replays them digit-for-digit
+    * for the oracle gate.
+    *
+    * Returns verified (id_a < id_b, sim) for ALL candidate pairs —
+    * callers threshold or top-k as their dedup policy demands. */
+  def lshNearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
+                      planes: Int, tables: Int): DataFrame = {
+    val blocked = graft.core.Caches.track(
+      corpus.select(col(idCol),
+        posexplode(graft.plans.HyperplaneBuckets(col(embCol), planes, tables))
+          .as(Seq("tbl", "_bkt"))))
+    val cands = blocked.alias("x").join(blocked.alias("y"), Seq("tbl", "_bkt"))
+      .where(col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .distinct()
+    cands
+      .join(corpus.select(col(idCol).as("id_a"), col(embCol).as("_ea")), "id_a")
+      .join(corpus.select(col(idCol).as("id_b"), col(embCol).as("_eb")), "id_b")
+      .withColumn("sim", round(cosine(col("_ea"), col("_eb")), 6))
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
   /** Greedy k-center (farthest-point) selection — the reference's
     * KCenterSampling. One Spark action per round (the MLlib idiom):
     * track each point's distance to its nearest chosen center, pick

@@ -374,6 +374,53 @@ object EngineSurfaceQueries extends QueryModule {
       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       |ORDER BY sim DESC, id_a, id_b LIMIT 50""".stripMargin
 
+  /** The SCALE path for embedding near-dup: hyperplane-LSH pair
+    * blocking (8 planes × 12 tables — 256 buckets/table, so the
+    * blocked self-join touches ~2^-8 of all pairs per table) + exact
+    * cosine verification, top 50 by similarity — the same output
+    * surface as the brute baseline above, restricted to LSH
+    * candidates. Oracle-exact: DuckDB replays the arithmetic
+    * hyperplane buckets digit-for-digit per table, unions the
+    * candidate pairs, and verifies with the same rounded cosine.
+    * Recall-vs-brute on PLANTED near-dups is spec'd in
+    * SimilaritySpec (the fixture's near-uniform vectors have no true
+    * dups — candidate recall there is whatever the similarity
+    * distribution earns, which is the honest LSH contract). */
+  private val EmbLshPlanes = 8
+  private val EmbLshTables = 12
+  private def qDedupEmbedLsh(implicit s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.lshNearDupPairs(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", EmbLshPlanes, EmbLshTables)
+      .orderBy(col("sim").desc, col("id_a"), col("id_b"))
+      .limit(50)
+
+  private val qDedupEmbedLshSql = {
+    def bucket(t: Int) = (0 until EmbLshPlanes).map { p =>
+      val g = t * EmbLshPlanes + p
+      s"""CASE WHEN list_aggregate(list_transform(embedding,
+         |  (x, j) -> CAST(x AS DOUBLE) * ((j * ${2 * g + 3}) % 17 - 8)), 'sum') > 0
+         |  THEN ${1L << p} ELSE 0 END""".stripMargin
+    }.mkString(" + ")
+    val tableCands = (0 until EmbLshTables).map { t =>
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |FROM (SELECT vec_id, CAST(${bucket(t)} AS BIGINT) AS bkt FROM embeddings) a
+         |JOIN (SELECT vec_id, CAST(${bucket(t)} AS BIGINT) AS bkt FROM embeddings) b
+         |  ON a.bkt = b.bkt AND a.vec_id < b.vec_id""".stripMargin
+    }.mkString(" UNION ")
+    s"""WITH cands AS ($tableCands)
+       |SELECT cands.id_a, cands.id_b,
+       |  round(
+       |    list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+       |      p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum')
+       |    / (sqrt(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))
+       |       * sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))), 6) AS sim
+       |FROM cands
+       |JOIN embeddings a ON cands.id_a = a.vec_id
+       |JOIN embeddings b ON cands.id_b = b.vec_id
+       |ORDER BY sim DESC, id_a, id_b LIMIT 50""".stripMargin
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q_grouping_sets", (s, d) => qGroupingSets(s, d), Some(qGroupingSetsSql)),
     Q("q_null_semantics", (s, d) => qNullSemantics(s, d), Some(qNullSemanticsSql)),
@@ -388,5 +435,6 @@ object EngineSurfaceQueries extends QueryModule {
     Q("q_stream_sliding", (s, d) => qStreamSliding(s, d), Some(hopOracleSql)),
     Q("q_stream_dedup", (s, d) => qStreamDedup(s, d), Some(qStreamDedupSql)),
     Q("q_stream_join", (s, d) => qStreamJoin(s, d), Some(qStreamJoinSql)),
-    Q("q_dedup_embed_cosine", (s, d) => qDedupEmbedCosine(s, d), Some(qDedupEmbedCosineSql)))
+    Q("q_dedup_embed_cosine", (s, d) => qDedupEmbedCosine(s, d), Some(qDedupEmbedCosineSql)),
+    Q("q_dedup_embed_lsh", (s, d) => qDedupEmbedLsh(s, d), Some(qDedupEmbedLshSql)))
 }

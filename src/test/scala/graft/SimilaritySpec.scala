@@ -84,6 +84,52 @@ class SimilaritySpec extends AnyFunSuite {
     corpus.unpersist()
   }
 
+  test("lshNearDupPairs: planted near-dups recalled >= 0.9 at pair-scan fraction <= 0.1") {
+    // 300 near-uniform base vectors plus 40 PLANTED near-dup copies
+    // (base + small noise → cosine ≈ 0.99) — the shape embedding
+    // dedup exists for. The blocked self-join must surface ~all
+    // planted pairs while touching a small fraction of all C(n,2)
+    // pairs; the brute baseline touches every one.
+    val rnd = new scala.util.Random(11)
+    val dim = 32
+    val base = Array.fill(300)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val copies = (0 until 40).map { i =>
+      val b = base(i * 7)
+      ((1000 + i).toLong, b.map(x => x + 0.05f * rnd.nextGaussian().toFloat),
+        (i * 7).toLong)
+    }
+    val rows = base.indices.map(i => (i.toLong, base(i))) ++
+      copies.map(c => (c._1, c._2))
+    val corpus = rows.toDF("vec_id", "embedding").repartition(8).cache()
+    val (planes, tables) = (8, 12)
+    val n = rows.size
+    val verified = Similarity.lshNearDupPairs(corpus, "vec_id", "embedding",
+      planes, tables)
+    val pairs = verified.select($"id_a", $"id_b", $"sim")
+      .as[(Long, Long, Double)].collect()
+    val scanFraction = pairs.length.toDouble / (n.toLong * (n - 1) / 2)
+    assert(scanFraction <= 0.1, f"LSH touched $scanFraction%.3f of all pairs")
+    val found = pairs.collect { case (a, b, s) if s >= 0.9 => (a, b) }.toSet
+    val planted = copies.map(c => (c._3, c._1)).toSet
+    val recall = planted.count(found.contains).toDouble / planted.size
+    assert(recall >= 0.9,
+      f"planted near-dup recall $recall%.3f at scan fraction $scanFraction%.3f")
+    // verification is EXACT cosine — every reported sim matches the
+    // brute computation for that pair
+    val brute = corpus.alias("a").join(corpus.alias("b"),
+        $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
+        round(Similarity.cosine($"a.embedding", $"b.embedding"), 6).as("sim"))
+      .where($"sim" >= 0.9)
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    pairs.filter(_._3 >= 0.9).foreach { case (a, b, s) =>
+      assert(brute((a, b)) == s, s"sim mismatch for ($a,$b)")
+    }
+    corpus.unpersist()
+    graft.core.Caches.releaseAll()
+  }
+
   test("ivfTopK on clustered embeddings: recall@10 >= 0.9 probing 2 of 8 cells") {
     // same clustered fixture shape as the LSH test; cells = true
     // cluster labels (the IVF contract: labels come from KMeans or a
