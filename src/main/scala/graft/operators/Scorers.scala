@@ -182,6 +182,78 @@ object Scorers {
     }(Encoders.row(schema))
   }
 
+  /** Greedy token packing: split a partition's rows into consecutive
+    * micro-batches whose summed `tok` weight stays within `capTokens`
+    * (a row heavier than the cap ships alone — rows are atomic), with
+    * `capRows` bounding the batch length so a run of near-empty texts
+    * cannot snowball into one enormous request. Deterministic in row
+    * order — the packing depends on nothing else. */
+  private[operators] def packByTokens(rows: Iterator[Row], tok: Row => Long,
+                                      capTokens: Long, capRows: Int): Iterator[Seq[Row]] =
+    new Iterator[Seq[Row]] {
+      private val buf = rows.buffered
+      override def hasNext: Boolean = buf.hasNext
+      override def next(): Seq[Row] = {
+        val b = Seq.newBuilder[Row]
+        var total = 0L
+        var n = 0
+        var open = true
+        while (open && buf.hasNext && n < capRows) {
+          val t = tok(buf.head)
+          if (n == 0 || total + t <= capTokens) {
+            b += buf.next(); total += t; n += 1
+          } else open = false
+        }
+        b.result()
+      }
+    }
+
+  /** [[withModelScoresBatched]] with TOKEN-aware micro-batches: real
+    * inference servers are bounded by tokens per request (KV-cache /
+    * max-batch-tokens), not rows, so a fixed row count either
+    * under-fills requests on short texts or overflows the server on
+    * long ones. Rows are packed greedily while the summed subword
+    * count ([[graft.plans.ArrayExprUtil.subwordCount]] — the engine's
+    * BPE-ish token proxy, same estimator the `q_token_counts` surface
+    * exposes) stays within `capTokens`; an oversized single row ships
+    * alone; `capRows` bounds request length for near-empty texts. The
+    * cap counts each row's text ONCE — the wire carries it three times
+    * (ppl, embed, reward items), so size `capTokens` at roughly a third
+    * of the server's max-batch-tokens. Output is row-for-row identical
+    * to [[withModelScores]]; only the request partitioning changes
+    * (HttpBackendSpec: bit-exact + request-count == greedy packing on a
+    * skewed-length fixture). */
+  def withModelScoresTokenBatched(df: DataFrame, textCol: String,
+                                  make: () => ModelBackend,
+                                  capTokens: Long = 8192L,
+                                  capRows: Int = 256): DataFrame = {
+    require(capTokens >= 1, s"capTokens must be >= 1, got $capTokens")
+    require(capRows >= 1, s"capRows must be >= 1, got $capRows")
+    val schema = df.schema
+      .add("ppl_ins_alone", DoubleType)
+      .add("emb_ins_alone", ArrayType(FloatType))
+      .add("score_rw", DoubleType)
+    val idx = df.schema.fieldIndex(textCol)
+    def text(r: Row): String = if (r.isNullAt(idx)) "" else r.getString(idx)
+    df.mapPartitions { it =>
+      val m = make(); m.init()
+      val tok = (r: Row) => graft.plans.ArrayExprUtil.subwordCount(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text(r)))
+      packByTokens(it, tok, capTokens, capRows).flatMap { rows =>
+        val items = rows.flatMap { r =>
+          val t = text(r)
+          Seq(BatchItem("ppl", t), BatchItem("embed", t),
+            BatchItem("reward", "", t))
+        }
+        val out = m.scoreBatch(items)
+        rows.iterator.zipWithIndex.map { case (r, i) =>
+          Row.fromSeq(r.toSeq ++ Seq(out(3 * i)(0),
+            out(3 * i + 1).map(_.toFloat), out(3 * i + 2)(0)))
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Cherry/IFD analysis map (reference EP1 cherry mode + P6): per-token
     * losses for the answer alone and the answer given the prompt. */
   def withTokenLosses(df: DataFrame, promptCol: String, answerCol: String,

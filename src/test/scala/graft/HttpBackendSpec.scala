@@ -130,6 +130,32 @@ class HttpBackendSpec extends AnyFunSuite {
     }
   }
 
+  test("token-aware batching: bit-exact, requests match greedy token packing") {
+    // Skewed-length fixture, one partition. Whitespace words of one
+    // char each -> subwordCount == word count, so the per-row token
+    // weights are exactly `lens`. With capTokens=30 / capRows=4 the
+    // greedy packing is forced into 5 requests:
+    //   [10,10,10] (fills the cap) | [50] (oversized row ships alone)
+    //   | [3,3,3,3] (capRows bound) | [100] (alone) | [2]
+    val lens = Seq(10, 10, 10, 50, 3, 3, 3, 3, 100, 2)
+    val docs = lens.zipWithIndex
+      .map { case (n, i) => (i.toLong, ("w " * n).trim) }
+      .toDF("doc_id", "text").coalesce(1)
+    val viaProxy = Scorers.withModelScores(docs, "text",
+        () => new Scorers.ProxyBackend(42L))
+      .select($"doc_id", $"ppl_ins_alone", $"emb_ins_alone", $"score_rw")
+      .collect().sortBy(_.getLong(0)).toSeq
+    withServer() { (url, requests) =>
+      val viaTokenBatch = Scorers.withModelScoresTokenBatched(docs, "text",
+          () => new HttpBackend(url), capTokens = 30L, capRows = 4)
+        .select($"doc_id", $"ppl_ins_alone", $"emb_ins_alone", $"score_rw")
+        .collect().sortBy(_.getLong(0)).toSeq
+      assert(viaTokenBatch == viaProxy) // bit-exact through the token-packed wire
+      assert(requests.get() == 5,
+        s"expected 5 token-capped requests, saw ${requests.get()}")
+    }
+  }
+
   test("the trait's default scoreBatch delegates per item (proxy == batched proxy)") {
     val docs = fixtureDocs
     def rows(df: org.apache.spark.sql.DataFrame) =
