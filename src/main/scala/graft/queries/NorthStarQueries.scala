@@ -629,7 +629,16 @@ object NorthStarQueries extends QueryModule {
     * sample 5 per language. Oracle-exact end to end: every stage has a
     * proven DuckDB twin (recursive reachability CTE for the
     * propagation, quantile_cont band, rn/step stride arithmetic). */
-  private def qCuratePipeline(implicit s: SparkSession, dir: String): DataFrame = {
+  private def qCuratePipeline(implicit s: SparkSession, dir: String): DataFrame =
+    Selection.strideSample(curatedBand, "lang", "doc_id", 5)
+      .select(col("lang"), col("doc_id"), col("quality"))
+      .orderBy(col("lang"), col("doc_id"))
+
+  /** The curation flow through the quality band — the curated corpus
+    * itself (deduped, cluster-resolved, middle-quality). Shared by
+    * [[qCuratePipeline]] (which stride-samples it) and [[qCurateSink]]
+    * (which PERSISTS it — the table a production run actually writes). */
+  private def curatedBand(implicit s: SparkSession, dir: String): DataFrame = {
     val reps = Dedup.exactDedup(
       docs.select(col("doc_id"), col("text"), col("lang")), "doc_id", Seq("text"))
     val pairs = Dedup.nearDupPairs(
@@ -641,16 +650,36 @@ object NorthStarQueries extends QueryModule {
     val curated = reps.join(dropIds, Seq("doc_id"), "left_anti")
     val scored = curated.select(col("doc_id"), col("lang"),
       TextFns.qualityScore(col("text")).as("quality"))
-    val band = Selection.percentileBand(scored, "lang", "quality",
+    Selection.percentileBand(scored, "lang", "quality",
       0.25, 0.75, minGroupSize = 20)
-    Selection.strideSample(band, "lang", "doc_id", 5)
-      .select(col("lang"), col("doc_id"), col("quality"))
-      .orderBy(col("lang"), col("doc_id"))
   }
 
-  private val qCuratePipelineSql = {
+  /** Production sink for the curated corpus: [[curatedBand]] written
+    * as parquet `partitionBy(lang)` — the layout training reads want —
+    * then read back FROM DISK restricted to one language. The
+    * restriction is satisfied by PARTITION pruning (directory-level
+    * file listing, not per-row filtering: PartitionPruningSpec asserts
+    * PartitionFilters on this very query's plan), so a 100 TB curated
+    * lake serves a one-language training job by reading one
+    * directory. Oracle-exact sink → scan → restrict round trip: the
+    * read-back must equal the band stage restricted to the same
+    * language, value-for-value through the parquet round trip. */
+  private def qCurateSink(implicit s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Paths.get(Dedup.SignatureStore.root,
+      "curated_" + java.lang.Integer.toHexString(dir.hashCode)).toString
+    curatedBand.select(col("doc_id"), col("quality"), col("lang"))
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    s.read.parquet(out)
+      .where(col("lang") === "en")
+      .select(col("doc_id"), col("lang"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle CTE chain through the `band` stage — the DuckDB twin of
+    * [[curatedBand]], shared by the pipeline and sink oracles. */
+  private val curateBandCtes = {
     val (_, _, quality) = qualitySqlBits
-    s"""WITH RECURSIVE ${minhashPairCtes(
+    s"""${minhashPairCtes(
           "reps AS (\n  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text),\n",
           "reps")},
        |edges AS (
@@ -675,7 +704,11 @@ object NorthStarQueries extends QueryModule {
        |band AS (
        |  SELECT s.doc_id, s.lang, s.quality
        |  FROM scored s JOIN th ON s.lang = th.lang
-       |  WHERE th.n < 20 OR (s.quality >= th.lo AND s.quality <= th.hi)),
+       |  WHERE th.n < 20 OR (s.quality >= th.lo AND s.quality <= th.hi))""".stripMargin
+  }
+
+  private val qCuratePipelineSql =
+    s"""WITH RECURSIVE $curateBandCtes,
        |rn AS (
        |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn,
        |         count(*) OVER (PARTITION BY lang) AS cnt
@@ -684,7 +717,11 @@ object NorthStarQueries extends QueryModule {
        |  SELECT *, greatest(cnt // 5, 1) AS step FROM rn)
        |WHERE cnt <= 5 OR ((rn - 1) % step = 0 AND (rn - 1) // step < 5)
        |ORDER BY lang, doc_id""".stripMargin
-  }
+
+  private val qCurateSinkSql =
+    s"""WITH RECURSIVE $curateBandCtes
+       |SELECT doc_id, lang, quality FROM band
+       |WHERE lang = 'en' ORDER BY doc_id""".stripMargin
 
   /** Token-budget corpus selection ("the best 8,000 tokens"): greedy
     * by (quality DESC, doc_id) while the running token total fits the
@@ -725,6 +762,7 @@ object NorthStarQueries extends QueryModule {
     Q("q_token_budget", (s, d) => qTokenBudget(s, d), Some(qTokenBudgetSql)),
     Q("q_dedup_exact", (s, d) => qDedupExact(s, d), Some(qDedupExactSql)),
     Q("q_curate_pipeline", (s, d) => qCuratePipeline(s, d), Some(qCuratePipelineSql)),
+    Q("q_curate_sink", (s, d) => qCurateSink(s, d), Some(qCurateSinkSql)),
     Q("q_dedup_minhash_lsh", (s, d) => qDedupMinhashLsh(s, d), Some(qDedupMinhashLshSql)),
     Q("q_dedup_ngram_jaccard", (s, d) => qDedupNgramJaccard(s, d), Some(qDedupNgramJaccardSql)),
     Q("q_dedup_simhash", (s, d) => qDedupSimhash(s, d), Some(qDedupSimhashSql)),

@@ -37,4 +37,34 @@ class PartitionPruningSpec extends AnyFunSuite {
       .where(col("event_type") === "click").count()
     assert(got == expected)
   }
+
+  test("q_curate_sink: curated corpus lands partitioned by language and the read-back prunes") {
+    // the registered query IS the lifecycle: write partitionBy(lang),
+    // read back from disk restricted to 'en'
+    val q = SparkEntry.queries("q_curate_sink")(spark, TestSpark.SfDir)
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getString(1) == "en"))
+
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(lang"),
+      s"language filter did not reach partition pruning:\n$p")
+    assert(!p.contains("PushedFilters: [IsNotNull(lang)"), p)
+
+    // the sink really is directory-partitioned: one lang=<v> dir per
+    // language that survived the band
+    val out = java.nio.file.Paths.get(
+      graft.operators.Dedup.SignatureStore.root,
+      "curated_" + java.lang.Integer.toHexString(TestSpark.SfDir.hashCode))
+    val langDirs = java.nio.file.Files.list(out).iterator()
+      .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    val names = Iterator.continually(langDirs)
+      .takeWhile(_.hasNext).map(_.next().getFileName.toString).toList
+    assert(names.exists(_.startsWith("lang=en")), names.toString)
+
+    // unpruned read restricted in memory agrees with the pruned read
+    val full = spark.read.parquet(out.toString)
+    assert(full.where(col("lang") === "en").count() == rows.length.toLong)
+    assert(full.count() > rows.length.toLong) // other languages landed too
+  }
 }
