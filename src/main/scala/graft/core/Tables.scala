@@ -41,15 +41,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects; sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[configure]])
-    * and this loader converts the raw nanos to a microsecond
-    * timestamp. Integer `div` (not `/`) — epoch-nanos exceed 2^53, so
-    * double division would lose precision. */
+  /** Normalize an events frame's `ts` to a session-zone microsecond
+    * TimestampType regardless of how the fixture stored it: older
+    * driver fixtures wrote TIMESTAMP(NANOS) (surfacing as a raw
+    * nanos Long under `spark.sql.legacy.parquet.nanosAsLong=true`),
+    * newer ones write plain timestamp[us] (surfacing as
+    * TIMESTAMP_NTZ). Both denote the same UTC instants; the session
+    * zone is pinned UTC (see [[SessionConfigs]]) so the NTZ→LTZ cast
+    * is value-preserving. Integer `div` (not `/`) on the nanos path —
+    * epoch-nanos exceed 2^53, so double division would lose
+    * precision. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
+
   def events(s: SparkSession, d: String): DataFrame =
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeEventTs(table(s, d, "events"))
   /** documents/embeddings feed per-row-EXPENSIVE operators (shingling,
     * hashing, lambda folds over 64-dim arrays). The fixture is one
     * small file — a single row-group parquet can't split below file
