@@ -235,6 +235,21 @@ object EngineSurfaceQueries extends QueryModule {
       |  FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------- streaming crash recovery
+  /** Stateful-stream crash recovery gated oracle-exact: the streaming
+    * dedup is killed by an injected failure between sink write and
+    * batch commit, restarted from its checkpoint, and the recovered
+    * batchId-keyed idempotent sink output must equal the batch
+    * `SELECT DISTINCT` row for row ([[EventStreams.crashRecoveryDedup]]
+    * for the exactly-once mechanics). */
+  private def qStreamRecovery(implicit s: SparkSession, dir: String): DataFrame =
+    EventStreams.crashRecoveryDedup(s, dir)
+      .orderBy(col("user_id"), col("hour"), col("event_type"))
+
+  private val qStreamRecoverySql =
+    """SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour, event_type
+      |FROM events ORDER BY user_id, hour, event_type""".stripMargin
+
   // --------------------------------------------- NULL-aware anti join
   /** NOT IN vs NOT EXISTS under NULLs — the classic engine-semantics
     * corner: one NULL in the subquery makes NOT IN three-valued
@@ -434,6 +449,7 @@ object EngineSurfaceQueries extends QueryModule {
     Q("q_hopping_window", (s, d) => qHoppingWindow(s, d), Some(hopOracleSql)),
     Q("q_stream_sliding", (s, d) => qStreamSliding(s, d), Some(hopOracleSql)),
     Q("q_stream_dedup", (s, d) => qStreamDedup(s, d), Some(qStreamDedupSql)),
+    Q("q_stream_recovery", (s, d) => qStreamRecovery(s, d), Some(qStreamRecoverySql)),
     Q("q_stream_join", (s, d) => qStreamJoin(s, d), Some(qStreamJoinSql)),
     Q("q_dedup_embed_cosine", (s, d) => qDedupEmbedCosine(s, d), Some(qDedupEmbedCosineSql)),
     Q("q_dedup_embed_lsh", (s, d) => qDedupEmbedLsh(s, d), Some(qDedupEmbedLshSql)))

@@ -71,6 +71,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch) // exact: same operator, stream vs batch
   }
 
+  test("crash recovery: killed-and-restarted stateful dedup equals batch DISTINCT") {
+    // crashRecoveryDedup injects a failure AFTER the sink write of
+    // batch 1 but BEFORE its commit, restarts from the checkpoint, and
+    // internally asserts the crash actually fired; here the recovered
+    // output must equal the batch distinct — no lost rows (state
+    // recovered), no duplicated rows (idempotent batchId-keyed sink)
+    val got = EventStreams.crashRecoveryDedup(spark, TestSpark.SfDir)
+      .orderBy($"user_id", $"hour", $"event_type").collect().toSeq
+    val want = Tables.events(spark, TestSpark.SfDir)
+      .select($"user_id", date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .distinct()
+      .orderBy($"user_id", $"hour", $"event_type").collect().toSeq
+    assert(got.nonEmpty)
+    assert(got == want)
+  }
+
   test("sessionize closes sessions on the 30-min gap") {
     val sessions = EventStreams.sessionize(spark, TestSpark.SfDir, 30)
     assert(sessions.count() > 0)
