@@ -448,6 +448,59 @@ object Dedup {
       spark.table(bandedTable(tag))
     def sets(spark: org.apache.spark.sql.SparkSession, tag: String): DataFrame =
       spark.table(setsTable(tag))
+
+    /** The RE-PERSIST step that closes the daily-cron loop: read the
+      * persisted store under `fromTag`, absorb a processed delta via
+      * [[mergeSignatureStore]] (keyed upsert — re-ingests replace),
+      * and write the merged store back as bucketed tables under
+      * `toTag` with the SAME layout the probe depends on. Day-2
+      * probes then run against the re-persisted store with zero
+      * store-side Exchange, identical to day 1 — persist → probe →
+      * merge → re-persist → probe, indefinitely.
+      *
+      * Scale posture: the merge's anti-join probe side is the delta's
+      * broadcast ids, so the store is read ONCE (no shuffle of it by
+      * the merge itself); the bucketed rewrite repartitions on the
+      * bucket keys — the one unavoidable full-store shuffle of the
+      * day, amortized against every probe that follows. Writing to a
+      * NEW tag (path) instead of overwriting in place keeps the old
+      * store readable until the rewrite commits — the poor man's
+      * atomic swap a table format would give for free. */
+    def absorb(spark: org.apache.spark.sql.SparkSession, fromTag: String,
+               toTag: String, delta: DataFrame, idCol: String,
+               textCol: String, n: Int = 3, k: Int = 12, bands: Int = 4,
+               buckets: Int = 8): Unit = {
+      require(fromTag != toTag,
+        "absorb writes a NEW tag; in-place overwrite would read and clobber the same files")
+      val base = java.nio.file.Paths.get(root, s"sig_store_$toTag")
+      java.nio.file.Files.createDirectories(base)
+      spark.sql(s"DROP TABLE IF EXISTS ${bandedTable(toTag)}")
+      spark.sql(s"DROP TABLE IF EXISTS ${setsTable(toTag)}")
+      mergeSignatureStore(banded(spark, fromTag),
+          bandedSignatures(delta, idCol, textCol, n, k, bands), idCol)
+        .write.mode("overwrite")
+        .option("path", base.resolve("banded").toString)
+        .bucketBy(buckets, "band", "bsig").sortBy("band", "bsig")
+        .saveAsTable(bandedTable(toTag))
+      mergeSignatureStore(sets(spark, fromTag),
+          shingleSets(delta, idCol, textCol, n), idCol)
+        .write.mode("overwrite")
+        .option("path", base.resolve("sets").toString)
+        .bucketBy(buckets, idCol).sortBy(idCol)
+        .saveAsTable(setsTable(toTag))
+    }
+
+    /** [[absorb]] memoized per JVM per `toTag` (same contract as
+      * [[writeOnce]]: persist once, probe repeatedly). */
+    def absorbOnce(spark: org.apache.spark.sql.SparkSession, fromTag: String,
+                   toTag: String, delta: DataFrame, idCol: String,
+                   textCol: String, n: Int = 3, k: Int = 12, bands: Int = 4,
+                   buckets: Int = 8): Unit = synchronized {
+      if (!written.contains(toTag)) {
+        absorb(spark, fromTag, toTag, delta, idCol, textCol, n, k, bands, buckets)
+        written += toTag
+      }
+    }
   }
 
   /** Store-side bucket probe: candidate (id_a, id_b) pairs between a

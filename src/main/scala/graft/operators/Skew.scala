@@ -51,6 +51,43 @@ object Skew {
         aggs.tail.map { case (n, (_, c)) => c("_" + n).as(n) }.toSeq: _*)
   }
 
+  /** Salted-replicate equi-join for skewed FACT keys: the fact side
+    * gets a deterministic salt in [0, salts), the dim side is
+    * replicated once per salt value, and the join runs on
+    * (keys, _salt) — a hot fact key that would land C(hot) rows on
+    * ONE reducer now spreads over `salts` reducers, each matching its
+    * replica of the dim row. The salt never escapes: the result is
+    * exactly the plain `fact ⋈ dim` row multiset.
+    *
+    * This is the complement to AQE's skew-join splitting for the case
+    * AQE handles poorly: a MID-SIZE dim (too big to broadcast, so the
+    * join must shuffle) against one pathologically hot fact key — AQE
+    * can split the fact side's oversized partition, but every split
+    * still has to co-locate with the SAME dim partition, which it
+    * must replicate at runtime per split; pre-salting makes the
+    * replication explicit, deterministic, and planned.
+    *
+    * Costs and contracts:
+    *  - dim is scanned once and exploded ×`salts` — size the salt
+    *    count to hot-key spread, not to cores (16 replicas of a 1 GB
+    *    dim is 16 GB of shuffle, the price of unsticking the reducer);
+    *  - the salt hashes the fact's `saltCols` (default: full row) —
+    *    deterministic, so a recomputed stage re-salts identically
+    *    (same SPARK-23207 reasoning as [[saltedAgg]]);
+    *  - INNER equi-join on `keys` only (the semantics the salt
+    *    preserves trivially; outer variants would need unmatched-row
+    *    bookkeeping per replica). */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+                 salts: Int, saltCols: Seq[String] = Nil): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val sc = if (saltCols.nonEmpty) saltCols else fact.columns.toSeq
+    val salted = fact.withColumn("_salt",
+      pmod(xxhash64(sc.map(col): _*), lit(salts.toLong)))
+    val replicated = dim.withColumn("_salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1L))))
+    salted.join(replicated, keys :+ "_salt").drop("_salt")
+  }
+
   /** Salted count+sum per key — the common case. */
   def saltedCountSum(df: DataFrame, keys: Seq[String], valueCol: String,
                      salts: Int = 16, saltCols: Seq[String] = Nil): DataFrame =

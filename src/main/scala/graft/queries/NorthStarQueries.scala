@@ -619,6 +619,39 @@ object NorthStarQueries extends QueryModule {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** DAY-2 of the persisted-store lifecycle — the daily-cron loop
+    * closed end to end: day-0 corpus (doc_id % 10 ∉ {0, 5}) persisted
+    * as bucketed tables → day-1 delta (% 10 = 5) absorbed via
+    * [[Dedup.SignatureStore.absorb]] (merge + RE-PERSIST bucketed
+    * under a new tag) → day-2 delta (% 10 = 0) probed against the
+    * RE-PERSISTED store read back from disk. The re-persisted layout
+    * is identical to day 0's, so the day-2 probe plans the same
+    * zero-store-side-Exchange sort-merge (plan-asserted in DedupSpec).
+    * Oracle: the corpus after day 1 is exactly "everything but the
+    * % 10 = 0 delta", so day-2 incremental pairs must equal the FULL
+    * run restricted to delta-touching pairs — the same restriction
+    * identity (and the same SQL) as [[qDedupIncremental]], now
+    * reached through two generations of persisted store. */
+  private def qDedupStoreDay2(implicit s: SparkSession, dir: String): DataFrame = {
+    val all = docs.select(col("doc_id"), col("text"))
+    val day0 = all.where(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5)
+    val delta1 = all.where(col("doc_id") % 10 === 5)
+    val delta2 = all.where(col("doc_id") % 10 === 0)
+    val hex = java.lang.Integer.toHexString(dir.hashCode)
+    val (tag0, tag1) = (s"${hex}_d0", s"${hex}_d1")
+    Dedup.SignatureStore.writeOnce(s, day0, "doc_id", "text", tag0,
+      n = 3, k = MhK, bands = MhBands)
+    Dedup.SignatureStore.absorbOnce(s, tag0, tag1, delta1, "doc_id", "text",
+      n = 3, k = MhK, bands = MhBands)
+    val newBanded = Dedup.bandedSignatures(delta2, "doc_id", "text",
+      n = 3, k = MhK, bands = MhBands)
+    val allSets = Dedup.SignatureStore.sets(s, tag1)
+      .unionByName(Dedup.shingleSets(delta2, "doc_id", "text", n = 3))
+    Dedup.incrementalNearDupPairsFromStore(newBanded,
+        Dedup.SignatureStore.banded(s, tag1), allSets, "doc_id")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ------------------------------------------- full curation pipeline
   /** The whole "curate a corpus" flow in ONE query — what a training-
     * data pipeline actually runs end to end: exact dedup (smallest-id
@@ -723,6 +756,61 @@ object NorthStarQueries extends QueryModule {
        |SELECT doc_id, lang, quality FROM band
        |WHERE lang = 'en' ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------- curate once, derive twice
+  /** Times the curation DAG actually EXECUTED for the artifact path —
+    * spec-visible so CurateArtifactSpec can assert "ran once" across
+    * repeated derivations (the reference's own stage-checkpoint-reuse
+    * semantics, reference `main.py:312-314`). */
+  private[graft] val curatedArtifactRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val artifactWritten = scala.collection.mutable.Set[String]()
+
+  /** Persist [[curatedBand]] ONCE per sf dir per JVM as a parquet
+    * checkpoint artifact and return its path. Every downstream
+    * consumer — the stride sample, the partitioned sink — reads the
+    * artifact instead of re-running dedup → CC → band, so the
+    * expensive DAG is paid once per corpus version no matter how many
+    * derivations follow (at 100 TB the artifact IS the product; the
+    * DAG re-run per consumer would be the bill). */
+  private def curatedArtifact(implicit s: SparkSession, dir: String): String = {
+    val out = java.nio.file.Paths.get(Dedup.SignatureStore.root,
+      "curated_band_" + java.lang.Integer.toHexString(dir.hashCode)).toString
+    NorthStarQueries.synchronized {
+      if (!artifactWritten.contains(out)) {
+        curatedArtifactRuns.incrementAndGet()
+        curatedBand.select(col("doc_id"), col("lang"), col("quality"))
+          .write.mode("overwrite").parquet(out)
+        artifactWritten += out
+      }
+    }
+    out
+  }
+
+  /** The stride sample derived FROM THE ARTIFACT — same result as
+    * [[qCuratePipeline]] (same oracle SQL), but its plan is a parquet
+    * scan of the checkpoint plus the sample window: the curation DAG
+    * does not appear, because it already ran. */
+  private def qCurateFromArtifact(implicit s: SparkSession, dir: String): DataFrame =
+    Selection.strideSample(s.read.parquet(curatedArtifact), "lang", "doc_id", 5)
+      .select(col("lang"), col("doc_id"), col("quality"))
+      .orderBy(col("lang"), col("doc_id"))
+
+  /** The partitioned training sink derived FROM THE ARTIFACT — same
+    * result and oracle as [[qCurateSink]], but the band is read from
+    * the checkpoint: together with [[qCurateFromArtifact]] this is
+    * "curate once, derive twice", and the spec asserts the DAG
+    * executed exactly once for both derivations combined. */
+  private def qCurateSinkArtifact(implicit s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Paths.get(Dedup.SignatureStore.root,
+      "curated_from_artifact_" + java.lang.Integer.toHexString(dir.hashCode)).toString
+    s.read.parquet(curatedArtifact)
+      .select(col("doc_id"), col("quality"), col("lang"))
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    s.read.parquet(out)
+      .where(col("lang") === "en")
+      .select(col("doc_id"), col("lang"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-budget corpus selection ("the best 8,000 tokens"): greedy
     * by (quality DESC, doc_id) while the running token total fits the
     * budget — the pre-training-job selection, gated exactly. Spark
@@ -763,6 +851,8 @@ object NorthStarQueries extends QueryModule {
     Q("q_dedup_exact", (s, d) => qDedupExact(s, d), Some(qDedupExactSql)),
     Q("q_curate_pipeline", (s, d) => qCuratePipeline(s, d), Some(qCuratePipelineSql)),
     Q("q_curate_sink", (s, d) => qCurateSink(s, d), Some(qCurateSinkSql)),
+    Q("q_curate_from_artifact", (s, d) => qCurateFromArtifact(s, d), Some(qCuratePipelineSql)),
+    Q("q_curate_sink_artifact", (s, d) => qCurateSinkArtifact(s, d), Some(qCurateSinkSql)),
     Q("q_dedup_minhash_lsh", (s, d) => qDedupMinhashLsh(s, d), Some(qDedupMinhashLshSql)),
     Q("q_dedup_ngram_jaccard", (s, d) => qDedupNgramJaccard(s, d), Some(qDedupNgramJaccardSql)),
     Q("q_dedup_simhash", (s, d) => qDedupSimhash(s, d), Some(qDedupSimhashSql)),
@@ -770,6 +860,7 @@ object NorthStarQueries extends QueryModule {
     Q("q_dedup_clusters", (s, d) => qDedupClusters(s, d), Some(qDedupClustersSql)),
     Q("q_dedup_incremental", (s, d) => qDedupIncremental(s, d), Some(qDedupIncrementalSql)),
     Q("q_dedup_incremental_store", (s, d) => qDedupIncrementalStore(s, d), Some(qDedupIncrementalSql)),
+    Q("q_dedup_store_day2", (s, d) => qDedupStoreDay2(s, d), Some(qDedupIncrementalSql)),
     Q("q_embed_cosine_topk", (s, d) => qCosineTopK(s, d), Some(qCosineTopKSql)),
     Q("q_embed_ann_lsh", (s, d) => qAnnLsh(s, d), Some(qAnnLshSql)),
     Q("q_embed_ivf", (s, d) => qIvfTopK(s, d), Some(qIvfTopKSql)),

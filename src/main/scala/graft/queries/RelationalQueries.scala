@@ -414,6 +414,39 @@ object RelationalQueries extends QueryModule {
       |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,4))), 2) AS DOUBLE) AS total_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ----------------------------------------------------- salted join
+  /** Salted-replicate JOIN over an engineered hot key: half of
+    * lineitem is rewritten to part key 1 (one key = 50% of the fact —
+    * the shape where one reducer holds half the shuffle), then joined
+    * to the part dim through [[graft.operators.Skew.saltedJoin]] with
+    * the dim pinned to a shuffle join (`shuffle_hash` — the mid-size-
+    * dim case where broadcast is off the table and AQE would have to
+    * replicate the dim partition per split at runtime). The salt is
+    * invisible in the result, so the oracle is the plain SQL join;
+    * SkewSpec asserts the (keys, _salt) join shape and the hot key's
+    * fan-out across salts. */
+  private def qSkewJoin(implicit s: SparkSession, dir: String): DataFrame = {
+    val fact = t("lineitem").select(
+      when(col("l_orderkey") % 2 === 0, lit(1L))
+        .otherwise(col("l_partkey")).as("p_partkey"),
+      col("l_orderkey"),
+      col("l_quantity").cast(DecimalType(30, 4)).as("qty"))
+    val dim = t("part").select(col("p_partkey"), col("p_brand"))
+      .hint("shuffle_hash")
+    graft.operators.Skew.saltedJoin(fact, dim, Seq("p_partkey"), salts = 8)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("qty")), 2).cast("double").as("total_qty"))
+      .orderBy(col("p_brand"))
+  }
+
+  private val qSkewJoinSql =
+    """SELECT p_brand, COUNT(*) AS n,
+      |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,4))), 2) AS DOUBLE) AS total_qty
+      |FROM lineitem JOIN part
+      |  ON p_partkey = CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE l_partkey END
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   // ------------------------------------------------------ HLL distinct
   /** approx_count_distinct (HyperLogLog++) — the at-scale variant of
     * q_distinct; rows-only (sketch estimates are engine-specific). */
@@ -514,6 +547,7 @@ object RelationalQueries extends QueryModule {
     Q("q_row_slice", (s, d) => qRowSlice(s, d), Some(qRowSliceSql)),
     Q("q_approx_distinct", (s, d) => qApproxDistinct(s, d), None),
     Q("q_skew_salted", (s, d) => qSkewSalted(s, d), Some(qSkewSaltedSql)),
+    Q("q_skew_join", (s, d) => qSkewJoin(s, d), Some(qSkewJoinSql)),
     Q("q1_pricing_summary", (s, d) => q1(s, d), Some(q1Sql)),
     Q("q3_shipping_priority", (s, d) => q3(s, d), Some(q3Sql)),
     Q("q5_local_supplier", (s, d) => q5(s, d), Some(q5Sql)),

@@ -331,6 +331,67 @@ class DedupSpec extends AnyFunSuite {
     graft.core.Caches.releaseAll()
   }
 
+  test("absorb re-persists the merged store: day-2 frames equal a from-scratch build and the probe keeps its plan contract") {
+    val docsAll = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely different content about large scale data systems"),
+      (11L, "day one delta document with its own brand new words"),
+      (21L, "the quick brown fox jumps over the lazy dog this evening")
+    ).toDF("doc_id", "text")
+    val day0   = docsAll.where($"doc_id" < 10L)
+    val delta1 = docsAll.where($"doc_id" >= 10L && $"doc_id" < 20L)
+    val delta2 = docsAll.where($"doc_id" >= 20L)
+    Dedup.SignatureStore.write(spark, day0, "doc_id", "text", "absorb0",
+      buckets = 4)
+    Dedup.SignatureStore.absorb(spark, "absorb0", "absorb1", delta1,
+      "doc_id", "text", buckets = 4)
+    // the re-persisted generation equals frames built from scratch
+    // over day0 ∪ delta1 — the identity that keeps day N == day 0
+    val gen1 = day0.unionByName(delta1)
+    val gotB = Dedup.SignatureStore.banded(spark, "absorb1")
+      .as[(Long, Int, String)].collect().toSet
+    val wantB = Dedup.bandedSignatures(gen1, "doc_id", "text")
+      .as[(Long, Int, String)].collect().toSet
+    assert(gotB == wantB, "re-persisted banded frame drifted from from-scratch build")
+    val gotS = Dedup.SignatureStore.sets(spark, "absorb1")
+      .as[(Long, Seq[String])].collect().map { case (i, s) => (i, s.toSet) }.toSet
+    val wantS = Dedup.shingleSets(gen1, "doc_id", "text")
+      .as[(Long, Seq[String])].collect().map { case (i, s) => (i, s.toSet) }.toSet
+    assert(gotS == wantS, "re-persisted sets frame drifted from from-scratch build")
+    // day-2 probe off the RE-persisted store: same zero-store-side-
+    // Exchange sort-merge contract as the day-1 store (the bucketed
+    // layout survived the absorb rewrite). The delta frame is cached
+    // (as the real FromStore path caches it), so the plan below the
+    // InMemoryRelation boundary is the delta's build, not the probe —
+    // same region split as the day-1 assertion above.
+    val nb2 = graft.core.Caches.track(
+      Dedup.bandedSignatures(delta2, "doc_id", "text"))
+    val thresholds = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = thresholds.map(k => k -> spark.conf.getOption(k))
+    thresholds.foreach(spark.conf.set(_, "-1"))
+    val (rows, plan) = try {
+      val probe = Dedup.probeSignatureStore(
+        Dedup.SignatureStore.banded(spark, "absorb1"), nb2, "doc_id")
+      val r = probe.collect() // AQE: final plan only after execution
+      (r, probe.queryExecution.executedPlan.toString)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+    // doc 21 is a near-dup of docs 1/2 → candidate pairs must surface
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+      .exists(p => p._2 == 21L), s"day-2 delta found no candidates: ${rows.toSeq}")
+    assert(plan.contains("SortMergeJoin"), plan.take(1200))
+    assert(plan.contains("Bucketed: true"), s"re-persisted store scan not bucketed:\n$plan")
+    val joinRegion = plan.split("InMemoryRelation").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(joinRegion).length
+    assert(exchanges == 1,
+      s"expected exactly the delta-side exchange after re-persist, found $exchanges:\n$joinRegion")
+    graft.core.Caches.releaseAll()
+  }
+
   test("nearDupClusters groups the planted near-dups around the smallest keeper") {
     val docs = Seq(
       (10L, "the quick brown fox jumps over the lazy dog today"),

@@ -111,6 +111,35 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  test("saltedJoin equals the plain join on an engineered hot key and fans it across salts") {
+    // one key carries half the fact — the single-stuck-reducer shape
+    val fact = spark.range(20000).select(
+      when($"id" % 2 === 0, lit(1L)).otherwise($"id" % 50 + 2).as("k"),
+      $"id".as("v"))
+    val dim = spark.range(60).select($"id".as("k"), ($"id" * 7).as("w"))
+    val direct = fact.join(dim, Seq("k"))
+      .groupBy($"k")
+      .agg(count(lit(1)).as("n"), sum($"v").as("sv"), sum($"w").as("sw"))
+      .orderBy($"k").collect().toSeq
+    val viaSalt = Skew.saltedJoin(fact, dim, Seq("k"), salts = 8)
+      .groupBy($"k")
+      .agg(count(lit(1)).as("n"), sum($"v").as("sv"), sum($"w").as("sw"))
+      .orderBy($"k").collect().toSeq
+    assert(viaSalt == direct, "salt leaked into the join result")
+    // the hot key's rows really spread over all 8 salt sub-keys
+    // (same full-row salt expression saltedJoin derives)
+    val hotSalts = fact.where($"k" === 1L)
+      .select(pmod(xxhash64(fact.columns.map(col): _*), lit(8L)).as("s"))
+      .distinct().count()
+    assert(hotSalts == 8L, s"hot key landed on only $hotSalts salts")
+    // and the physical join is keyed on (k, _salt) — the salt is in
+    // the join, not just in a projection
+    val j = Skew.saltedJoin(fact, dim, Seq("k"), salts = 8)
+    j.collect()
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("_salt"), plan.take(1000))
+  }
+
   test("saltCols restores fan-out when a hot key's rows are identical") {
     // FULLY identical (key, value) rows: the full-row hash maps all of
     // them to one salt (documented limitation) — salting on a stable
