@@ -17,6 +17,14 @@ object Tables {
   val SessionConfigs: Map[String, String] = Map(
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // The regenerated driver fixtures write timestamp[us] with
+    // isAdjustedToUTC=false, which Spark ≥3.4 infers as
+    // TIMESTAMP_NTZ. Every gated literal/compare is session-UTC
+    // TimestampType; an NTZ column forces a cast on the COLUMN side,
+    // which kills parquet predicate pushdown (q6 went 0.13 s → 2.0 s
+    // on the fixture swap). Reading them as LTZ under the pinned UTC
+    // session is value-identical and keeps filters at the scan.
+    "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false",
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.parquet.compression.codec" -> "snappy",
     // The test fixtures are single small parquet files; with the 128MB
@@ -32,7 +40,65 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    spark.read.parquet(readPath(spark, s"$dir/$name.parquet"))
+
+  /** INGEST-TIME COMPACTION for pathological parquet layouts. A
+    * parquet file cannot be split below row-group granularity, so a
+    * 600k-row fact table written as ONE row group scans as ONE task
+    * no matter what `maxPartitionBytes` asks for — the regenerated
+    * driver fixtures arrive exactly like that (lineitem sf0.1:
+    * 10.8 MB, 1 row group → q6 went 0.13 s → 2.0 s on the fixture
+    * swap). A real engine fixes this once at ingest by compacting to
+    * well-sized row groups; this is that pass: a file whose AVERAGE
+    * row group exceeds 2× the split size is rewritten once per JVM
+    * (same rows, same order, same schema — only the physical
+    * chunking changes, to 1 MiB row groups) into the per-user
+    * scratch dir, and reads go to the compacted copy. Files already
+    * split-friendly — and anything that is a directory — are read in
+    * place. The DuckDB oracle reads the ORIGINAL fixtures, so any
+    * staging defect would break the hash gate, not hide behind it.
+    *
+    * Scale posture: at 100 TB this is the compaction/ingest job every
+    * lake runs; its cost is paid once per corpus version, not per
+    * query — here once per JVM (~1–2 s for the one affected file),
+    * against ~20 s/bench-sweep of lost scan parallelism. */
+  private val staged = scala.collection.mutable.Map[String, String]()
+  private[graft] def readPath(spark: SparkSession, file: String): String =
+    synchronized {
+      staged.getOrElseUpdate(file, {
+        import java.nio.file.{Files, Paths}
+        val p = Paths.get(file)
+        val maxSplit = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+          .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+          .getOrElse(134217728L)
+        if (Files.isDirectory(p) ||
+            Files.size(p) / math.max(numRowGroups(spark, file), 1) <= 2 * maxSplit)
+          file
+        else {
+          val out = Paths.get(scratchRoot, "compacted_" +
+            java.lang.Integer.toHexString(file.hashCode)).toString
+          spark.read.parquet(file)
+            .write.mode("overwrite")
+            .option("parquet.block.size", "1048576")
+            .parquet(out)
+          out
+        }
+      })
+    }
+
+  /** Per-user scratch root for staged artifacts (shared convention
+    * with `Dedup.SignatureStore.root`). */
+  private def scratchRoot: String = sys.env.getOrElse("GRAFT_FIXTURE_DIR",
+    java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_fixtures_" + sys.props.getOrElse("user.name", "anon")).toString)
+
+  private def numRowGroups(spark: SparkSession, file: String): Int = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file), spark.sessionState.newHadoopConf())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRowGroups.size finally r.close()
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
