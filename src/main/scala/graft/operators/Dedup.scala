@@ -394,7 +394,20 @@ object Dedup {
     * Catalog notes: tables are EXTERNAL (explicit `path`) under a
     * per-user scratch dir, so the data survives JVMs while the
     * in-memory catalog entry is re-registered per session; re-writes
-    * use overwrite. */
+    * use overwrite.
+    *
+    * On the `sets` table's id-bucketing: the daily VERIFY join does
+    * NOT exploit it — candidate pairs are tiny relative to the corpus
+    * (bands only collide near-dups), so the two verification joins
+    * broadcast the CANDS side and stream the sets union unshuffled
+    * (plan-asserted in DedupSpec); a layout on the streamed side of a
+    * broadcast join is irrelevant. The bucketing exists for the
+    * OTHER consumers of a persisted shingle store: id-keyed
+    * group-resolution reads (fetch the sets for one cluster's
+    * members), id-range compaction, and any future big-cands regime
+    * where the verify joins degrade to SMJ — then the bucketed scan
+    * satisfies the join partitioning exchange-free, exactly like the
+    * banded table does for the probe today. */
   object SignatureStore {
     /** Per-user scratch root (not a fixed world-writable path);
       * override with GRAFT_FIXTURE_DIR. */

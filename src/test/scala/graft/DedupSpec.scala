@@ -392,6 +392,34 @@ class DedupSpec extends AnyFunSuite {
     graft.core.Caches.releaseAll()
   }
 
+  test("store-backed verification joins broadcast the cands side; the sets union is never hash-shuffled") {
+    // the layout story the SignatureStore scaladoc documents: cands
+    // are tiny (bands only collide near-dups), so verification
+    // BROADCASTS them and streams the sets union in place — the sets
+    // table's id-bucketing is for group-resolution reads and a future
+    // big-cands SMJ regime, not this join
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely different content about large scale data systems")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog this morning")
+    ).toDF("doc_id", "text")
+    Dedup.SignatureStore.write(spark, corpus, "doc_id", "text", "setsdoc",
+      buckets = 4)
+    val allSets = Dedup.SignatureStore.sets(spark, "setsdoc")
+      .unionByName(Dedup.shingleSets(delta, "doc_id", "text"))
+    val cands = Seq((1L, 10L), (2L, 10L)).toDF("id_a", "id_b")
+    val verified = Dedup.jaccardForPairs(cands, allSets, "doc_id", "shset")
+    verified.collect()
+    val plan = verified.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"verification joins did not broadcast the cands side:\n${plan.take(1500)}")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"the sets union was hash-shuffled for verification:\n${plan.take(1500)}")
+  }
+
   test("nearDupClusters groups the planted near-dups around the smallest keeper") {
     val docs = Seq(
       (10L, "the quick brown fox jumps over the lazy dog today"),
