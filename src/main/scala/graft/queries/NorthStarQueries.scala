@@ -756,6 +756,54 @@ object NorthStarQueries extends QueryModule {
        |SELECT doc_id, lang, quality FROM band
        |WHERE lang = 'en' ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------ curation funnel
+  /** Per-stage retention accounting for the curation DAG — the
+    * observability artifact every production pipeline publishes next
+    * to its output: how many documents survived raw → exact-dedup
+    * representatives → cluster keepers → quality band. A silent
+    * collapse at any stage (a bad threshold dropping 99% of a
+    * language, an over-eager dedup) is invisible in the curated
+    * output itself and obvious in the funnel. Oracle-exact: DuckDB
+    * replays the same stage CTEs and counts the same frames.
+    *
+    * Scale posture: each count is a metadata-sized aggregate over a
+    * stage that is already scale-shaped (the DAG's own operators);
+    * the stage frames are cached so the chain executes once, and the
+    * four 1-row aggregates union into a 4-row result — no new
+    * shuffles beyond the DAG's own. */
+  private def qCurateFunnel(implicit s: SparkSession, dir: String): DataFrame = {
+    val reps = graft.core.Caches.track(Dedup.exactDedup(
+      docs.select(col("doc_id"), col("text"), col("lang")), "doc_id", Seq("text")))
+    val pairs = Dedup.nearDupPairs(
+      reps.select(col("doc_id"), col("text")), "doc_id", "text",
+      n = 3, k = MhK, bands = MhBands, threshold = 0.5)
+    val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val dropIds = comps.where(col("id") =!= col("comp"))
+      .select(col("id").as("doc_id"))
+    val curated = graft.core.Caches.track(
+      reps.join(dropIds, Seq("doc_id"), "left_anti"))
+    val scored = curated.select(col("doc_id"), col("lang"),
+      TextFns.qualityScore(col("text")).as("quality"))
+    val band = Selection.percentileBand(scored, "lang", "quality",
+      0.25, 0.75, minGroupSize = 20)
+    Seq("0_raw" -> docs.toDF, "1_exact_reps" -> reps.toDF,
+        "2_cluster_keepers" -> curated.toDF, "3_quality_band" -> band)
+      .map { case (name, df) =>
+        df.agg(count(lit(1)).as("n_docs"))
+          .select(lit(name).as("stage"), col("n_docs"))
+      }.reduce(_ unionByName _)
+      .orderBy(col("stage"))
+  }
+
+  private val qCurateFunnelSql =
+    s"""WITH RECURSIVE $curateBandCtes
+       |SELECT stage, n_docs FROM (
+       |  SELECT '0_raw' AS stage, COUNT(*) AS n_docs FROM documents
+       |  UNION ALL SELECT '1_exact_reps', COUNT(*) FROM reps
+       |  UNION ALL SELECT '2_cluster_keepers', COUNT(*) FROM curated
+       |  UNION ALL SELECT '3_quality_band', COUNT(*) FROM band)
+       |ORDER BY stage""".stripMargin
+
   // --------------------------------------- curate once, derive twice
   /** Times the curation DAG actually EXECUTED for the artifact path —
     * spec-visible so CurateArtifactSpec can assert "ran once" across
@@ -851,6 +899,7 @@ object NorthStarQueries extends QueryModule {
     Q("q_dedup_exact", (s, d) => qDedupExact(s, d), Some(qDedupExactSql)),
     Q("q_curate_pipeline", (s, d) => qCuratePipeline(s, d), Some(qCuratePipelineSql)),
     Q("q_curate_sink", (s, d) => qCurateSink(s, d), Some(qCurateSinkSql)),
+    Q("q_curate_funnel", (s, d) => qCurateFunnel(s, d), Some(qCurateFunnelSql)),
     Q("q_curate_from_artifact", (s, d) => qCurateFromArtifact(s, d), Some(qCuratePipelineSql)),
     Q("q_curate_sink_artifact", (s, d) => qCurateSinkArtifact(s, d), Some(qCurateSinkSql)),
     Q("q_dedup_minhash_lsh", (s, d) => qDedupMinhashLsh(s, d), Some(qDedupMinhashLshSql)),
