@@ -205,6 +205,37 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** Plane count for [[lshNearDupPairsAuto]]: the smallest count
+    * holding expected bucket occupancy n/2^planes at or below
+    * `targetOccupancy`, clamped to [minPlanes, maxPlanes]. Pure so
+    * the selection rule itself is unit-testable. */
+  def autoPlanes(n: Long, targetOccupancy: Int = 16,
+                 minPlanes: Int = 8, maxPlanes: Int = 24): Int = {
+    require(targetOccupancy >= 1 && minPlanes >= 1 && maxPlanes >= minPlanes,
+      s"bad autoPlanes bounds: occ=$targetOccupancy min=$minPlanes max=$maxPlanes")
+    val needed = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2.0)).toInt
+    math.min(maxPlanes, math.max(minPlanes, needed))
+  }
+
+  /** [[lshNearDupPairs]] with the plane count sized to the corpus. A
+    * FIXED plane count silently reverts to quadratic as the corpus
+    * grows: the per-bucket self-join costs ~occupancy² per bucket and
+    * occupancy n/2^planes grows linearly with n (measured on the 8
+    * plane config: 5.3× at 10× data, then 32× at the next 3× once
+    * occupancy passed ~200 — PROFILE_r09). Holding occupancy constant
+    * by adding a plane per corpus doubling keeps the blocked join
+    * ~O(n·occ·tables): the one count() action that prices the corpus
+    * is free next to the join it sizes. Recall per table shrinks as
+    * planes grow — at 100 TB, scale `tables` with `planes` to hold
+    * the recall target (the standard LSH trade; recall is spec'd on
+    * planted near-dups in SimilaritySpec). */
+  def lshNearDupPairsAuto(corpus: DataFrame, idCol: String, embCol: String,
+                          tables: Int, targetOccupancy: Int = 16,
+                          minPlanes: Int = 8, maxPlanes: Int = 24): DataFrame =
+    lshNearDupPairs(corpus, idCol, embCol,
+      autoPlanes(corpus.count(), targetOccupancy, minPlanes, maxPlanes), tables)
+
   /** Greedy k-center (farthest-point) selection — the reference's
     * KCenterSampling. One Spark action per round (the MLlib idiom):
     * track each point's distance to its nearest chosen center, pick

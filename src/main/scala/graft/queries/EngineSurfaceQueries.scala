@@ -403,6 +403,14 @@ object EngineSurfaceQueries extends QueryModule {
     * distribution earns, which is the honest LSH contract). */
   private val EmbLshPlanes = 8
   private val EmbLshTables = 12
+  /** 12 planes = 4096 buckets/table — the configuration
+    * [[graft.operators.Similarity.autoPlanes]] picks at ~65k vectors
+    * (held bucket occupancy), gated oracle-exact at every SF exactly
+    * like the 8-plane config. sf3 measurement (PROFILE_r09): at 60k
+    * vectors the fixed 8-plane config is 87 s (occupancy ~234 —
+    * quadratic per bucket) and this one restores the near-linear
+    * curve. */
+  private val EmbLshPlanesWide = 12
   private def qDedupEmbedLsh(implicit s: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.lshNearDupPairs(
         Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
@@ -410,9 +418,16 @@ object EngineSurfaceQueries extends QueryModule {
       .orderBy(col("sim").desc, col("id_a"), col("id_b"))
       .limit(50)
 
-  private val qDedupEmbedLshSql = {
-    def bucket(t: Int) = (0 until EmbLshPlanes).map { p =>
-      val g = t * EmbLshPlanes + p
+  private def qDedupEmbedLshWide(implicit s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.lshNearDupPairs(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", EmbLshPlanesWide, EmbLshTables)
+      .orderBy(col("sim").desc, col("id_a"), col("id_b"))
+      .limit(50)
+
+  private def embLshSql(planes: Int): String = {
+    def bucket(t: Int) = (0 until planes).map { p =>
+      val g = t * planes + p
       s"""CASE WHEN list_aggregate(list_transform(embedding,
          |  (x, j) -> CAST(x AS DOUBLE) * ((j * ${2 * g + 3}) % 17 - 8)), 'sum') > 0
          |  THEN ${1L << p} ELSE 0 END""".stripMargin
@@ -452,5 +467,6 @@ object EngineSurfaceQueries extends QueryModule {
     Q("q_stream_recovery", (s, d) => qStreamRecovery(s, d), Some(qStreamRecoverySql)),
     Q("q_stream_join", (s, d) => qStreamJoin(s, d), Some(qStreamJoinSql)),
     Q("q_dedup_embed_cosine", (s, d) => qDedupEmbedCosine(s, d), Some(qDedupEmbedCosineSql)),
-    Q("q_dedup_embed_lsh", (s, d) => qDedupEmbedLsh(s, d), Some(qDedupEmbedLshSql)))
+    Q("q_dedup_embed_lsh", (s, d) => qDedupEmbedLsh(s, d), Some(embLshSql(EmbLshPlanes))),
+    Q("q_dedup_embed_lsh_wide", (s, d) => qDedupEmbedLshWide(s, d), Some(embLshSql(EmbLshPlanesWide))))
 }

@@ -164,6 +164,35 @@ class SimilaritySpec extends AnyFunSuite {
     corpus.unpersist()
   }
 
+  test("autoPlanes holds bucket occupancy: a plane per corpus doubling, clamped") {
+    // the selection rule that keeps the blocked self-join from
+    // reverting to quadratic as the corpus grows (fixed 8 planes
+    // measured 32x at 3x data once occupancy passed ~200)
+    assert(Similarity.autoPlanes(200) == 8)      // small corpus: floor
+    assert(Similarity.autoPlanes(4096) == 8)     // 4096/16 = 256 = 2^8
+    assert(Similarity.autoPlanes(4097) == 9)     // next doubling
+    assert(Similarity.autoPlanes(20000) == 11)
+    assert(Similarity.autoPlanes(60000) == 12)   // the sf3 case
+    assert(Similarity.autoPlanes(1L << 40) == 24) // ceiling clamp
+    assert(Similarity.autoPlanes(60000, targetOccupancy = 4) == 14)
+  }
+
+  test("lshNearDupPairsAuto equals the pinned-planes operator at the chosen count") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 120).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val corpus = rows.toDF("vec_id", "embedding").cache()
+    val auto = Similarity.lshNearDupPairsAuto(corpus, "vec_id", "embedding",
+        tables = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    val pinned = Similarity.lshNearDupPairs(corpus, "vec_id", "embedding",
+        Similarity.autoPlanes(120), tables = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(auto == pinned)
+    corpus.unpersist()
+    graft.core.Caches.releaseAll()
+  }
+
   test("lshTopK returns a subset of brute-force candidates with exact sims") {
     val embs = graft.core.Tables.embeddings(spark, TestSpark.SfDir)
     val q = embs.where($"vec_id" === 0)
