@@ -200,9 +200,17 @@ object Selection {
     *      engine-wide invariant "no empty-partition ordered window in
     *      any registered plan" (PlanShapeSpec sweep) stays absolute,
     *      with no bounded-input exception to reason about;
-    *   3. intra-bucket refinement window partitioned BY BUCKET
+    *   3. FRONTIER PRUNE: a bucket whose exclusive prefix already
+    *      exceeds the budget can never contribute a selected row
+    *      (`cum_tokens = prefix + intraCum ≥ prefix` — token counts
+    *      are non-negative), so those rows are filtered out BEFORE
+    *      the refinement window. At corpus ≫ budget this drops almost
+    *      every row from the sort: only the buckets straddling the
+    *      budget frontier are window-sorted, making the heavy stage's
+    *      cost a function of the BUDGET, not the corpus;
+    *   4. intra-bucket refinement window partitioned BY BUCKET
     *      (ordered score DESC, id ASC): each partition sorts only its
-    *      own bucket's rows.
+    *      own surviving bucket's rows.
     * A row is selected iff bucketPrefix + intraCum ≤ budget, which
     * equals the global greedy prefix EXACTLY — so a plain global
     * window replays it for the oracle, while the plan stays parallel
@@ -212,10 +220,12 @@ object Selection {
     * `scoreCol` MUST be non-null and in [0,1] — the ≤1001-bucket
     * broadcast-prefix claim depends on it (an unbounded score would
     * silently inflate the histogram theta join, and a NULL score
-    * would silently drop the row at the prefix join). The contract is
-    * ENFORCED: a codegen'd `raise_error` guard fails the job with a
-    * descriptive message on the first offending row — no extra pass,
-    * no silent blow-up.
+    * would silently drop the row at the prefix join) — and `tokenCol`
+    * MUST be non-null and ≥ 0: the frontier prune (and the greedy
+    * running total itself) assumes the cumulative token sum is
+    * monotone. Both contracts are ENFORCED: codegen'd `raise_error`
+    * guards fail the job with a descriptive message on the first
+    * offending row — no extra pass, no silent blow-up.
     *
     * Returns the selected rows with `cum_tokens` (the row's global
     * greedy running total, ≤ budget). `scoreCol` must be
@@ -230,10 +240,16 @@ object Selection {
         lit(s"tokenBudgetSelect: score column '$scoreCol' must be non-null in [0,1], got "),
         coalesce(col(scoreCol).cast("string"), lit("NULL")))).cast("double"))
       .otherwise(col(scoreCol))
+    val checkedTok = when(
+      col(tokenCol).isNull || col(tokenCol) < 0,
+      raise_error(concat(
+        lit(s"tokenBudgetSelect: token column '$tokenCol' must be non-null and >= 0, got "),
+        coalesce(col(tokenCol).cast("string"), lit("NULL")))).cast("long"))
+      .otherwise(col(tokenCol).cast("long"))
     val bucket = floor(checkedScore * lit(1000)).cast("long")
     val rows = df.withColumn("_tb_bucket", bucket)
     val hist = rows.groupBy(col("_tb_bucket"))
-      .agg(sum(col(tokenCol).cast("long")).as("_tb_btok"))
+      .agg(sum(checkedTok).as("_tb_btok"))
     // exclusive prefix over ≤1001 histogram rows via broadcast theta
     // self-join — see scaladoc point 2
     val higher = hist.select(col("_tb_bucket").as("_tb_hb"),
@@ -245,8 +261,9 @@ object Selection {
       .orderBy(col(scoreCol).desc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rows.join(broadcast(prefix), "_tb_bucket")
+      .where(col("_tb_prefix") <= lit(budget))
       .withColumn("cum_tokens",
-        col("_tb_prefix") + sum(col(tokenCol).cast("long")).over(wIntra))
+        col("_tb_prefix") + sum(checkedTok).over(wIntra))
       .where(col("cum_tokens") <= lit(budget))
       .drop("_tb_bucket", "_tb_prefix")
   }

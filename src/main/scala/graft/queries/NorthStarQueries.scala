@@ -652,6 +652,32 @@ object NorthStarQueries extends QueryModule {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** The persisted store probed from a STREAM — ingestion-time dedup:
+    * delta documents arrive as micro-batches and each batch is
+    * LSH-probed against the same bucketed on-disk store
+    * [[qDedupIncrementalStore]] persists (shared tag — `writeOnce`
+    * builds it exactly once per JVM). Emits STREAM×STORE pairs only,
+    * so the result is batch-boundary-invariant and a batch SQL oracle
+    * gates the streaming run exactly: the full run's pairs restricted
+    * to pairs with EXACTLY ONE delta side (the XOR restriction —
+    * internal delta pairs are [[qDedupIncrementalStore]]'s half). */
+  private def qStreamDedupStore(implicit s: SparkSession, dir: String): DataFrame = {
+    val all = docs.select(col("doc_id"), col("text"))
+    val corpus = all.where(col("doc_id") % 10 =!= 0)
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    Dedup.SignatureStore.writeOnce(s, corpus, "doc_id", "text", tag,
+      n = 3, k = MhK, bands = MhBands)
+    graft.streaming.EventStreams.streamingStoreProbe(s, dir, tag,
+        n = 3, k = MhK, bands = MhBands)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val qStreamDedupStoreSql =
+    s"""WITH ${minhashPairCtes("", "documents")}
+       |SELECT id_a, id_b, jaccard FROM pairs
+       |WHERE (id_a % 10 = 0) <> (id_b % 10 = 0)
+       |ORDER BY id_a, id_b""".stripMargin
+
   // ------------------------------------------- full curation pipeline
   /** The whole "curate a corpus" flow in ONE query — what a training-
     * data pipeline actually runs end to end: exact dedup (smallest-id
@@ -910,6 +936,7 @@ object NorthStarQueries extends QueryModule {
     Q("q_dedup_incremental", (s, d) => qDedupIncremental(s, d), Some(qDedupIncrementalSql)),
     Q("q_dedup_incremental_store", (s, d) => qDedupIncrementalStore(s, d), Some(qDedupIncrementalSql)),
     Q("q_dedup_store_day2", (s, d) => qDedupStoreDay2(s, d), Some(qDedupIncrementalSql)),
+    Q("q_stream_dedup_store", (s, d) => qStreamDedupStore(s, d), Some(qStreamDedupStoreSql)),
     Q("q_embed_cosine_topk", (s, d) => qCosineTopK(s, d), Some(qCosineTopKSql)),
     Q("q_embed_ann_lsh", (s, d) => qAnnLsh(s, d), Some(qAnnLshSql)),
     Q("q_embed_ivf", (s, d) => qIvfTopK(s, d), Some(qIvfTopKSql)),

@@ -131,6 +131,43 @@ object TrainDataQueries extends QueryModule {
        |GROUP BY t.doc_id HAVING COUNT(DISTINCT t.sh) >= $DecontamMinShared
        |ORDER BY t.doc_id""".stripMargin
 
+  /** Decontamination for the regime where the BENCHMARK side outgrows
+    * broadcast. [[qDecontaminate]] broadcasts the eval shingle→doc map
+    * — right while that map fits an executor (~50–100 bytes/entry).
+    * Once the held-out suite is itself large (every eval set ever
+    * shipped — billions of shingles), the exact join must shuffle BOTH
+    * sides, and the dominant cost becomes shuffling the full training
+    * corpus' exploded shingles, ~all of which match nothing. The bloom
+    * sketch of the eval shingles (~1.2 bytes/item at 1% fpp) still
+    * broadcasts when the hash map can't; probing it map-side
+    * (`bloom_might_contain(xxhash64(sh))`, codegen'd inside the scan
+    * stage) cuts the train side's shuffle input to matches + 1%
+    * BEFORE the exchange. The exact shuffle join over survivors then
+    * removes the false positives, so the composition is EXACTLY
+    * [[qDecontaminate]] — same oracle SQL gates both. The join is
+    * pinned `shuffle_hash` to gate the plan this operator exists for
+    * (no silent fallback to broadcast at fixture scale). */
+  private def qDecontamBloom(implicit s: SparkSession, dir: String): DataFrame = {
+    val ex = docs.select(col("doc_id"), col("source"),
+      explode(TextFns.shinglesDistinct(col("text"), 3)).as("sh"))
+    val train = ex.where(col("source") =!= "src0")
+      .select(col("doc_id"), col("sh"))
+    val eval = ex.where(col("source") === "src0")
+      .select(col("sh"), col("doc_id").as("eval_id"))
+    val evalHashes = eval.select(xxhash64(col("sh")).as("h"))
+    val nEval = evalHashes.count() // sizing action on the small side
+    val bloom = graft.plans.BloomMightContain.build(
+      evalHashes, "h", math.max(nEval, 1L), fpp = 0.01)
+    val pre = train.where(
+      graft.plans.BloomMightContain.probe(xxhash64(col("sh")), bloom))
+    pre.join(eval.hint("shuffle_hash"), "sh")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("sh")).as("n_shared"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .where(col("n_shared") >= DecontamMinShared)
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------- Gopher-style rule filter
   /** Rule-based quality filtering in the Gopher/MassiveText style:
     * word count band, mean word length band, stopword floor, and a
@@ -489,6 +526,7 @@ object TrainDataQueries extends QueryModule {
     Q("q_chunk_documents", (s, d) => qChunkDocuments(s, d), Some(qChunkDocumentsSql)),
     Q("q_pack_sequences", (s, d) => qPackSequences(s, d), Some(qPackSequencesSql)),
     Q("q_decontaminate", (s, d) => qDecontaminate(s, d), Some(qDecontaminateSql)),
+    Q("q_decontam_bloom", (s, d) => qDecontamBloom(s, d), Some(qDecontaminateSql)),
     Q("q_gopher_quality", (s, d) => qGopherQuality(s, d), Some(qGopherQualitySql)),
     Q("q_pii_redact", (s, d) => qPiiRedact(s, d), Some(qPiiRedactSql)),
     Q("q_mixture_resample", (s, d) => qMixtureResample(s, d), Some(qMixtureResampleSql)),

@@ -345,6 +345,80 @@ object EventStreams {
       .select(col("user_id"), col("hour"), col("event_type"))
   }
 
+  /** Split the DELTA documents (doc_id % 10 = 0 — the same delta the
+    * incremental-dedup family keys on) into `parts` parquet files for
+    * per-file micro-batches. Memoized per (dir, parts) per JVM like
+    * [[stageSplits]]. */
+  private val docSplitsWritten = scala.collection.mutable.Set[String]()
+  private def stageDeltaDocSplits(spark: SparkSession, dir: String,
+                                  parts: Int): String = synchronized {
+    val key = "dd_" + Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(s"$dir/$parts"))
+    val out = java.nio.file.Paths.get("/tmp/graft_stream_docdelta", key).toString
+    if (!docSplitsWritten.contains(out)) {
+      spark.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 10 === 0)
+        .repartition(parts)
+        .write.mode("overwrite").parquet(out)
+      docSplitsWritten += out
+    }
+    out
+  }
+
+  /** STREAM-VS-STORE dedup probe — the ingestion-time deployment of
+    * the persisted signature store: documents arrive as micro-batches
+    * (one staged file per trigger) and each batch is LSH-probed
+    * against the corpus' bucketed on-disk signature tables
+    * ([[graft.operators.Dedup.SignatureStore]], persisted by the
+    * caller), emitting verified near-dup (new doc, corpus doc) pairs
+    * as they arrive. Only STREAM×STORE pairs are emitted —
+    * batch-internal delta pairs are the batch path's job
+    * (`incrementalNearDupPairsFromStore`) — which makes the result
+    * INVARIANT to how the stream is chopped into batches; that
+    * invariance is what lets one batch SQL oracle gate a streaming
+    * execution exactly.
+    *
+    * Scale posture: the store is never recomputed and never shuffled
+    * (each batch runs the same store-side-Exchange-free probe plan
+    * DedupSpec asserts for the batch path); per-batch cost is
+    * batch-sized. The batchId-keyed `overwrite` sink keeps replays
+    * idempotent, so [[crashRecoveryDedup]]'s checkpoint-restart
+    * semantics carry over to this pipeline unchanged. */
+  def streamingStoreProbe(spark: SparkSession, dir: String, tag: String,
+                          n: Int, k: Int, bands: Int,
+                          threshold: Double = 0.5,
+                          parts: Int = 4): DataFrame = {
+    import graft.operators.Dedup
+    val staged = stageDeltaDocSplits(spark, dir, parts)
+    val run = java.util.UUID.randomUUID.toString.replace("-", "")
+    val out = s"/tmp/graft_stream_storeprobe/$run"
+    val storeBanded = Dedup.SignatureStore.banded(spark, tag)
+    val storeSets = Dedup.SignatureStore.sets(spark, tag)
+    val q = withStreamParallelism(spark, 4) {
+      spark.readStream.schema(DocSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .select(col("doc_id"), col("text"))
+        .writeStream.outputMode(OutputMode.Append)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val nb = Dedup.bandedSignatures(batch, "doc_id", "text", n, k, bands)
+          val cands = Dedup.probeSignatureStore(storeBanded, nb, "doc_id")
+            .distinct()
+          val sets = storeSets.unionByName(
+            Dedup.shingleSets(batch, "doc_id", "text", n))
+          Dedup.jaccardForPairs(cands, sets, "doc_id", "shset")
+            .where(col("jaccard") >= threshold)
+            .select(col("id_a"), col("id_b"),
+              round(col("jaccard"), 6).as("jaccard"))
+            .write.mode("overwrite").parquet(s"$out/b=$id")
+        }
+        .start()
+    }
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.read.parquet(out).select("id_a", "id_b", "jaccard")
+  }
+
   // ------------------------------------------------------- sessionize
   case class Ev(user_id: Long, tsMicros: Long, event_type: String)
   case class SessionState(start: Long, last: Long, n: Int)

@@ -158,4 +158,48 @@ class SelectionSpec extends AnyFunSuite {
     assert(plan.contains("hashpartitioning(_tb_bucket"),
       s"expected bucket-partitioned window exchange in:\n$plan")
   }
+
+  test("tokenBudgetSelect fails loudly on null or negative token counts") {
+    def msgChain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val negative = Seq((1L, 0.5, 3L), (2L, 0.6, -1L)).toDF("id", "score", "ntok")
+    val e1 = intercept[Exception] {
+      Selection.tokenBudgetSelect(negative, "id", "score", "ntok", 10L).collect()
+    }
+    assert(msgChain(e1).contains("must be non-null and >= 0"), msgChain(e1))
+    val withNull = Seq((1L, 0.5, Some(3L)), (2L, 0.6, None: Option[Long]))
+      .toDF("id", "score", "ntok")
+    val e2 = intercept[Exception] {
+      Selection.tokenBudgetSelect(withNull, "id", "score", "ntok", 10L).collect()
+    }
+    assert(msgChain(e2).contains("must be non-null and >= 0"), msgChain(e2))
+    // zero-token rows are legal (and selectable at the exact frontier)
+    val ok = Seq((1L, 0.9, 0L), (2L, 0.5, 10L)).toDF("id", "score", "ntok")
+    assert(Selection.tokenBudgetSelect(ok, "id", "score", "ntok", 10L).count() == 2)
+  }
+
+  test("tokenBudgetSelect prunes past-frontier buckets before the sort") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    // corpus ≫ budget: 10k rows of 5 tokens each, budget 40 — only the
+    // top bucket(s) may reach the refinement window
+    val df = (1 to 10000).map(i => (i.toLong, (i % 100) / 100.0, 5L))
+      .toDF("id", "score", "ntok")
+    val out = Selection.tokenBudgetSelect(df, "id", "score", "ntok", 40L)
+    // correctness at the frontier: 8 best rows selected
+    assert(out.count() == 8)
+    val lp = out.queryExecution.optimizedPlan
+    val windows = lp.collect {
+      case w: logical.Window
+        if w.partitionSpec.exists(_.toString.contains("_tb_bucket")) => w
+    }
+    assert(windows.nonEmpty, s"expected a bucket-partitioned Window in:\n$lp")
+    windows.foreach { w =>
+      val pruned = w.child.collect {
+        case f: logical.Filter if f.condition.toString.contains("_tb_prefix") => f
+      }
+      assert(pruned.nonEmpty,
+        s"frontier filter on _tb_prefix must sit BELOW the refinement window:\n$lp")
+    }
+  }
 }

@@ -87,6 +87,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("streamingStoreProbe equals the batch cross pairs and is batch-boundary-invariant") {
+    val dir = TestSpark.SfDir
+    // the registered query persists the store (writeOnce) and streams
+    // the delta in 4 file-batches
+    val got = SparkEntry.queries("q_stream_dedup_store")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    // batch twin: the full incremental run restricted to pairs with
+    // EXACTLY ONE delta side (stream×store only, no internal pairs)
+    val want = SparkEntry.queries("q_dedup_incremental")(spark, dir)
+      .where(($"id_a" % 10 === 0) =!= ($"id_b" % 10 === 0))
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want)
+    // chopping the same stream into a different number of micro-batches
+    // must not change the result — the invariance the oracle relies on
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val reChopped = EventStreams.streamingStoreProbe(spark, dir, tag,
+        n = 3, k = 12, bands = 4, parts = 2)
+      .orderBy($"id_a", $"id_b").collect().map(_.toSeq).toSeq
+    assert(reChopped == got)
+  }
+
   test("sessionize closes sessions on the 30-min gap") {
     val sessions = EventStreams.sessionize(spark, TestSpark.SfDir, 30)
     assert(sessions.count() > 0)
