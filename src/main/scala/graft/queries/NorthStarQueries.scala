@@ -484,6 +484,25 @@ object NorthStarQueries extends QueryModule {
   /** Distributed word count, top-20 — explode to tokens, grouped
     * count, TakeOrderedAndProject (at 100 TB the explode is a narrow
     * map and the count is one shuffle on the word). */
+  /** Exact corpus heavy hitters (count > N/200) via per-partition
+    * Misra–Gries candidates + broadcast exact recount — no vocabulary
+    * shuffle (see [[graft.operators.HeavyHitters]]). The oracle
+    * replays the plain GROUP BY … HAVING cnt·k > N form, which the
+    * sketch-then-verify composition equals exactly. */
+  private def qHeavyHitters(implicit s: SparkSession, dir: String): DataFrame =
+    graft.operators.HeavyHitters.exact(
+        docs.select(explode(TextFns.tokens(col("text"))).as("word")),
+        "word", k = 200)
+      .orderBy(col("cnt").desc, col("word"))
+
+  private val qHeavyHittersSql =
+    """WITH words AS (
+      |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+      |  FROM documents)
+      |SELECT word, COUNT(*) AS cnt FROM words GROUP BY word
+      |HAVING COUNT(*) * 200 > (SELECT COUNT(*) FROM words)
+      |ORDER BY cnt DESC, word""".stripMargin
+
   private def qWordcountTopk(implicit s: SparkSession, dir: String): DataFrame =
     docs.select(explode(TextFns.tokens(col("text"))).as("word"))
       .groupBy(col("word"))
@@ -885,6 +904,44 @@ object NorthStarQueries extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Sort-on-write zone-map skipping — the storage-layout operator for
+    * range predicates on a CONTINUOUS column (quality), complementing
+    * [[qCurateSink]]'s directory partitioning on a low-cardinality one
+    * (lang): score → [[graft.io.SortedLake.writeSorted]] (range
+    * partition + in-file sort, 1 MiB row groups) → read back with a
+    * `quality >= 0.84` scan whose pushed filter now SKIPS files and
+    * row groups via parquet min/max stats (SortedSkipSpec measures the
+    * scan reading a fraction of the lake vs ~all of it on an unsorted
+    * copy). Gated oracle-exact as a sink→scan→aggregate round trip
+    * recomputed from the original table. */
+  private def qSortedSkip(implicit s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Paths.get(Dedup.SignatureStore.root,
+      "sorted_lake_" + java.lang.Integer.toHexString(dir.hashCode)).toString
+    val scored = docs.select(col("doc_id"), col("lang"),
+      TextFns.qualityScore(col("text")).as("quality"),
+      TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+    graft.io.SortedLake.writeSorted(scored, "quality", out, partitions = 8)
+    s.read.parquet(out)
+      .where(col("quality") >= 0.84)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tot_tokens"),
+        round(min(col("quality")), 6).as("min_q"))
+      .orderBy(col("lang"))
+  }
+
+  private val qSortedSkipSql = {
+    val (_, _, quality) = qualitySqlBits
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang, $quality AS quality,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents)
+       |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+       |  round(MIN(quality), 6) AS min_q
+       |FROM scored WHERE quality >= 0.84
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** Token-budget corpus selection ("the best 8,000 tokens"): greedy
     * by (quality DESC, doc_id) while the running token total fits the
     * budget — the pre-training-job selection, gated exactly. Spark
@@ -946,6 +1003,8 @@ object NorthStarQueries extends QueryModule {
     Q("q_token_counts", (s, d) => qTokenCounts(s, d), Some(qTokenCountsSql)),
     Q("q_fingerprint", (s, d) => qFingerprint(s, d), Some(qFingerprintSql)),
     Q("q_wordcount_topk", (s, d) => qWordcountTopk(s, d), Some(qWordcountTopkSql)),
+    Q("q_heavy_hitters", (s, d) => qHeavyHitters(s, d), Some(qHeavyHittersSql)),
+    Q("q_sorted_skip", (s, d) => qSortedSkip(s, d), Some(qSortedSkipSql)),
     Q("q_wordcount_gen", (s, d) => qWordcountGen(s, d), Some(qWordcountTopkSql)),
     Q("q_bigram_lm_score", (s, d) => qBigramLmScore(s, d), Some(qBigramLmScoreSql)),
     Q("q_sql_functions", (s, d) => qSqlFunctions(s, d), Some(qSqlFunctionsSql)))

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFns
+
+/** Zone-map story: the same pushed range filter reads a FRACTION of a
+  * sort-on-write lake and ~ALL of an unsorted one — parquet row-group
+  * min/max skipping is a property of the LAYOUT, not the query. */
+class SortedSkipSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** numOutputRows summed over the file scans of an EXECUTED query —
+    * the rows the parquet reader actually produced after row-group
+    * skipping (the residual filter above the scan is not counted). */
+  private def scanRows(df: DataFrame): Long = {
+    df.collect()
+    // walk through the AQE wrapper and into query stages — a scan
+    // inside a ShuffleQueryStageExec is invisible to collectLeaves
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Long = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+      case s: FileSourceScanExec => s.metrics("numOutputRows").value
+      case other => other.children.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  test("sorted layout skips row groups; unsorted layout reads everything") {
+    // sf0.1 (5k docs): enough rows for several 64 KiB row groups per
+    // file, so skipping granularity is visible (500 docs is too coarse)
+    val scored = graft.core.Tables.documents(spark, "/root/testdata/sf0.1")
+      .select(col("doc_id"), TextFns.qualityScore(col("text")).as("quality"))
+    val total = scored.count()
+    val base = java.nio.file.Paths.get(
+      graft.operators.Dedup.SignatureStore.root, "sorted_skip_spec").toString
+
+    graft.io.SortedLake.writeSorted(scored, "quality", s"$base/sorted",
+      partitions = 4, rowGroupBytes = 64L * 1024)
+    // unsorted contrast: same rows, random order, same row-group size
+    scored.repartition(4).sortWithinPartitions(md5(col("doc_id").cast("string")))
+      .write.mode("overwrite")
+      .option("parquet.block.size", 64L * 1024)
+      .parquet(s"$base/unsorted")
+
+    // threshold at ~the 75th percentile of this fixture's quality
+    val cut = 0.84
+    def readCount(path: String) =
+      spark.read.parquet(path).where(col("quality") >= cut)
+        .agg(count(lit(1)).as("n"))
+    val sortedScan = scanRows(readCount(s"$base/sorted"))
+    val unsortedScan = scanRows(readCount(s"$base/unsorted"))
+    val matching = scored.where(col("quality") >= cut).count()
+
+    // identical answers from both layouts
+    assert(readCount(s"$base/sorted").head.getLong(0) == matching)
+    assert(readCount(s"$base/unsorted").head.getLong(0) == matching)
+    // the filter is pushed to the reader in both cases
+    val p = readCount(s"$base/sorted").queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(quality"),
+      s"range filter did not reach the parquet reader:\n$p")
+    // the layout is what skips: sorted reads a fraction, unsorted ~all
+    assert(unsortedScan >= (total * 9) / 10,
+      s"unsorted layout unexpectedly skipped: $unsortedScan of $total")
+    assert(sortedScan <= matching + (total / 4),
+      s"sorted layout did not skip: read $sortedScan of $total for $matching matches")
+    assert(sortedScan * 2 < unsortedScan,
+      s"expected >=2x scan reduction: sorted=$sortedScan unsorted=$unsortedScan")
+  }
+
+  test("q_sorted_skip round trip matches recomputation from the source table") {
+    val got = SparkEntry.queries("q_sorted_skip")(spark, TestSpark.SfDir)
+      .collect().map(_.toSeq).toSeq
+    val want = graft.core.Tables.documents(spark, TestSpark.SfDir)
+      .select(col("lang"), TextFns.qualityScore(col("text")).as("quality"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .where(col("quality") >= 0.84)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tot_tokens"),
+        round(min(col("quality")), 6).as("min_q"))
+      .orderBy(col("lang"))
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+}
