@@ -942,6 +942,41 @@ object NorthStarQueries extends QueryModule {
        |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** Z-order variant of [[qSortedSkip]]: the lake clustered on the
+    * Morton interleave of (quality, n_tokens) rank buckets, so range
+    * scans on EITHER column skip row groups (SortedSkipSpec measures
+    * both axes, plus the contrast that a single-column sort leaves the
+    * other axis at a full scan). Gated oracle-exact as the same
+    * sink→scan→aggregate round trip with a two-sided predicate. */
+  private def qZorderSkip(implicit s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Paths.get(Dedup.SignatureStore.root,
+      "zorder_lake_" + java.lang.Integer.toHexString(dir.hashCode)).toString
+    val scored = docs.select(col("doc_id"), col("lang"),
+      TextFns.qualityScore(col("text")).as("quality"),
+      TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+    graft.io.SortedLake.writeZOrdered(scored, "quality", "n_tokens", out,
+      partitions = 8)
+    s.read.parquet(out)
+      .where(col("quality") >= 0.6 && col("n_tokens").between(30, 70))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tot_tokens"),
+        round(max(col("quality")), 6).as("max_q"))
+      .orderBy(col("lang"))
+  }
+
+  private val qZorderSkipSql = {
+    val (_, _, quality) = qualitySqlBits
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang, $quality AS quality,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents)
+       |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+       |  round(MAX(quality), 6) AS max_q
+       |FROM scored WHERE quality >= 0.6 AND n_tokens BETWEEN 30 AND 70
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** Token-budget corpus selection ("the best 8,000 tokens"): greedy
     * by (quality DESC, doc_id) while the running token total fits the
     * budget — the pre-training-job selection, gated exactly. Spark
@@ -1005,6 +1040,7 @@ object NorthStarQueries extends QueryModule {
     Q("q_wordcount_topk", (s, d) => qWordcountTopk(s, d), Some(qWordcountTopkSql)),
     Q("q_heavy_hitters", (s, d) => qHeavyHitters(s, d), Some(qHeavyHittersSql)),
     Q("q_sorted_skip", (s, d) => qSortedSkip(s, d), Some(qSortedSkipSql)),
+    Q("q_zorder_skip", (s, d) => qZorderSkip(s, d), Some(qZorderSkipSql)),
     Q("q_wordcount_gen", (s, d) => qWordcountGen(s, d), Some(qWordcountTopkSql)),
     Q("q_bigram_lm_score", (s, d) => qBigramLmScore(s, d), Some(qBigramLmScoreSql)),
     Q("q_sql_functions", (s, d) => qSqlFunctions(s, d), Some(qSqlFunctionsSql)))

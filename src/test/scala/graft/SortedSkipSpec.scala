@@ -72,6 +72,53 @@ class SortedSkipSpec extends AnyFunSuite {
       s"expected >=2x scan reduction: sorted=$sortedScan unsorted=$unsortedScan")
   }
 
+  test("z-order skips on BOTH columns; single-column sort leaves the other at full scan") {
+    // the lake carries the document text (as a real one would) — the
+    // payload is what gives 5k rows enough row groups for a usefully
+    // fine Z grid at the 32 KiB group size
+    val scored = graft.core.Tables.documents(spark, "/root/testdata/sf0.1")
+      .select(col("doc_id"), col("text"),
+        TextFns.qualityScore(col("text")).as("quality"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val total = scored.count()
+    val base = java.nio.file.Paths.get(
+      graft.operators.Dedup.SignatureStore.root, "zorder_spec").toString
+
+    graft.io.SortedLake.writeZOrdered(scored, "quality", "n_tokens",
+      s"$base/z", partitions = 8, rowGroupBytes = 32L * 1024)
+    graft.io.SortedLake.writeSorted(scored, "quality",
+      s"$base/q_only", partitions = 8, rowGroupBytes = 32L * 1024)
+
+    // ~quartile slabs on each axis
+    def qFilter(path: String) = spark.read.parquet(path)
+      .where(col("quality") >= 0.84).agg(count(lit(1)))
+    def tFilter(path: String) = spark.read.parquet(path)
+      .where(col("n_tokens") <= 32).agg(count(lit(1)))
+
+    val zQuality = scanRows(qFilter(s"$base/z"))
+    val zTokens = scanRows(tFilter(s"$base/z"))
+    val qSortedTokens = scanRows(tFilter(s"$base/q_only"))
+
+    // answers identical across layouts
+    assert(qFilter(s"$base/z").head.getLong(0) ==
+      scored.where(col("quality") >= 0.84).count())
+    assert(tFilter(s"$base/z").head.getLong(0) ==
+      scored.where(col("n_tokens") <= 32).count())
+    // both axes skip on the z-ordered lake: a ~25% slab on either
+    // column reads well under half the lake
+    assert(zQuality * 2 < total,
+      s"z-order did not skip on quality: read $zQuality of $total")
+    assert(zTokens * 2 < total,
+      s"z-order did not skip on n_tokens: read $zTokens of $total")
+    // the single-column sort helps the other column only as far as the
+    // two columns correlate (quality has a 0.4 length weight on this
+    // fixture, so substantial incidental order survives); the z-order
+    // layout must still strictly beat that incidental skipping
+    assert(zTokens * 100 < qSortedTokens * 85,
+      s"z-order ($zTokens rows) should beat the quality-sorted layout " +
+        s"($qSortedTokens rows) on the n_tokens axis; total=$total")
+  }
+
   test("q_sorted_skip round trip matches recomputation from the source table") {
     val got = SparkEntry.queries("q_sorted_skip")(spark, TestSpark.SfDir)
       .collect().map(_.toSeq).toSeq
@@ -82,6 +129,21 @@ class SortedSkipSpec extends AnyFunSuite {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tot_tokens"),
         round(min(col("quality")), 6).as("min_q"))
+      .orderBy(col("lang"))
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("q_zorder_skip round trip matches recomputation from the source table") {
+    val got = SparkEntry.queries("q_zorder_skip")(spark, TestSpark.SfDir)
+      .collect().map(_.toSeq).toSeq
+    val want = graft.core.Tables.documents(spark, TestSpark.SfDir)
+      .select(col("lang"), TextFns.qualityScore(col("text")).as("quality"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .where(col("quality") >= 0.6 && col("n_tokens").between(30, 70))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tot_tokens"),
+        round(max(col("quality")), 6).as("max_q"))
       .orderBy(col("lang"))
       .collect().map(_.toSeq).toSeq
     assert(got.nonEmpty && got == want)
