@@ -503,6 +503,29 @@ object Dedup {
         .saveAsTable(setsTable(toTag))
     }
 
+    /** RETENTION — the last step of the daily-cron loop: drop
+      * generation `tag` (catalog entries AND on-disk data) once a
+      * newer generation has been absorbed and its probe verified.
+      * The counterpart of [[absorb]] writing to a NEW path: day N
+      * stays readable until day N+1 commits, then this reclaims the
+      * space. Safe by construction — [[absorb]] materializes real
+      * files under the new tag's own path, so no later generation
+      * references the vacuumed one. Idempotent: missing tables or
+      * directories are not an error. */
+    def vacuum(spark: org.apache.spark.sql.SparkSession, tag: String): Unit =
+      synchronized {
+        spark.sql(s"DROP TABLE IF EXISTS ${bandedTable(tag)}")
+        spark.sql(s"DROP TABLE IF EXISTS ${setsTable(tag)}")
+        val base = java.nio.file.Paths.get(root, s"sig_store_$tag")
+        if (java.nio.file.Files.exists(base)) {
+          val walk = java.nio.file.Files.walk(base)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        }
+        written -= tag
+      }
+
     /** [[absorb]] memoized per JVM per `toTag` (same contract as
       * [[writeOnce]]: persist once, probe repeatedly). */
     def absorbOnce(spark: org.apache.spark.sql.SparkSession, fromTag: String,

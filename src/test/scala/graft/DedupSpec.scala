@@ -435,4 +435,34 @@ class DedupSpec extends AnyFunSuite {
     // keeper 10 and size 2; 20/30 have no near-dups → absent
     assert(clusters == Set((10L, 10L, 2L), (12L, 10L, 2L)))
   }
+
+  test("vacuum reclaims the old generation without touching the absorbed one") {
+    val docsAll = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different content about large scale data systems"),
+      (11L, "the quick brown fox jumps over the lazy dog tonight")
+    ).toDF("doc_id", "text")
+    val day0 = docsAll.where($"doc_id" < 10L)
+    val delta = docsAll.where($"doc_id" >= 10L)
+    Dedup.SignatureStore.write(spark, day0, "doc_id", "text", "vac0", buckets = 4)
+    Dedup.SignatureStore.absorb(spark, "vac0", "vac1", delta,
+      "doc_id", "text", buckets = 4)
+    val gen1Before = Dedup.SignatureStore.banded(spark, "vac1")
+      .as[(Long, Int, String)].collect().toSet
+
+    Dedup.SignatureStore.vacuum(spark, "vac0")
+    // old generation fully gone: catalog and disk
+    assert(!spark.catalog.tableExists(Dedup.SignatureStore.bandedTable("vac0")))
+    assert(!spark.catalog.tableExists(Dedup.SignatureStore.setsTable("vac0")))
+    val oldDir = java.nio.file.Paths.get(
+      Dedup.SignatureStore.root, "sig_store_vac0")
+    assert(!java.nio.file.Files.exists(oldDir), s"$oldDir survived vacuum")
+    // the absorbed generation is self-contained: identical after vacuum
+    val gen1After = Dedup.SignatureStore.banded(spark, "vac1")
+      .as[(Long, Int, String)].collect().toSet
+    assert(gen1After == gen1Before && gen1After.nonEmpty)
+    // idempotent: vacuuming a missing generation is a no-op
+    Dedup.SignatureStore.vacuum(spark, "vac0")
+    Dedup.SignatureStore.vacuum(spark, "vac1")
+  }
 }
