@@ -247,7 +247,17 @@ object Selection {
         coalesce(col(tokenCol).cast("string"), lit("NULL")))).cast("long"))
       .otherwise(col(tokenCol).cast("long"))
     val bucket = floor(checkedScore * lit(1000)).cast("long")
-    val rows = df.withColumn("_tb_bucket", bucket)
+    // MATERIALIZE the bucketed projection once (cache barrier). Without
+    // it the optimizer inlines the caller's score expression (which may
+    // be a many-regex quality formula) into the guard's CASE branches
+    // and every pushed-down filter — and codegen's common-subexpression
+    // elimination does not hoist expressions inside conditional
+    // branches, so the score would be re-evaluated MANY times per row,
+    // in BOTH the histogram pass and the window pass (measured 60 s →
+    // 2 s at 30× the bench SF). The cached frame is the narrow
+    // (input-columns, bucket) projection — the standard persist-the-
+    // scored-frame step of a selection pipeline, spillable at scale.
+    val rows = graft.core.Caches.track(df.withColumn("_tb_bucket", bucket))
     val hist = rows.groupBy(col("_tb_bucket"))
       .agg(sum(checkedTok).as("_tb_btok"))
     // exclusive prefix over ≤1001 histogram rows via broadcast theta
