@@ -65,21 +65,36 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               qId: String, cId: String, embCol: String, cellCol: String,
               probes: Int, k: Int): DataFrame = {
+    val centDim = centroidNumerators(corpus, embCol, cellCol)
+    val probed = probedCells(queries, centDim, qId, embCol, cellCol, probes)
+    rankWithinCells(queries, corpus, probed, qId, cId, embCol, cellCol, k)
+  }
+
+  /** Centroid NUMERATOR per (cell, dim): exact decimal sum of the
+    * members' components; the /n happens once, in double, at the end.
+    * Widths are the widest exact-product split: (14,10)·(23,10) →
+    * (38,20), the 38-digit cap with no rounding on either engine.
+    * Narrower casts ((12,10)/(18,10)) silently NULL on overflow in
+    * non-ANSI Spark but ERROR in DuckDB — the same latent divergence
+    * the Lloyd's/PCA accumulators were widened against. */
+  private def centroidNumerators(corpus: DataFrame, embCol: String,
+                                 cellCol: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    // centroid NUMERATOR per (cell, dim): exact decimal sum of the
-    // members' components; the /n happens once, in double, at the end.
-    // Widths are the widest exact-product split: (14,10)·(23,10) →
-    // (38,20), the 38-digit cap with no rounding on either engine.
-    // Narrower casts ((12,10)/(18,10)) silently NULL on overflow in
-    // non-ANSI Spark but ERROR in DuckDB — the same latent divergence
-    // the Lloyd's/PCA accumulators were widened against.
-    val centDim = corpus
+    corpus
       .select(col(cellCol), posexplode(col(embCol)).as(Seq("pos", "v")))
       .groupBy(col(cellCol), col("pos"))
       .agg(sum(col("v").cast("double").cast(DecimalType(23, 10)))
         .cast(DecimalType(23, 10)).as("cn"),
         count(lit(1)).as("n"))
-    // query·centroid via the long format: one join + grouped sum
+  }
+
+  /** Top-`probes` cells per query by query·centroid similarity —
+    * assembled from the exact numerators (addition-order-free), one
+    * join + grouped sum in the long format. */
+  private def probedCells(queries: DataFrame, centDim: DataFrame,
+                          qId: String, embCol: String, cellCol: String,
+                          probes: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val qDim = queries.select(col(qId).as("query_id"),
       posexplode(col(embCol)).as(Seq("pos", "qv")))
     val cellScore = qDim.join(centDim, "pos")
@@ -89,19 +104,97 @@ object Similarity {
           .cast("double") / max(col("n")), 6).as("cell_sim"))
     val wCell = Window.partitionBy(col("query_id"))
       .orderBy(col("cell_sim").desc, col(cellCol))
-    val probed = cellScore.withColumn("crk", row_number().over(wCell))
+    cellScore.withColumn("crk", row_number().over(wCell))
       .where(col("crk") <= probes)
       .select(col("query_id"), col(cellCol))
+  }
+
+  /** Exact cosine rank of each query against the members of ITS probed
+    * cells only. */
+  private def rankWithinCells(queries: DataFrame, corpus: DataFrame,
+                              probed: DataFrame, qId: String, cId: String,
+                              embCol: String, cellCol: String,
+                              k: Int): DataFrame = {
     val scored = corpus.alias("c")
-      .join(broadcast(probed), corpus(cellCol) === probed(cellCol))
+      .join(broadcast(probed.alias("p")),
+        col(s"c.$cellCol") === col(s"p.$cellCol"))
       .join(broadcast(queries.alias("q")),
-        col("query_id") === col(s"q.$qId"))
+        col("p.query_id") === col(s"q.$qId"))
       .withColumn("sim", round(cosine(col(s"q.$embCol"), col(s"c.$embCol")), 6))
-      .select(col("query_id"), col(s"c.$cId").as("vec_id"), col("sim"))
+      .select(col("p.query_id").as("query_id"),
+        col(s"c.$cId").as("vec_id"), col("sim"))
       .where(col("query_id") =!= col("vec_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+
+  /** PERSISTED IVF index — the reference saves its trained FAISS index
+    * to disk and reloads it per run (reference `faiss_utils`); this is
+    * that lifecycle on the lake: build the index ONCE (one corpus
+    * pass), serve every later query set from the artifact without
+    * touching the raw corpus.
+    *
+    * Layout: `vectors` partitioned BY CELL (directory-per-cell, so a
+    * probe's literal cell filter prunes at file listing — the plan
+    * shows PartitionFilters, spec-asserted), and `centroids` as the
+    * exact decimal numerator frame [[centroidNumerators]] produces —
+    * storing NUMERATORS rather than divided floats keeps the probe's
+    * cell choice bit-identical to the from-scratch path and lets the
+    * index absorb future cell-level merges without re-rounding. */
+  object IvfStore {
+    def path(tag: String): java.nio.file.Path = java.nio.file.Paths.get(
+      Dedup.SignatureStore.root, s"ivf_store_$tag")
+
+    def write(spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
+              cId: String, embCol: String, cellCol: String,
+              tag: String): Unit = {
+      val base = path(tag)
+      java.nio.file.Files.createDirectories(base)
+      corpus.select(col(cId), col(embCol), col(cellCol))
+        .write.mode("overwrite").partitionBy(cellCol)
+        .parquet(base.resolve("vectors").toString)
+      centroidNumerators(corpus, embCol, cellCol)
+        .write.mode("overwrite")
+        .parquet(base.resolve("centroids").toString)
+    }
+
+    private val written = scala.collection.mutable.Set[String]()
+    def writeOnce(spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
+                  cId: String, embCol: String, cellCol: String,
+                  tag: String): Unit = synchronized {
+      if (!written.contains(tag)) {
+        write(spark, corpus, cId, embCol, cellCol, tag)
+        written += tag
+      }
+    }
+
+    def centroids(spark: org.apache.spark.sql.SparkSession, tag: String): DataFrame =
+      spark.read.parquet(path(tag).resolve("centroids").toString)
+    def vectors(spark: org.apache.spark.sql.SparkSession, tag: String): DataFrame =
+      spark.read.parquet(path(tag).resolve("vectors").toString)
+  }
+
+  /** [[ivfTopK]] served from the PERSISTED index: identical output
+    * (same exact-numerator cell ranking, same in-cell cosine rank),
+    * but the corpus side is the on-disk partitioned `vectors` table
+    * restricted to the union of probed cells with a LITERAL in-filter
+    * — collected from the tiny (query, cell) probe frame — so the
+    * scan prunes whole cell directories at planning time instead of
+    * reading the corpus. The raw corpus is never touched. */
+  def ivfTopKFromStore(spark: org.apache.spark.sql.SparkSession,
+                       queries: DataFrame, tag: String,
+                       qId: String, cId: String, embCol: String,
+                       cellCol: String, probes: Int, k: Int): DataFrame = {
+    val centDim = IvfStore.centroids(spark, tag)
+    val probed = graft.core.Caches.track(
+      probedCells(queries, centDim, qId, embCol, cellCol, probes))
+    val cellType = centDim.schema(cellCol).dataType
+    val cells = probed.select(col(cellCol)).distinct().collect().map(_.get(0))
+    val corpus = IvfStore.vectors(spark, tag)
+      .where(col(cellCol).isin(cells: _*))
+      .withColumn(cellCol, col(cellCol).cast(cellType))
+    rankWithinCells(queries, corpus, probed, qId, cId, embCol, cellCol, k)
   }
 
   /** Random-hyperplane LSH bucket id for one hash table: `planes`

@@ -268,6 +268,22 @@ object NorthStarQueries extends QueryModule {
       .select(col("query_id"), col("rk"), col("vec_id"), col("sim"))
       .orderBy(col("query_id"), col("rk"))
 
+  /** [[qIvfTopK]] served from the PERSISTED index (the reference's
+    * save-the-FAISS-index-to-disk lifecycle): build once via
+    * `IvfStore.writeOnce` — vectors partitioned by cell, centroids as
+    * exact numerators — then answer the query set from the artifact;
+    * the probed cells' literal filter prunes whole cell directories
+    * (PartitionFilters, spec-asserted) and the raw corpus is never
+    * read. Same oracle as the from-scratch path: identical output. */
+  private def qIvfStore(implicit s: SparkSession, dir: String): DataFrame = {
+    val tag = "ivf_" + java.lang.Integer.toHexString(dir.hashCode)
+    Similarity.IvfStore.writeOnce(s, embs, "vec_id", "embedding", "label", tag)
+    Similarity.ivfTopKFromStore(s, queryVecs, tag, "vec_id", "vec_id",
+        "embedding", "label", probes = 2, k = 10)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("sim"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   private val qIvfTopKSql =
     s"""WITH longfmt AS (
        |  SELECT vec_id, label, unnest(embedding) AS v,
@@ -1032,6 +1048,7 @@ object NorthStarQueries extends QueryModule {
     Q("q_embed_cosine_topk", (s, d) => qCosineTopK(s, d), Some(qCosineTopKSql)),
     Q("q_embed_ann_lsh", (s, d) => qAnnLsh(s, d), Some(qAnnLshSql)),
     Q("q_embed_ivf", (s, d) => qIvfTopK(s, d), Some(qIvfTopKSql)),
+    Q("q_embed_ivf_store", (s, d) => qIvfStore(s, d), Some(qIvfTopKSql)),
     Q("q_kcenter_select", (s, d) => qKCenter(s, d), Some(qKCenterSql)),
     Q("q_lang_id", (s, d) => qLangId(s, d), Some(qLangIdSql)),
     Q("q_quality_score", (s, d) => qQualityScore(s, d), Some(qQualityScoreSql)),

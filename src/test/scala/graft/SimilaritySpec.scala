@@ -203,4 +203,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
     lsh.foreach { case (id, s) => assert(bf(id) == s) } // sims agree exactly
   }
+
+  test("ivfTopKFromStore equals the from-scratch probe and prunes cell directories") {
+    val embs = graft.core.Tables.embeddings(spark, TestSpark.SfDir)
+    val queries = embs.where($"vec_id" < 5)
+    Similarity.IvfStore.write(spark, embs, "vec_id", "embedding", "label",
+      "spec_ivf")
+    val fromStore = Similarity.ivfTopKFromStore(spark, queries, "spec_ivf",
+      "vec_id", "vec_id", "embedding", "label", probes = 2, k = 10)
+    val got = fromStore.select($"query_id", $"rk", $"vec_id", $"sim")
+      .orderBy($"query_id", $"rk").collect().map(_.toSeq).toSeq
+    val want = Similarity.ivfTopK(queries, embs, "vec_id", "vec_id",
+        "embedding", "label", probes = 2, k = 10)
+      .select($"query_id", $"rk", $"vec_id", $"sim")
+      .orderBy($"query_id", $"rk").collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want)
+    // the corpus side is the store's partitioned vectors table, pruned
+    // at the directory level by the probed cells (the QUERY SET still
+    // comes from the caller's frame — only the corpus read moves)
+    val plan = fromStore.queryExecution.executedPlan.toString
+    assert(plan.contains("ivf_store_spec_ivf"), "probe must read the store")
+    val vectorScan = plan.split("\n")
+      .filter(l => l.contains("ivf_store_spec_ivf") && l.contains("PartitionFilters"))
+    assert(vectorScan.exists(l => l.contains("PartitionFilters: [") &&
+        l.contains("label") && !l.contains("PartitionFilters: []")),
+      s"vectors scan did not prune cell directories:\n${plan.take(3000)}")
+    graft.core.Caches.releaseAll()
+  }
 }
