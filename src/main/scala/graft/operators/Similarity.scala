@@ -173,6 +173,54 @@ object Similarity {
       spark.read.parquet(path(tag).resolve("centroids").toString)
     def vectors(spark: org.apache.spark.sql.SparkSession, tag: String): DataFrame =
       spark.read.parquet(path(tag).resolve("vectors").toString)
+
+    /** Absorb a delta of new vectors into the persisted index WITHOUT
+      * re-reading the old corpus vectors' embeddings for the centroid
+      * update — this is why [[centroidNumerators]] stores NUMERATORS:
+      * centroid state merges by plain decimal addition
+      * (cn += delta_cn, n += delta_n), exactly, with no re-rounding,
+      * so the absorbed index is bit-identical to a from-scratch build
+      * over corpus ∪ delta (spec-asserted). The vectors table is the
+      * one full rewrite (same new-tag-then-vacuum discipline as
+      * [[Dedup.SignatureStore.absorb]]); at scale a cell-partitioned
+      * table appends the delta's cells in place instead.
+      *
+      * `delta` ids must be NEW (an ANN corpus is append-only;
+      * re-ingest = delete + add). Writes generation `toTag`; the old
+      * generation stays readable until this commits. */
+    def absorb(spark: org.apache.spark.sql.SparkSession, fromTag: String,
+               toTag: String, delta: DataFrame, cId: String,
+               embCol: String, cellCol: String): Unit = {
+      require(fromTag != toTag,
+        "absorb writes a NEW tag; in-place overwrite would read and clobber the same files")
+      val base = path(toTag)
+      java.nio.file.Files.createDirectories(base)
+      val cellType = centroids(spark, fromTag).schema(cellCol).dataType
+      vectors(spark, fromTag)
+        .withColumn(cellCol, col(cellCol).cast(cellType))
+        .select(col(cId), col(embCol), col(cellCol))
+        .unionByName(delta.select(col(cId), col(embCol), col(cellCol)))
+        .write.mode("overwrite").partitionBy(cellCol)
+        .parquet(base.resolve("vectors").toString)
+      centroids(spark, fromTag)
+        .unionByName(centroidNumerators(delta, embCol, cellCol))
+        .groupBy(col(cellCol), col("pos"))
+        .agg(sum(col("cn")).cast(
+            org.apache.spark.sql.types.DecimalType(23, 10)).as("cn"),
+          sum(col("n")).as("n"))
+        .write.mode("overwrite")
+        .parquet(base.resolve("centroids").toString)
+    }
+
+    /** [[absorb]] memoized per JVM per `toTag`. */
+    def absorbOnce(spark: org.apache.spark.sql.SparkSession, fromTag: String,
+                   toTag: String, delta: DataFrame, cId: String,
+                   embCol: String, cellCol: String): Unit = synchronized {
+      if (!written.contains(toTag)) {
+        absorb(spark, fromTag, toTag, delta, cId, embCol, cellCol)
+        written += toTag
+      }
+    }
   }
 
   /** [[ivfTopK]] served from the PERSISTED index: identical output

@@ -284,6 +284,26 @@ object NorthStarQueries extends QueryModule {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Day-2 of the index lifecycle: day-0 index over ~6/7 of the
+    * corpus, the rest absorbed as a delta (centroid NUMERATORS merge
+    * by exact decimal addition — no old-corpus re-read, no
+    * re-rounding), day-2 queries served from the absorbed index. The
+    * absorbed index is bit-identical to a from-scratch build over the
+    * full corpus, so the SAME oracle as [[qIvfTopK]] gates it. */
+  private def qIvfStoreDay2(implicit s: SparkSession, dir: String): DataFrame = {
+    val hex = java.lang.Integer.toHexString(dir.hashCode)
+    val day0 = embs.where(col("vec_id") % 7 =!= 3)
+    val delta = embs.where(col("vec_id") % 7 === 3)
+    Similarity.IvfStore.writeOnce(s, day0, "vec_id", "embedding", "label",
+      s"ivf_${hex}_d0")
+    Similarity.IvfStore.absorbOnce(s, s"ivf_${hex}_d0", s"ivf_${hex}_d1",
+      delta, "vec_id", "embedding", "label")
+    Similarity.ivfTopKFromStore(s, queryVecs, s"ivf_${hex}_d1",
+        "vec_id", "vec_id", "embedding", "label", probes = 2, k = 10)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("sim"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   private val qIvfTopKSql =
     s"""WITH longfmt AS (
        |  SELECT vec_id, label, unnest(embedding) AS v,
@@ -1049,6 +1069,7 @@ object NorthStarQueries extends QueryModule {
     Q("q_embed_ann_lsh", (s, d) => qAnnLsh(s, d), Some(qAnnLshSql)),
     Q("q_embed_ivf", (s, d) => qIvfTopK(s, d), Some(qIvfTopKSql)),
     Q("q_embed_ivf_store", (s, d) => qIvfStore(s, d), Some(qIvfTopKSql)),
+    Q("q_embed_ivf_day2", (s, d) => qIvfStoreDay2(s, d), Some(qIvfTopKSql)),
     Q("q_kcenter_select", (s, d) => qKCenter(s, d), Some(qKCenterSql)),
     Q("q_lang_id", (s, d) => qLangId(s, d), Some(qLangIdSql)),
     Q("q_quality_score", (s, d) => qQualityScore(s, d), Some(qQualityScoreSql)),

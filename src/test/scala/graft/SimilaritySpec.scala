@@ -230,4 +230,31 @@ class SimilaritySpec extends AnyFunSuite {
       s"vectors scan did not prune cell directories:\n${plan.take(3000)}")
     graft.core.Caches.releaseAll()
   }
+
+  test("IvfStore.absorb == from-scratch build: exact numerator merge, identical probe") {
+    val embs = graft.core.Tables.embeddings(spark, TestSpark.SfDir)
+    val queries = embs.where($"vec_id" < 5)
+    val day0 = embs.where($"vec_id" % 7 =!= 3)
+    val delta = embs.where($"vec_id" % 7 === 3)
+    Similarity.IvfStore.write(spark, day0, "vec_id", "embedding", "label",
+      "spec_ivf_d0")
+    Similarity.IvfStore.absorb(spark, "spec_ivf_d0", "spec_ivf_d1", delta,
+      "vec_id", "embedding", "label")
+    Similarity.IvfStore.write(spark, embs, "vec_id", "embedding", "label",
+      "spec_ivf_full")
+    // centroid state after absorb is bit-identical to the full build —
+    // the exactness the decimal-numerator representation buys
+    def cents(tag: String) = Similarity.IvfStore.centroids(spark, tag)
+      .select($"label", $"pos", $"cn".cast("string"), $"n")
+      .collect().map(_.toSeq).toSet
+    assert(cents("spec_ivf_d1") == cents("spec_ivf_full"))
+    // and the day-2 probe equals the from-scratch probe
+    def probe(tag: String) = Similarity.ivfTopKFromStore(spark, queries, tag,
+        "vec_id", "vec_id", "embedding", "label", probes = 2, k = 10)
+      .select($"query_id", $"rk", $"vec_id", $"sim")
+      .orderBy($"query_id", $"rk").collect().map(_.toSeq).toSeq
+    val d1 = probe("spec_ivf_d1")
+    assert(d1.nonEmpty && d1 == probe("spec_ivf_full"))
+    graft.core.Caches.releaseAll()
+  }
 }
