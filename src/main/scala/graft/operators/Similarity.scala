@@ -377,6 +377,49 @@ object Similarity {
     lshNearDupPairs(corpus, idCol, embCol,
       autoPlanes(corpus.count(), targetOccupancy, minPlanes, maxPlanes), tables)
 
+  /** SemDeDup-style semantic dedup: bound the pairwise cosine search
+    * by a k-means partition of embedding space, then within each
+    * cluster drop every vector that has a smaller-id neighbor with
+    * rounded cosine ≥ tau. Keeping the minimum id per near-duplicate
+    * neighborhood is the deterministic relational form of
+    * keep-one-representative-per-ε-group (published as SemDeDup,
+    * arXiv:2303.09540): a dropped vector always has a kept witness
+    * within tau, and the rule needs no iteration — one pair join, one
+    * anti join.
+    *
+    * Scale posture: the quadratic is confined to within-cluster pairs
+    * (Σ n_c² ≈ n²/k for balanced clusters), and production corpora
+    * size k with the corpus exactly like [[autoPlanes]] sizes the LSH
+    * plane count — k ∝ n holds per-cluster occupancy flat, so cost
+    * tracks n·occupancy, not n². The cluster step is the exact
+    * fixed-init Lloyd's ([[Clustering.lloydExactAssign]]) so the
+    * whole operator stays DuckDB-replayable; swapping in MLlib KMeans
+    * changes only the label column. The self-join shuffles both sides
+    * once on the cluster key; the verify filter runs inside the join
+    * (codegen'd [[graft.plans.ArrayCosineSim]]), and only (id, flag)
+    * pairs leave it.
+    *
+    * Returns (idCol, cluster, kept) for every input row, kept ∈ {0,1}.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, embCol: String,
+                    k: Int, iters: Int, tau: Double,
+                    roundTo: Int = 6): DataFrame = {
+    val labeled = Clustering.lloydExactAssign(df, idCol, embCol, k, iters)
+      .select(col(idCol), col(embCol), col("cluster"))
+    val a = labeled.select(col("cluster"), col(idCol).as("_id_a"),
+      col(embCol).as("_emb_a"))
+    val b = labeled.select(col("cluster"), col(idCol).as("_id_b"),
+      col(embCol).as("_emb_b"))
+    val dropped = a.join(b, Seq("cluster"))
+      .where(col("_id_a") < col("_id_b") &&
+        round(cosine(col("_emb_a"), col("_emb_b")), roundTo) >= tau)
+      .select(col("_id_b").as(idCol)).distinct()
+    labeled.select(col(idCol), col("cluster"))
+      .join(dropped.withColumn("_drop", lit(1)), Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        when(col("_drop").isNull, lit(1)).otherwise(lit(0)).as("kept"))
+  }
+
   /** Greedy k-center (farthest-point) selection — the reference's
     * KCenterSampling. One Spark action per round (the MLlib idiom):
     * track each point's distance to its nearest chosen center, pick

@@ -589,8 +589,48 @@ object MlQueries extends QueryModule {
       .orderBy(col("vec_id"))
   }
 
+  // ------------------------------------------------- semantic dedup
+  /** SemDeDup (cluster-bounded embedding dedup): exact Lloyd's
+    * partition (k=4, 2 rounds — the same fixed-init chain as
+    * q_kmeans_exact, so the oracle replays it digit-for-digit), then
+    * within each cluster drop every vector with a smaller-id
+    * neighbor at rounded cosine ≥ 0.4. The published scale recipe
+    * for embedding-space dedup: the quadratic is confined to
+    * within-cluster pairs and production k grows with the corpus
+    * ([[graft.operators.Similarity.semanticDedup]] scaladoc). τ=0.40
+    * sits at the ~99.9th percentile of the fixture's within-cluster
+    * similarity (29/500 dropped at sf0.01) — a real decision
+    * boundary, not a vacuous one. */
+  private val SemTau = 0.4
+  private def qDedupSemantic(implicit s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.semanticDedup(embs, "vec_id", "embedding",
+        k = 4, iters = 2, tau = SemTau)
+      .orderBy(col("vec_id"))
+
+  private val qDedupSemanticSql = {
+    def cos(a: String, b: String) =
+      s"""(list_aggregate(list_transform(list_zip($a, $b),
+         |      p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum')
+         |    / (sqrt(list_aggregate(list_transform($a, x -> CAST(x AS DOUBLE) * x), 'sum'))
+         |       * sqrt(list_aggregate(list_transform($b, x -> CAST(x AS DOUBLE) * x), 'sum'))))""".stripMargin
+    s"""WITH $lloydCtes,
+       |lab AS (
+       |  SELECT a1.vec_id, a1.cluster, e.embedding
+       |  FROM a1 JOIN e ON e.vec_id = a1.vec_id),
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM lab a JOIN lab b
+       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE round(${cos("a.embedding", "b.embedding")}, 6) >= $SemTau)
+       |SELECT l.vec_id, l.cluster,
+       |  CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+       |FROM lab l LEFT JOIN dropped d ON d.vec_id = l.vec_id
+       |ORDER BY l.vec_id""".stripMargin
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q_kmeans", (s, d) => qKmeans(s, d), None),
+    Q("q_dedup_semantic", (s, d) => qDedupSemantic(s, d), Some(qDedupSemanticSql)),
     Q("q_kmeans_exact", (s, d) => qKmeansExact(s, d), Some(qKmeansExactSql)),
     Q("q_cluster_select_exact", (s, d) => qClusterSelectExact(s, d), Some(qClusterSelectExactSql)),
     Q("q_kmeans_select", (s, d) => qKmeansSelect(s, d), None),

@@ -257,4 +257,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(d1.nonEmpty && d1 == probe("spec_ivf_full"))
     graft.core.Caches.releaseAll()
   }
+
+  test("semanticDedup drops planted near-dups to their min-id witness") {
+    // Two clean clusters around e_x (ids 0,2,4) and e_y (ids 1,3,5);
+    // id 6 lands in the y-cluster but is no one's near-dup at τ=0.99.
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.95f, 0.05f, 0.0f)),
+      (3L, Array(0.0f, 0.9f, 0.1f)),
+      (4L, Array(1.0f, 0.02f, 0.0f)),
+      (5L, Array(0.05f, 1.0f, 0.0f)),
+      (6L, Array(0.6f, 0.8f, 0.0f))).toDF("vec_id", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.semanticDedup(d, "vec_id", "embedding",
+        k = 2, iters = 2, tau = 0.99)
+    val out = run(df).select($"vec_id", $"cluster", $"kept")
+      .as[(Long, Int, Int)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == (0L to 6L))
+    val kept = out.filter(_._3 == 1).map(_._1).toSet
+    assert(kept == Set(0L, 1L, 6L))
+    // every dropped id has a KEPT same-cluster witness with a smaller id
+    out.filter(_._3 == 0).foreach { case (id, c, _) =>
+      val witnesses = out.filter(r => r._3 == 1 && r._2 == c && r._1 < id)
+      assert(witnesses.nonEmpty, s"dropped $id in cluster $c has no kept witness")
+    }
+    // partition-invariant: same result from a 7-way repartition
+    val re = run(df.repartition(7)).select($"vec_id", $"cluster", $"kept")
+      .as[(Long, Int, Int)].collect().sortBy(_._1)
+    assert(re.toSeq == out.toSeq)
+  }
 }
