@@ -134,6 +134,40 @@ object Selection {
       case other => throw new IllegalArgumentException(s"unknown strategy $other")
     }
 
+  /** Weighted sampling WITHOUT replacement, probability proportional
+    * to a weight column (Efraimidis–Spirakis exponential-key scheme):
+    * each row draws the deterministic md5-h15 uniform u ∈ (0, 1] and
+    * the k rows with the largest ln(u)/w are the sample — the
+    * order-equivalent form of taking the k largest u^(1/w), which
+    * realizes exact probability-proportional-to-weight selection.
+    * The standard corpus-sampling scheme (weight = token count ⇒
+    * sample by data mass, not document count).
+    *
+    * Scale posture: the key is a narrow per-row codegen expression
+    * (no normalization pass — E-S needs only relative weights), and
+    * selection is one TakeOrdered top-k (per-partition heaps + a
+    * k-row driver merge), never a global sort. Determinism: the hash
+    * makes the "random" draw a pure function of (seed, id), so the
+    * sample is reproducible and repartition-invariant. Weights must
+    * be strictly positive — enforced by a codegen'd raise_error
+    * (w ≤ 0 silently corrupts the ordering otherwise).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, seed: Long): DataFrame = {
+    val w = col(weightCol).cast("double")
+    val wOk = when(w.isNull || w <= 0.0, raise_error(concat(
+        lit(s"weightedSample: $weightCol must be > 0, got "),
+        col(weightCol).cast("string")))).otherwise(w)
+    val h = conv(substring(md5(concat(lit(s"$seed:"),
+        col(idCol).cast("string")).cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    val u = (h.cast("double") + lit(1.0)) / lit(1152921504606846976.0)
+    df.withColumn("_es_key", log(u) / wOk)
+      .orderBy(col("_es_key").desc, col(idCol))
+      .limit(k)
+      .drop("_es_key")
+  }
+
   /** Per-stratum deterministic fraction sample WITHOUT a per-stratum
     * global window. The classic form — `row_number() OVER (PARTITION
     * BY stratum ORDER BY md5(id))  ≤ ceil(cnt·f)` — funnels the whole

@@ -191,8 +191,36 @@ object SessionQueries extends QueryModule {
       |WHERE rn <= ceil(cnt * 0.1)
       |ORDER BY lang, doc_id""".stripMargin
 
+  // ---------------------------------------------- weighted sampling
+  /** Weighted sampling without replacement, probability ∝ n_chars —
+    * sampling by data MASS rather than document count (the corpus-
+    * mixture idiom). Efraimidis–Spirakis exponential keys over the
+    * deterministic md5-h15 uniform; the oracle replays the identical
+    * key formula, and the engine side is one TakeOrdered top-k
+    * ([[graft.operators.Selection.weightedSample]] scaladoc). */
+  private val WsK = 100
+  private val WsSeed = 77L
+  private def qSampleWeighted(implicit s: SparkSession, dir: String): DataFrame =
+    graft.operators.Selection.weightedSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+        "doc_id", "n_chars", WsK, WsSeed)
+      .orderBy(col("doc_id"))
+
+  private val qSampleWeightedSql = {
+    val h15 = graft.operators.Scorers.ProxyBackend
+      .h15Sql(WsSeed, "CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id, source, n_chars FROM (
+       |  SELECT doc_id, source, n_chars,
+       |    ln((CAST($h15 AS DOUBLE) + 1.0) / 1152921504606846976.0)
+       |      / CAST(n_chars AS DOUBLE) AS es_key
+       |  FROM documents
+       |  ORDER BY es_key DESC, doc_id LIMIT $WsK)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q_sessionize_batch", (s, d) => qSessionizeBatch(s, d), Some(qSessionizeBatchSql)),
+    Q("q_sample_weighted", (s, d) => qSampleWeighted(s, d), Some(qSampleWeightedSql)),
     Q("q_session_window", (s, d) => qSessionWindow(s, d), Some(qSessionWindowSql)),
     Q("q_stream_session", (s, d) => qStreamSession(s, d), Some(qSessionWindowSql)),
     Q("q_sample_stratified", (s, d) => qSampleStratified(s, d), Some(qSampleStratifiedSql)),

@@ -202,4 +202,29 @@ class SelectionSpec extends AnyFunSuite {
         s"frontier filter on _tb_prefix must sit BELOW the refinement window:\n$lp")
     }
   }
+
+  test("weightedSample: k distinct rows, heavy weight wins, repartition-invariant") {
+    val df = ((1 to 200).map(i => (i.toLong, 10L)) :+ (999L, 1000000L))
+      .toDF("id", "w")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      Selection.weightedSample(d, "id", "w", k = 20, seed = 7L)
+        .select($"id").as[Long].collect().sorted.toSeq
+    val out = ids(df)
+    assert(out.size == 20 && out.distinct.size == 20)
+    // a weight 10^5× the others has inclusion probability ≈ 1
+    assert(out.contains(999L))
+    // deterministic and independent of physical layout
+    assert(ids(df.repartition(13)) == out)
+    // a different seed draws a different sample
+    assert(Selection.weightedSample(df, "id", "w", 20, seed = 8L)
+      .select($"id").as[Long].collect().sorted.toSeq != out)
+  }
+
+  test("weightedSample fails loudly on non-positive weights") {
+    val bad = Seq((1L, 5L), (2L, 0L)).toDF("id", "w")
+    val e = intercept[Exception] {
+      Selection.weightedSample(bad, "id", "w", 2, seed = 1L).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
