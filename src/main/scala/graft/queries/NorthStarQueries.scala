@@ -563,6 +563,76 @@ object NorthStarQueries extends QueryModule {
       .orderBy(col("n").desc, col("word"))
       .limit(20)
 
+  // ------------------------------------------ inverted index + BM25
+  /** Inverted-index build: per term df, cf, and the exact top-5
+    * postings by (tf DESC, doc ASC) — truncated WITHOUT a per-term
+    * window over raw postings (per-partition bounded heap + window
+    * over the ≤ partitions·P candidates; see
+    * [[graft.operators.TextIndex.topPostingsPerTerm]]). The oracle
+    * replays the plain single-window form — the hash gate is the
+    * proof the sketch-then-rank composition equals it. */
+  private val IdxTopP = 5
+  private def qIndexInverted(implicit s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextIndex.invertedIndex(docs, "doc_id", "text", IdxTopP)
+      .orderBy(col("word"))
+
+  private val qIndexInvertedSql =
+    s"""WITH w AS (
+       |  SELECT doc_id AS doc, unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |  FROM documents),
+       |tf AS (SELECT word, doc, count(*) AS tf FROM w GROUP BY 1, 2),
+       |stats AS (
+       |  SELECT word, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+       |  FROM tf GROUP BY 1),
+       |top AS (
+       |  SELECT word, doc, tf,
+       |    row_number() OVER (PARTITION BY word ORDER BY tf DESC, doc) AS rk
+       |  FROM tf),
+       |p AS (
+       |  SELECT word, string_agg(doc || ':' || tf, ',' ORDER BY rk) AS postings
+       |  FROM top WHERE rk <= $IdxTopP GROUP BY word)
+       |SELECT s.word, s.df, s.cf, p.postings
+       |FROM stats s JOIN p USING (word) ORDER BY s.word""".stripMargin
+
+  /** BM25 top-10 for a fixed bag-of-terms query: rational idf (N/df,
+    * the TF-IDF operator's convention — transcendental-free so both
+    * engines compute the identical double), per-(doc, term)
+    * contribution rounded then DECIMAL-summed per doc (exact,
+    * order-independent). Corpus stats broadcast; the term filter
+    * prunes the scan before any shuffle. */
+  private val Bm25Terms = Seq("data", "join", "stream")
+  private val Bm25K1 = 1.2
+  private val Bm25B  = 0.75
+  private def qBm25TopK(implicit s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextIndex.bm25TopK(docs, "doc_id", "text",
+      Bm25Terms, Bm25K1, Bm25B, topK = 10)
+
+  private val qBm25TopKSql = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH w AS (
+       |  SELECT doc_id AS doc, unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |  FROM documents),
+       |tf AS (SELECT word, doc, count(*) AS tf FROM w GROUP BY 1, 2),
+       |dl AS (
+       |  SELECT doc_id AS doc,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS dl
+       |  FROM documents),
+       |stats AS (
+       |  SELECT CAST(SUM(CAST(dl AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS avgdl,
+       |    CAST(COUNT(*) AS DOUBLE) AS n FROM dl),
+       |m AS (SELECT * FROM tf WHERE word IN ($terms)),
+       |df AS (SELECT word, CAST(count(*) AS DOUBLE) AS df FROM m GROUP BY 1),
+       |c AS (
+       |  SELECT m.doc, round(
+       |    (stats.n / df.df) * (CAST(m.tf AS DOUBLE) * ${Bm25K1 + 1.0})
+       |      / (CAST(m.tf AS DOUBLE)
+       |         + ${Bm25K1} * (${1.0 - Bm25B} + ${Bm25B} * dl.dl / stats.avgdl)),
+       |    6) AS c
+       |  FROM m JOIN df USING (word) JOIN dl ON dl.doc = m.doc CROSS JOIN stats)
+       |SELECT doc, round(CAST(SUM(CAST(c AS DECIMAL(28,6))) AS DOUBLE), 6) AS score
+       |FROM c GROUP BY doc ORDER BY score DESC, doc LIMIT 10""".stripMargin
+  }
+
   private def qFingerprint(implicit s: SparkSession, dir: String): DataFrame =
     docs.select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
@@ -1076,6 +1146,8 @@ object NorthStarQueries extends QueryModule {
     Q("q_token_counts", (s, d) => qTokenCounts(s, d), Some(qTokenCountsSql)),
     Q("q_fingerprint", (s, d) => qFingerprint(s, d), Some(qFingerprintSql)),
     Q("q_wordcount_topk", (s, d) => qWordcountTopk(s, d), Some(qWordcountTopkSql)),
+    Q("q_index_inverted", (s, d) => qIndexInverted(s, d), Some(qIndexInvertedSql)),
+    Q("q_bm25_topk", (s, d) => qBm25TopK(s, d), Some(qBm25TopKSql)),
     Q("q_heavy_hitters", (s, d) => qHeavyHitters(s, d), Some(qHeavyHittersSql)),
     Q("q_sorted_skip", (s, d) => qSortedSkip(s, d), Some(qSortedSkipSql)),
     Q("q_zorder_skip", (s, d) => qZorderSkip(s, d), Some(qZorderSkipSql)),
