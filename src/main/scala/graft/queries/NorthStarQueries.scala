@@ -633,6 +633,24 @@ object NorthStarQueries extends QueryModule {
        |FROM c GROUP BY doc ORDER BY score DESC, doc LIMIT 10""".stripMargin
   }
 
+  // --------------------------------------------- TextRank keywords
+  /** TextRank corpus keywords: weighted PageRank over the word
+    * co-occurrence graph, 10 damped rounds replayed exactly by the
+    * oracle ([[graft.operators.TextRank]] scaladoc — the QualityModel
+    * decimal-exactness recipe applied to graph iteration; iteration
+    * state is vocab-sized, never corpus-sized). */
+  private val TrDamping = 0.85
+  private val TrIters = 10
+  private def qTextRank(implicit s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextRank.textRank(docs, "text", TrDamping, TrIters)
+      .select(col("word"), round(col("r"), 6).as("rank"))
+      .orderBy(col("rank").desc, col("word"))
+      .limit(10)
+
+  private val qTextRankSql =
+    graft.operators.TextRank.textRankSql("documents", "text",
+      TrDamping, TrIters, topK = 10)
+
   private def qFingerprint(implicit s: SparkSession, dir: String): DataFrame =
     docs.select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
@@ -1148,6 +1166,7 @@ object NorthStarQueries extends QueryModule {
     Q("q_wordcount_topk", (s, d) => qWordcountTopk(s, d), Some(qWordcountTopkSql)),
     Q("q_index_inverted", (s, d) => qIndexInverted(s, d), Some(qIndexInvertedSql)),
     Q("q_bm25_topk", (s, d) => qBm25TopK(s, d), Some(qBm25TopKSql)),
+    Q("q_textrank", (s, d) => qTextRank(s, d), Some(qTextRankSql)),
     Q("q_heavy_hitters", (s, d) => qHeavyHitters(s, d), Some(qHeavyHittersSql)),
     Q("q_sorted_skip", (s, d) => qSortedSkip(s, d), Some(qSortedSkipSql)),
     Q("q_zorder_skip", (s, d) => qZorderSkip(s, d), Some(qZorderSkipSql)),
