@@ -191,6 +191,69 @@ object EngineSurfaceQueries extends QueryModule {
       |  COUNT(CASE WHEN doc_id % 97 <> 0 AND doc_id % 89 <> 0 AND doc_id % 83 = 0 THEN 1 END) AS n_neginf
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // --------------------------------------------- CSV / ORC roundtrips
+  /** CSV sink→scan→agg with a quoting-stress column (embedded comma
+    * AND double-quote force the writer's quote/escape path). Schema'd
+    * read — no inference pass over the data. Scale note: fields stay
+    * newline-free so the scan remains splittable (multiLine CSV
+    * disables intra-file parallelism — the format's real cost at
+    * 100 TB; parquet/ORC are the engine's native lake formats, CSV is
+    * the interchange edge). */
+  private def qCsvRoundtrip(implicit s: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(graft.io.JsonIO.SharegptFixturePath).getParent +
+      "/csv_rt_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        concat(col("source"), lit(",\""), col("lang")).as("tricky"))
+      .write.mode("overwrite").option("header", "true").csv(out)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType), StructField("tricky", StringType)))
+    s.read.schema(schema).option("header", "true").csv(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("tricky")).as("n_tricky"),
+        max(length(col("tricky"))).as("max_tricky_len"))
+      .orderBy(col("lang"))
+  }
+
+  private val qCsvRoundtripSql =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  COUNT(DISTINCT source || ',"' || lang) AS n_tricky,
+      |  CAST(MAX(length(source || ',"' || lang)) AS INTEGER) AS max_tricky_len
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** ORC sink→scan→agg: the engine's second columnar lake format,
+    * with a pushable range predicate on the re-read (ORC carries the
+    * same stripe-level min/max machinery as parquet row groups). */
+  private def qOrcRoundtrip(implicit s: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(graft.io.JsonIO.SharegptFixturePath).getParent +
+      "/orc_rt_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+        col("l_shipdate"))
+      .write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_qty"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val qOrcRoundtripSql =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ------------------------------------------------- hopping windows
   /** Batch hopping window (1 h window, 30 min hop): every event lands
     * in exactly two windows; expressed as a window() groupBy, which
@@ -461,6 +524,8 @@ object EngineSurfaceQueries extends QueryModule {
     Q("q_stats_agg", (s, d) => qStatsAgg(s, d), Some(qStatsAggSql)),
     Q("q_udaf_moments", (s, d) => qUdafMoments(s, d), Some(qUdafMomentsSql)),
     Q("q_json_roundtrip", (s, d) => qJsonRoundtrip(s, d), Some(qJsonRoundtripSql)),
+    Q("q_csv_roundtrip", (s, d) => qCsvRoundtrip(s, d), Some(qCsvRoundtripSql)),
+    Q("q_orc_roundtrip", (s, d) => qOrcRoundtrip(s, d), Some(qOrcRoundtripSql)),
     Q("q_hopping_window", (s, d) => qHoppingWindow(s, d), Some(hopOracleSql)),
     Q("q_stream_sliding", (s, d) => qStreamSliding(s, d), Some(hopOracleSql)),
     Q("q_stream_dedup", (s, d) => qStreamDedup(s, d), Some(qStreamDedupSql)),
