@@ -633,6 +633,58 @@ object NorthStarQueries extends QueryModule {
        |FROM c GROUP BY doc ORDER BY score DESC, doc LIMIT 10""".stripMargin
   }
 
+  // ------------------------------------------------ count-min sketch
+  /** Count–min frequency sketch over corpus words, d=3 rows × w=16
+    * buckets — deliberately undersized so collisions are REAL at
+    * fixture scale and the one-sided error (est ≥ exact) is a live
+    * invariant, not a vacuous one. The whole sketch is md5-bucketed
+    * and therefore bit-replayable by the oracle; the `overest` column
+    * is the per-word excess the DuckDB replay must reproduce exactly.
+    * ([[graft.operators.Sketches]] — frequency answers WITHOUT a
+    * vocabulary-sized table; the exact join here exists to gate the
+    * invariant, production serves estimates straight from the d·w
+    * grid.) */
+  private val CmsD = 3
+  private val CmsW = 16
+  private def qSketchCms(implicit s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val words = docs.select(explode(TextFns.tokens(col("text"))).as("word"))
+    val counters = Sketches.cmsCounters(words, "word", CmsD, CmsW)
+    val vocab = words.groupBy(col("word")).agg(count(lit(1)).as("exact"))
+    Sketches.cmsEstimate(counters, vocab.select(col("word")), "word", CmsD, CmsW)
+      .join(vocab, "word")
+      .select(col("word"), col("exact"), col("est"),
+        (col("est") - col("exact")).as("overest"))
+      .orderBy(col("word"))
+  }
+
+  private val qSketchCmsSql = {
+    import graft.operators.Sketches
+    val builds = (0 until CmsD).map(r =>
+      s"SELECT $r AS r, ${Sketches.cmsBucketSql("word", r, CmsW)} AS bucket FROM words")
+      .mkString("\n    UNION ALL ")
+    val probes = (0 until CmsD).map(r =>
+      s"""SELECT v.word, c.cnt FROM vocab v JOIN cells c
+         |      ON c.r = $r AND c.bucket = ${Sketches.cmsBucketSql("v.word", r, CmsW)}""".stripMargin)
+      .mkString("\n    UNION ALL ")
+    s"""WITH words AS (
+       |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |  FROM documents),
+       |cells AS MATERIALIZED (
+       |  SELECT r, bucket, COUNT(*) AS cnt FROM (
+       |    $builds)
+       |  GROUP BY 1, 2),
+       |vocab AS MATERIALIZED (
+       |  SELECT word, COUNT(*) AS exact FROM words GROUP BY 1),
+       |est AS (
+       |  SELECT word, MIN(cnt) AS est FROM (
+       |    $probes)
+       |  GROUP BY 1)
+       |SELECT v.word, v.exact, e.est, e.est - v.exact AS overest
+       |FROM vocab v JOIN est e ON e.word = v.word
+       |ORDER BY v.word""".stripMargin
+  }
+
   // --------------------------------------------- TextRank keywords
   /** TextRank corpus keywords: weighted PageRank over the word
     * co-occurrence graph, 10 damped rounds replayed exactly by the
@@ -1167,6 +1219,7 @@ object NorthStarQueries extends QueryModule {
     Q("q_index_inverted", (s, d) => qIndexInverted(s, d), Some(qIndexInvertedSql)),
     Q("q_bm25_topk", (s, d) => qBm25TopK(s, d), Some(qBm25TopKSql)),
     Q("q_textrank", (s, d) => qTextRank(s, d), Some(qTextRankSql)),
+    Q("q_sketch_cms", (s, d) => qSketchCms(s, d), Some(qSketchCmsSql)),
     Q("q_heavy_hitters", (s, d) => qHeavyHitters(s, d), Some(qHeavyHittersSql)),
     Q("q_sorted_skip", (s, d) => qSortedSkip(s, d), Some(qSortedSkipSql)),
     Q("q_zorder_skip", (s, d) => qZorderSkip(s, d), Some(qZorderSkipSql)),
