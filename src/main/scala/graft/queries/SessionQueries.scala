@@ -191,6 +191,50 @@ object SessionQueries extends QueryModule {
       |WHERE rn <= ceil(cnt * 0.1)
       |ORDER BY lang, doc_id""".stripMargin
 
+  // -------------------------------------------------- funnel analysis
+  /** Classic ordered funnel: view → click → purchase, each step the
+    * user's FIRST qualifying event strictly after the previous step
+    * and within 7 days of it. Three user-keyed join+min-agg stages —
+    * the per-step frames shrink monotonically, every shuffle is on
+    * user_id, and no window touches the raw event stream. Output is
+    * the one-row funnel report (counts are integers — exact). */
+  private def qEventFunnel(implicit s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = ev.where(col("event_type") === "click").join(v, "user_id")
+      .where(col("ts") > col("t1") &&
+        col("ts") <= col("t1") + expr("INTERVAL 7 DAYS"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val p = ev.where(col("event_type") === "purchase").join(c, "user_id")
+      .where(col("ts") > col("t2") &&
+        col("ts") <= col("t2") + expr("INTERVAL 7 DAYS"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    ev.agg(countDistinct(col("user_id")).as("n_users"))
+      .crossJoin(v.agg(count(lit(1)).as("n_view")))
+      .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_full_funnel")))
+  }
+
+  private val qEventFunnelSql =
+    """WITH v AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN v ON v.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.t1
+      |    AND e.ts <= v.t1 + INTERVAL 7 DAY
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN c ON c.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      |    AND e.ts <= c.t2 + INTERVAL 7 DAY
+      |  GROUP BY e.user_id)
+      |SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+      |  (SELECT COUNT(*) FROM v) AS n_view,
+      |  (SELECT COUNT(*) FROM c) AS n_view_click,
+      |  (SELECT COUNT(*) FROM p) AS n_full_funnel""".stripMargin
+
   // ---------------------------------------------- weighted sampling
   /** Weighted sampling without replacement, probability ∝ n_chars —
     * sampling by data MASS rather than document count (the corpus-
@@ -221,6 +265,7 @@ object SessionQueries extends QueryModule {
   override def queries: Seq[Q] = Seq(
     Q("q_sessionize_batch", (s, d) => qSessionizeBatch(s, d), Some(qSessionizeBatchSql)),
     Q("q_sample_weighted", (s, d) => qSampleWeighted(s, d), Some(qSampleWeightedSql)),
+    Q("q_event_funnel", (s, d) => qEventFunnel(s, d), Some(qEventFunnelSql)),
     Q("q_session_window", (s, d) => qSessionWindow(s, d), Some(qSessionWindowSql)),
     Q("q_stream_session", (s, d) => qStreamSession(s, d), Some(qSessionWindowSql)),
     Q("q_sample_stratified", (s, d) => qSampleStratified(s, d), Some(qSampleStratifiedSql)),

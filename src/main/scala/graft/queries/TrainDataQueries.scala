@@ -521,6 +521,46 @@ object TrainDataQueries extends QueryModule {
        |FROM kept GROUP BY mix_class ORDER BY mix_class""".stripMargin
   }
 
+  // ------------------------------------------- score normalization
+  /** Per-source feature scaling of a document score (z-score AND
+    * min-max) — the normalize-before-mixing step every multi-corpus
+    * pipeline runs (scores from different sources are not comparable
+    * raw). Mean/variance use the [[graft.operators.ExactMoments]]
+    * decimal machinery — order-independent exact sums, so the group
+    * stats are bit-identical across engines and partitionings; the
+    * per-row z/minmax are single rounded divisions. Group stats
+    * broadcast back (one row per source). */
+  private def qScoreNormalize(implicit s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ExactMoments
+    val scored = docs.select(col("doc_id"), col("source"),
+      col("n_chars").cast("double").as("x"))
+    val stats = scored.groupBy(col("source"))
+      .agg(ExactMoments(col("x")).as("m"),
+        min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .select(col("source"), col("m.mean").as("mean"),
+        sqrt(col("m.var_samp")).as("sd"), col("mn"), col("mx"))
+    scored.join(broadcast(stats), "source")
+      .select(col("doc_id"), col("source"),
+        round((col("x") - col("mean")) / col("sd"), 6).as("z"),
+        round((col("x") - col("mn")) / (col("mx") - col("mn")), 6).as("minmax"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qScoreNormalizeSql = {
+    val (n, mean, v) = graft.operators.ExactMoments.oracleSqlParts("x")
+    s"""WITH scored AS (
+       |  SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS x FROM documents),
+       |stats AS (
+       |  SELECT source, $mean AS mean, sqrt($v) AS sd,
+       |    MIN(x) AS mn, MAX(x) AS mx
+       |  FROM scored GROUP BY source)
+       |SELECT s.doc_id, s.source,
+       |  round((s.x - st.mean) / st.sd, 6) AS z,
+       |  round((s.x - st.mn) / (st.mx - st.mn), 6) AS minmax
+       |FROM scored s JOIN stats st ON st.source = s.source
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
   // --------------------------------------- learned quality classifier
   /** Distill the Gopher-style rule filter into a learned linear
     * scorer: logistic-regression GD ([[graft.operators.QualityModel]])
@@ -642,6 +682,7 @@ object TrainDataQueries extends QueryModule {
 
   override def queries: Seq[Q] = Seq(
     Q("q_quality_classifier", (s, d) => qQualityClassifier(s, d), Some(qQualityClassifierSql)),
+    Q("q_score_normalize", (s, d) => qScoreNormalize(s, d), Some(qScoreNormalizeSql)),
     Q("q_mixture_target", (s, d) => qMixtureTarget(s, d), Some(qMixtureTargetSql)),
     Q("q_chunk_documents", (s, d) => qChunkDocuments(s, d), Some(qChunkDocumentsSql)),
     Q("q_pack_sequences", (s, d) => qPackSequences(s, d), Some(qPackSequencesSql)),
