@@ -18,7 +18,8 @@ object SparkEntry {
     NorthStarQueries,
     MlQueries,
     SessionQueries,
-    TrainDataQueries)
+    TrainDataQueries,
+    LakeQueries)
 
   private lazy val all: Seq[Q] = {
     val qs = modules.flatMap(_.queries)

@@ -1,0 +1,343 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFns
+import graft.operators.{Dedup, Merge}
+
+/** Lake-lifecycle and corpus-observability surfaces: snapshot diff
+  * (CDC between two corpus versions), keyed MERGE-upsert with a real
+  * write-back round trip, schema-evolution reads, time-series
+  * gap-filling, per-group exact outlier detection, cross-source
+  * shingle contamination, and a one-pass data-quality constraint
+  * report — the operations a corpus pipeline runs BETWEEN the query
+  * workloads the other modules cover.
+  *
+  * Two deterministic corpus versions are derived from the `documents`
+  * fixture (shared by the diff and merge gates, replayed verbatim by
+  * their oracles):
+  *  - v0 ("yesterday"): rows with `doc_id % 13 != 0`;
+  *  - v1 ("today"): rows with `doc_id % 17 != 0`, where rows with
+  *    `doc_id % 11 == 0` carry an edited payload (`text || ' v2'` —
+  *    ASCII concat, identical in both engines; upper/locale tricks
+  *    are deliberately avoided: Java and DuckDB disagree on ß→SS).
+  * So v1-only ids are adds, v0-only ids are removes, `% 11` ids
+  * present in both are changes.
+  */
+object LakeQueries extends QueryModule {
+
+  private def docs(implicit s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+
+  private def snapV0(implicit s: SparkSession, dir: String): DataFrame =
+    docs.where(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"), col("text"), col("lang"))
+
+  private def snapV1(implicit s: SparkSession, dir: String): DataFrame =
+    docs.where(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"),
+        col("lang"))
+
+  private val snapCtes =
+    """v0 AS (
+      |  SELECT doc_id, text, lang FROM documents WHERE doc_id % 13 <> 0),
+      |v1 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text,
+      |    lang
+      |  FROM documents WHERE doc_id % 17 <> 0)""".stripMargin
+
+  // ------------------------------------------------- snapshot diff
+  /** Change-data-capture between corpus v0 and v1: classify every key
+    * as added / removed / changed / unchanged and publish the per-
+    * status accounting (count + exact id checksum). The 100 TB
+    * posture is [[Merge.snapshotDiff]]'s: both sides project to
+    * (key, md5) before the full-outer join, so only digests shuffle,
+    * and the join co-partitions on the key. */
+  private def qCorpusDiff(implicit s: SparkSession, dir: String): DataFrame =
+    Merge.snapshotDiff(snapV0, snapV1, "doc_id", "text")
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("status"))
+
+  private val qCorpusDiffSql =
+    s"""WITH $snapCtes,
+       |d AS (
+       |  SELECT coalesce(v0.doc_id, v1.doc_id) AS doc_id,
+       |    CASE WHEN v0.doc_id IS NULL THEN 'added'
+       |         WHEN v1.doc_id IS NULL THEN 'removed'
+       |         WHEN md5(v0.text) <> md5(v1.text) THEN 'changed'
+       |         ELSE 'unchanged' END AS status
+       |  FROM v0 FULL OUTER JOIN v1 ON v0.doc_id = v1.doc_id)
+       |SELECT status, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+       |FROM d GROUP BY status ORDER BY status""".stripMargin
+
+  // -------------------------------------------------- MERGE upsert
+  /** MERGE INTO semantics on plain parquet: v0 persisted as the base
+    * table, a delta of edits + inserts applied via
+    * [[Merge.keyedUpsert]] (delta wins), the merged snapshot WRITTEN
+    * BACK and the summary read FROM DISK — the oracle replays the
+    * union/anti-join semantics over the original table, so a defect
+    * anywhere in the write → scan round trip breaks the hash gate.
+    * Delta = v1 rows whose id is `% 11` (edits) or `% 13` (inserts —
+    * absent from v0 by construction). */
+  private def qMergeUpsert(implicit s: SparkSession, dir: String): DataFrame = {
+    val delta = snapV1.where(col("doc_id") % 11 === 0 || col("doc_id") % 13 === 0)
+    val merged = Merge.keyedUpsert(snapV0, delta, "doc_id")
+    val out = java.nio.file.Paths.get(Dedup.SignatureStore.root,
+      "merged_" + java.lang.Integer.toHexString(dir.hashCode)).toString
+    merged.write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
+        sum(length(col("text"))).as("chars_total"))
+      .orderBy(col("lang"))
+  }
+
+  private val qMergeUpsertSql =
+    s"""WITH $snapCtes,
+       |delta AS (
+       |  SELECT * FROM v1 WHERE doc_id % 11 = 0 OR doc_id % 13 = 0),
+       |merged AS (
+       |  SELECT * FROM delta
+       |  UNION ALL
+       |  SELECT * FROM v0 WHERE NOT EXISTS (
+       |    SELECT 1 FROM delta WHERE delta.doc_id = v0.doc_id))
+       |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       |  CAST(SUM(length(text)) AS BIGINT) AS chars_total
+       |FROM merged GROUP BY lang ORDER BY lang""".stripMargin
+
+  // --------------------------------------------- schema evolution
+  /** Additive schema evolution across parquet drops: day-0 files
+    * carry (doc_id, lang, text), day-1 files add an `n_tokens`
+    * column; `mergeSchema=true` reads both generations as one
+    * relation with nulls for the pre-evolution rows — the
+    * read-the-old-files-forever contract a 100 TB lake depends on
+    * (rewriting history to backfill a column is not an option).
+    * Both generations are REAL files written by this query; the
+    * oracle replays the union-with-nulls semantics from the fixture
+    * table. */
+  private def qSchemaEvolution(implicit s: SparkSession, dir: String): DataFrame = {
+    val base = docs.select(col("doc_id"), col("lang"), col("text"))
+    val root = java.nio.file.Paths.get(Dedup.SignatureStore.root,
+      "evolved_" + java.lang.Integer.toHexString(dir.hashCode)).toString
+    base.where(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$root/day0")
+    base.where(col("doc_id") % 2 =!= 0)
+      .withColumn("n_tokens", size(TextFns.tokens(col("text"))).cast("long"))
+      .write.mode("overwrite").parquet(s"$root/day1")
+    s.read.option("mergeSchema", "true").parquet(s"$root/day0", s"$root/day1")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("n_tokens")).as("n_with_tokens"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("tokens_total"))
+      .orderBy(col("lang"))
+  }
+
+  private val qSchemaEvolutionSql =
+    """WITH gens AS (
+      |  SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_tokens
+      |  FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+      |  FROM documents WHERE doc_id % 2 <> 0)
+      |SELECT lang, COUNT(*) AS n_docs, COUNT(n_tokens) AS n_with_tokens,
+      |  CAST(coalesce(SUM(n_tokens), 0) AS BIGINT) AS tokens_total
+      |FROM gens GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ------------------------------------------------- gap filling
+  /** Zero-filled hourly series per event type: the dense time spine a
+    * forecast/monitoring consumer needs (a missing hour must read as
+    * 0, not as an absent row). The spine is GENERATED per group from
+    * that group's own min/max hour (`sequence` + `explode`) — no
+    * driver loop, no global calendar table — and the left join back
+    * to the sparse counts is (type, hour)-keyed. At scale the spine
+    * is metadata-sized (groups × hours) while the raw stream is not;
+    * only the pre-aggregated counts shuffle. */
+  private def qGapfill(implicit s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+    val counts = ev.groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+    val spine = ev.groupBy(col("event_type"))
+      .agg(min(col("hour")).as("mn"), max(col("hour")).as("mx"))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"), expr("INTERVAL 1 HOUR"))).as("hour"))
+    spine.join(counts, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  private val qGapfillSql =
+    """WITH h AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour FROM events),
+      |c AS (SELECT event_type, hour, COUNT(*) AS n FROM h GROUP BY 1, 2),
+      |b AS (SELECT event_type, MIN(hour) AS mn, MAX(hour) AS mx FROM h GROUP BY 1),
+      |s AS (
+      |  SELECT event_type,
+      |    unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour
+      |  FROM b)
+      |SELECT s.event_type, s.hour, coalesce(c.n, 0) AS n_events
+      |FROM s LEFT JOIN c ON c.event_type = s.event_type AND c.hour = s.hour
+      |ORDER BY s.event_type, s.hour""".stripMargin
+
+  // --------------------------------------------- outlier detection
+  /** Per-source exact z-score outliers over document length — the
+    * anomaly sweep that flags a crawler gone wrong before its output
+    * trains. Determinism recipe: the group moments are EXACT integer
+    * sums (sum, sum-of-squares, count over BIGINT — no float
+    * accumulation order), and both engines then apply the identical
+    * double formula, so the z-scores are bit-identical before the
+    * defensive round. Two passes, stats broadcast back — no window
+    * over the corpus, groups never co-resident. */
+  private val ZThreshold = 1.8
+  private def qOutlierZscore(implicit s: SparkSession, dir: String): DataFrame = {
+    val d = docs.select(col("doc_id"), col("source"), col("n_chars"))
+    val stats = d.groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("s1"),
+        sum(col("n_chars") * col("n_chars")).as("s2"),
+        count(lit(1)).as("cnt"))
+    val mean = col("s1").cast("double") / col("cnt")
+    val variance = col("s2").cast("double") / col("cnt") - mean * mean
+    d.join(broadcast(stats), "source")
+      .where(variance > 0)
+      .withColumn("z", (col("n_chars") - mean) / sqrt(variance))
+      .where(abs(col("z")) > ZThreshold)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        round(col("z"), 6).as("z"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qOutlierZscoreSql =
+    s"""WITH st AS (
+       |  SELECT source, SUM(n_chars) AS s1, SUM(n_chars * n_chars) AS s2,
+       |    COUNT(*) AS cnt
+       |  FROM documents GROUP BY source)
+       |SELECT doc_id, source, n_chars, round(z, 6) AS z FROM (
+       |  SELECT d.doc_id, d.source, d.n_chars,
+       |    (d.n_chars - CAST(s1 AS DOUBLE) / cnt)
+       |      / sqrt(CAST(s2 AS DOUBLE) / cnt
+       |             - (CAST(s1 AS DOUBLE) / cnt) * (CAST(s1 AS DOUBLE) / cnt)) AS z
+       |  FROM documents d JOIN st ON st.source = d.source
+       |  WHERE CAST(s2 AS DOUBLE) / cnt
+       |        - (CAST(s1 AS DOUBLE) / cnt) * (CAST(s1 AS DOUBLE) / cnt) > 0)
+       |WHERE abs(z) > $ZThreshold
+       |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------- cross-source overlap
+  /** Pairwise source-level contamination: exact 3-gram shingle
+    * Jaccard between every pair of sources — the corpus-vs-corpus
+    * overlap matrix that decides whether two crawls are independent
+    * before they are mixed. Shape: after `(source, shingle)` DISTINCT
+    * each shingle joins at most #sources rows, so the shingle-keyed
+    * self-join fans out ≤ C(sources, 2) per key regardless of corpus
+    * size — pair costs track the VOCABULARY, not the corpus, and the
+    * per-source sizes broadcast. */
+  private def qCorpusOverlap(implicit s: SparkSession, dir: String): DataFrame = {
+    val ex = docs.select(col("source"),
+      explode(TextFns.shinglesDistinct(col("text"), 3)).as("sh")).distinct()
+    val sizes = ex.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val shared = ex.as("a").join(ex.as("b"),
+        col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("n_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")), 6).as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  private val qCorpusOverlapSql =
+    """WITH toks AS (
+      |  SELECT source, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |sets AS (
+      |  SELECT source,
+      |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |      ELSE list_transform(range(1, len(t) - 1),
+      |             i -> array_to_string(list_slice(t, i, i + 2), ' ')) END AS shset
+      |  FROM toks),
+      |ex AS (SELECT DISTINCT source, unnest(shset) AS sh FROM sets),
+      |sizes AS (SELECT source, COUNT(*) AS n FROM ex GROUP BY 1),
+      |shared AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+      |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, n_shared,
+      |  round(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 6) AS jaccard
+      |FROM shared
+      |JOIN sizes sa ON sa.source = src_a
+      |JOIN sizes sb ON sb.source = src_b
+      |ORDER BY src_a, src_b""".stripMargin
+
+  // --------------------------------------- data-quality constraints
+  /** One-pass corpus validation report (the Deequ-style pre-training
+    * gate): row volume, key uniqueness, null/empty payloads, domain
+    * membership, and derived-column consistency, each published as a
+    * (constraint, observed, passed) row. ONE aggregate scan computes
+    * every metric (the distinct-count shares the same shuffle via
+    * expand), then `stack` pivots the single metrics row into the
+    * report — checking five more constraints at 100 TB costs zero
+    * additional passes. */
+  private val KnownLangs = Seq("de", "en", "es", "fr", "zh")
+  private def qQualityConstraints(implicit s: SparkSession, dir: String): DataFrame =
+    docs.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("doc_id")).as("n_ids"),
+        count(when(col("text").isNull, 1)).as("n_null_text"),
+        count(when(col("n_chars") <= 0, 1)).as("n_nonpos_chars"),
+        count(when(!col("lang").isin(KnownLangs: _*), 1)).as("n_bad_lang"),
+        count(when(col("n_chars") =!= length(col("text")), 1)).as("n_chars_drift"))
+      .selectExpr(s"""stack(6,
+        'doc_id_unique',        n_ids,          n_ids = n_rows,
+        'lang_in_domain',       n_bad_lang,     n_bad_lang = 0,
+        'n_chars_matches_text', n_chars_drift,  n_chars_drift = 0,
+        'n_chars_positive',     n_nonpos_chars, n_nonpos_chars = 0,
+        'row_count_min_100',    n_rows,         n_rows >= 100,
+        'text_not_null',        n_null_text,    n_null_text = 0
+      ) AS (rule, observed, passed)""")
+      .orderBy(col("rule"))
+
+  private val qQualityConstraintsSql = {
+    val langList = KnownLangs.map(l => s"'$l'").mkString(", ")
+    s"""WITH m AS (
+       |  SELECT COUNT(*) AS n_rows,
+       |    COUNT(DISTINCT doc_id) AS n_ids,
+       |    COUNT(*) FILTER (WHERE text IS NULL) AS n_null_text,
+       |    COUNT(*) FILTER (WHERE n_chars <= 0) AS n_nonpos_chars,
+       |    COUNT(*) FILTER (WHERE lang NOT IN ($langList)) AS n_bad_lang,
+       |    COUNT(*) FILTER (WHERE n_chars <> length(text)) AS n_chars_drift
+       |  FROM documents)
+       |SELECT * FROM (
+       |  SELECT 'doc_id_unique' AS rule, n_ids AS observed,
+       |    n_ids = n_rows AS passed FROM m
+       |  UNION ALL
+       |  SELECT 'lang_in_domain', n_bad_lang, n_bad_lang = 0 FROM m
+       |  UNION ALL
+       |  SELECT 'n_chars_matches_text', n_chars_drift, n_chars_drift = 0 FROM m
+       |  UNION ALL
+       |  SELECT 'n_chars_positive', n_nonpos_chars, n_nonpos_chars = 0 FROM m
+       |  UNION ALL
+       |  SELECT 'row_count_min_100', n_rows, n_rows >= 100 FROM m
+       |  UNION ALL
+       |  SELECT 'text_not_null', n_null_text, n_null_text = 0 FROM m)
+       |ORDER BY rule""".stripMargin
+  }
+
+  override def queries: Seq[Q] = Seq(
+    Q("q_corpus_diff", (s, d) => qCorpusDiff(s, d), Some(qCorpusDiffSql)),
+    Q("q_merge_upsert", (s, d) => qMergeUpsert(s, d), Some(qMergeUpsertSql)),
+    Q("q_schema_evolution", (s, d) => qSchemaEvolution(s, d), Some(qSchemaEvolutionSql)),
+    Q("q_gapfill", (s, d) => qGapfill(s, d), Some(qGapfillSql)),
+    Q("q_outlier_zscore", (s, d) => qOutlierZscore(s, d), Some(qOutlierZscoreSql)),
+    Q("q_corpus_overlap", (s, d) => qCorpusOverlap(s, d), Some(qCorpusOverlapSql)),
+    Q("q_quality_constraints", (s, d) => qQualityConstraints(s, d), Some(qQualityConstraintsSql)))
+}

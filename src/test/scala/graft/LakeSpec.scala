@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.operators.Merge
+
+/** Lake-lifecycle operators: snapshot diff, keyed upsert, schema
+  * evolution, gap-fill, constraint report ([[graft.queries.LakeQueries]]). */
+class LakeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.SfDir
+
+  test("snapshotDiff partitions every key into exactly one status") {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val v0 = docs.where(col("doc_id") % 13 =!= 0)
+    val v1 = docs.where(col("doc_id") % 17 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+    val d = Merge.snapshotDiff(v0, v1, "doc_id", "text").cache()
+    val byStatus = d.groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n0 = v0.count(); val n1 = v1.count()
+    // every v0 key and every v1 key accounted for, no key twice
+    assert(d.count() === d.select("doc_id").distinct().count())
+    assert(byStatus.getOrElse("removed", 0L) +
+      byStatus.getOrElse("changed", 0L) +
+      byStatus.getOrElse("unchanged", 0L) === n0)
+    assert(byStatus.getOrElse("added", 0L) +
+      byStatus.getOrElse("changed", 0L) +
+      byStatus.getOrElse("unchanged", 0L) === n1)
+    // the construction guarantees all four statuses are live
+    assert(Set("added", "removed", "changed", "unchanged").subsetOf(byStatus.keySet))
+    d.unpersist()
+  }
+
+  test("keyedUpsert: delta wins, non-delta base rows survive, inserts append") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val delta = Seq((2L, "B"), (4L, "d")).toDF("id", "v")
+    val m = Merge.keyedUpsert(base, delta, "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m === Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "d"))
+  }
+
+  test("gapfill emits a dense hourly spine with explicit zeros") {
+    val g = graft.SparkEntry.queries("q_gapfill")(spark, dir).cache()
+    val spans = g.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        (unix_seconds(max(col("hour"))) - unix_seconds(min(col("hour"))))
+          .divide(3600).cast("long").as("hours"))
+      .collect()
+    spans.foreach { r =>
+      // dense: exactly span+1 rows per type — no hour missing, none extra
+      assert(r.getLong(1) === r.getLong(2) + 1,
+        s"sparse spine for ${r.getString(0)}")
+    }
+    // at sf0.001 the stream is sparse enough that real gaps exist
+    assert(g.where(col("n_events") === 0).count() > 0)
+    g.unpersist()
+  }
+
+  test("schema evolution: pre-evolution rows read as nulls, sums unaffected") {
+    val r = graft.SparkEntry.queries("q_schema_evolution")(spark, dir)
+      .agg(sum("n_docs"), sum("n_with_tokens"), sum("tokens_total"))
+      .head()
+    val total = Tables.documents(spark, dir).count()
+    val odd = Tables.documents(spark, dir)
+      .where(col("doc_id") % 2 =!= 0).count()
+    assert(r.getLong(0) === total)
+    assert(r.getLong(1) === odd)
+    assert(r.getLong(2) > 0L)
+  }
+
+  test("quality constraint report passes on the healthy fixture") {
+    val rep = graft.SparkEntry.queries("q_quality_constraints")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(rep.size === 6)
+    // row_count_min_100 legitimately fails at sf0.001 (50 docs); the
+    // structural constraints must hold at every sf
+    Seq("doc_id_unique", "lang_in_domain", "n_chars_matches_text",
+      "n_chars_positive", "text_not_null").foreach { c =>
+      assert(rep(c), s"constraint $c failed")
+    }
+  }
+
+  test("outlier z-scores are standardized residuals (mean-free, bounded count)") {
+    val out = graft.SparkEntry.queries("q_outlier_zscore")(spark, dir)
+    val n = out.count()
+    val total = Tables.documents(spark, dir).count()
+    // z > 1.8 two-sided keeps a small tail, never the bulk
+    assert(n < total / 4)
+    assert(out.where(abs(col("z")) <= 1.8).count() === 0)
+  }
+
+  test("corpus overlap: jaccard within [0,1] and bounded by set sizes") {
+    val ov = graft.SparkEntry.queries("q_corpus_overlap")(spark, dir).cache()
+    assert(ov.where(col("jaccard") < 0 || col("jaccard") > 1).count() === 0)
+    assert(ov.where(col("n_shared") > least(col("n_a"), col("n_b"))).count() === 0)
+    assert(ov.count() > 0)
+    ov.unpersist()
+  }
+}
