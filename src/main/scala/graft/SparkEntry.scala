@@ -19,7 +19,8 @@ object SparkEntry {
     MlQueries,
     SessionQueries,
     TrainDataQueries,
-    LakeQueries)
+    LakeQueries,
+    StatsQueries)
 
   private lazy val all: Seq[Q] = {
     val qs = modules.flatMap(_.queries)

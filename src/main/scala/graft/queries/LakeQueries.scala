@@ -159,7 +159,12 @@ object LakeQueries extends QueryModule {
     * to the sparse counts is (type, hour)-keyed. At scale the spine
     * is metadata-sized (groups × hours) while the raw stream is not;
     * only the pre-aggregated counts shuffle. */
-  private def qGapfill(implicit s: SparkSession, dir: String): DataFrame = {
+  private def qGapfill(implicit s: SparkSession, dir: String): DataFrame =
+    denseHourly(s, dir).orderBy(col("event_type"), col("hour"))
+
+  /** The zero-filled series itself, shared with `q_moving_avg`
+    * ([[StatsQueries]]) which smooths it. */
+  private[queries] def denseHourly(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
       .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
     val counts = ev.groupBy(col("event_type"), col("hour"))
@@ -171,7 +176,6 @@ object LakeQueries extends QueryModule {
     spine.join(counts, Seq("event_type", "hour"), "left")
       .select(col("event_type"), col("hour"),
         coalesce(col("n"), lit(0L)).as("n_events"))
-      .orderBy(col("event_type"), col("hour"))
   }
 
   private val qGapfillSql =

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+
+/** Statistical analytics surfaces ([[graft.queries.StatsQueries]]). */
+class StatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.SfDir
+
+  test("moving average stays within the window's min/max envelope") {
+    val ma = graft.SparkEntry.queries("q_moving_avg")(spark, dir).cache()
+    // MA of non-negative counts is non-negative and ≤ window max ≤ global max
+    val mx = ma.agg(max("n_events")).head().getLong(0)
+    assert(ma.where(col("ma7") < 0 || col("ma7") > mx).count() === 0)
+    // a zero-filled gap must be averaged over: at sf0.001 gaps exist,
+    // so some MA values are strictly between 0 and 1
+    assert(ma.where(col("ma7") > 0 && col("ma7") < 1).count() > 0)
+    ma.unpersist()
+  }
+
+  test("cohort retention: offset-0 count equals the cohort size") {
+    val ret = graft.SparkEntry.queries("q_cohort_retention")(spark, dir).cache()
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohortSizes = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+      .groupBy("cohort_day").agg(countDistinct("user_id").as("expected"))
+    val day0 = ret.where(col("offset") === 0)
+      .join(cohortSizes, "cohort_day")
+    // every user is active on their own first day
+    assert(day0.where(col("n_users") =!= col("expected")).count() === 0)
+    // retention is monotonically bounded by cohort size at every offset
+    val over = ret.join(cohortSizes, "cohort_day")
+      .where(col("n_users") > col("expected"))
+    assert(over.count() === 0)
+    ret.unpersist()
+  }
+
+  test("histogram bins partition the corpus exactly") {
+    val h = graft.SparkEntry.queries("q_histogram")(spark, dir)
+    val total = h.agg(sum("n")).head().getLong(0)
+    assert(total === Tables.documents(spark, dir).count())
+    assert(h.where(col("bin") < 0 || col("bin") > 9).count() === 0)
+  }
+
+  test("winsorized mean lies within the clip bounds") {
+    val w = graft.SparkEntry.queries("q_winsorize")(spark, dir)
+    assert(w.where(col("mean_winsorized") < col("p05") ||
+      col("mean_winsorized") > col("p95")).count() === 0)
+    // clip accounting: strictly-below-p05 (resp. above-p95) values
+    // number at most floor(0.05·(n−1)) + 1 under linear interpolation
+    val bound = floor((col("n") - 1) * 0.05) + 1
+    assert(w.where(col("n_clip_lo") > bound || col("n_clip_hi") > bound)
+      .count() === 0)
+  }
+
+  test("exact-sum Pearson r matches the builtin corr to float tolerance") {
+    val r = graft.SparkEntry.queries("q_correlation")(spark, dir)
+      .collect().map(x => x.getString(0) -> x.getDouble(2)).toMap
+    val builtin = Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    r.foreach { case (k, v) =>
+      assert(math.abs(v - builtin(k)) < 1e-6, s"flag $k: $v vs ${builtin(k)}")
+      assert(v >= -1.0 && v <= 1.0)
+    }
+  }
+}
