@@ -29,6 +29,20 @@ object Merge {
     delta.unionByName(
       base.join(delta.select(col(key)), Seq(key), "left_anti"))
 
+  /** Additive partial-aggregate merge — the incremental-view-
+    * maintenance primitive: a stored rollup and a delta rollup over
+    * the same keys carry ADDITIVE measures (counts, DECIMAL sums),
+    * so absorbing a new day is `union → re-sum`, never a re-scan of
+    * history. At 100 TB this is the difference between aggregating
+    * one day and aggregating three years; exactness holds because
+    * every measure is addition-order-independent (BIGINT / DECIMAL —
+    * see [[graft.queries.Q]]'s determinism contract). */
+  def additiveMerge(parts: DataFrame, keys: Seq[String],
+      measures: Seq[String]): DataFrame =
+    parts.groupBy(keys.map(col): _*)
+      .agg(sum(col(measures.head)).as(measures.head),
+        measures.tail.map(m => sum(col(m)).as(m)): _*)
+
   /** Row-level change classification between two snapshots of a keyed
     * table: `added` (key only in `next`), `removed` (key only in
     * `prev`), `changed` (both, different content hash), `unchanged`.

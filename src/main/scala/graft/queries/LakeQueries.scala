@@ -282,6 +282,63 @@ object LakeQueries extends QueryModule {
       |JOIN sizes sb ON sb.source = src_b
       |ORDER BY src_a, src_b""".stripMargin
 
+  // ------------------------------------- incremental rollup (IVM)
+  /** Incremental materialized-view maintenance: the daily
+    * (event_type, day) rollup is PERSISTED up to a cutoff, and a new
+    * day arrives as a delta — the maintained view is
+    * `stored ∪ delta → re-sum` ([[Merge.additiveMerge]]), never a
+    * re-scan of history. The gate's oracle is the FULL recompute
+    * over all events, so the merge must be value-identical to
+    * rebuilding the view from scratch; measures stay in
+    * BIGINT/DECIMAL end-to-end (order-free), rounded once at the
+    * edge. Both the history and delta scans filter on the raw `ts`
+    * column, so each side's predicate reaches the parquet scan. */
+  private val RollupCutoff = "2024-01-26 00:00:00"
+  private def qRollupIncremental(implicit s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit(RollupCutoff).cast("timestamp")
+    def rollup(df: DataFrame): DataFrame = df
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,4)")).as("value_sum"))
+    val ev = Tables.events(s, dir)
+    val out = java.nio.file.Paths.get(Dedup.SignatureStore.root,
+      "rollup_" + java.lang.Integer.toHexString(dir.hashCode)).toString
+    rollup(ev.where(col("ts") < cutoff)).write.mode("overwrite").parquet(out)
+    val stored = s.read.parquet(out)
+    val delta = rollup(ev.where(col("ts") >= cutoff))
+    Merge.additiveMerge(stored.unionByName(delta),
+        Seq("event_type", "day"), Seq("n", "value_sum"))
+      .select(col("event_type"), col("day"), col("n"),
+        round(col("value_sum"), 2).cast("double").as("total_value"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  private val qRollupIncrementalSql =
+    """SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+      |  CAST(round(SUM(CAST(value AS DECIMAL(30,4))), 2) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ----------------------------------------------- unpivot (melt)
+  /** Wide → long reshaping: the per-(source, lang) counts pivoted
+    * wide (one column per language) and melted back with `unpivot` —
+    * gated against the direct long-form aggregate, so the
+    * pivot → unpivot round trip must be lossless (absent cells
+    * surface as nulls and are dropped, restoring the original
+    * sparse form). Pivot values are pinned to the known domain —
+    * at scale an unpinned pivot needs a distinct-scan first. */
+  private def qUnpivot(implicit s: SparkSession, dir: String): DataFrame = {
+    val wide = docs.groupBy(col("source"))
+      .pivot("lang", KnownLangs).agg(count(lit(1)))
+    wide.unpivot(Array(col("source")), KnownLangs.map(col).toArray, "lang", "n")
+      .where(col("n").isNotNull)
+      .orderBy(col("source"), col("lang"))
+  }
+
+  private val qUnpivotSql =
+    """SELECT source, lang, COUNT(*) AS n FROM documents
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // --------------------------------------- data-quality constraints
   /** One-pass corpus validation report (the Deequ-style pre-training
     * gate): row volume, key uniqueness, null/empty payloads, domain
@@ -343,5 +400,7 @@ object LakeQueries extends QueryModule {
     Q("q_gapfill", (s, d) => qGapfill(s, d), Some(qGapfillSql)),
     Q("q_outlier_zscore", (s, d) => qOutlierZscore(s, d), Some(qOutlierZscoreSql)),
     Q("q_corpus_overlap", (s, d) => qCorpusOverlap(s, d), Some(qCorpusOverlapSql)),
+    Q("q_rollup_incremental", (s, d) => qRollupIncremental(s, d), Some(qRollupIncrementalSql)),
+    Q("q_unpivot", (s, d) => qUnpivot(s, d), Some(qUnpivotSql)),
     Q("q_quality_constraints", (s, d) => qQualityConstraints(s, d), Some(qQualityConstraintsSql)))
 }

@@ -235,6 +235,25 @@ object SessionQueries extends QueryModule {
       |  (SELECT COUNT(*) FROM c) AS n_view_click,
       |  (SELECT COUNT(*) FROM p) AS n_full_funnel""".stripMargin
 
+  // ---------------------------------------- stream-static enrichment
+  /** Stream–static broadcast enrichment
+    * ([[graft.streaming.EventStreams.streamingEnriched]] scaladoc):
+    * arriving events joined map-side against the per-user cohort
+    * dimension, then aggregated statefully; the batch oracle replays
+    * join + group over the same rows. */
+  private def qStreamEnrich(implicit s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.streamingEnriched(s, dir)
+      .orderBy(col("cohort_day"), col("event_type"))
+
+  private val qStreamEnrichSql =
+    """WITH c AS (
+      |  SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+      |  FROM events GROUP BY user_id)
+      |SELECT c.cohort_day, e.event_type, COUNT(*) AS n,
+      |  CAST(round(SUM(CAST(e.value AS DECIMAL(30,4))), 2) AS DOUBLE) AS total_value
+      |FROM events e JOIN c ON c.user_id = e.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---------------------------------------------- weighted sampling
   /** Weighted sampling without replacement, probability ∝ n_chars —
     * sampling by data MASS rather than document count (the corpus-
@@ -268,6 +287,7 @@ object SessionQueries extends QueryModule {
     Q("q_event_funnel", (s, d) => qEventFunnel(s, d), Some(qEventFunnelSql)),
     Q("q_session_window", (s, d) => qSessionWindow(s, d), Some(qSessionWindowSql)),
     Q("q_stream_session", (s, d) => qStreamSession(s, d), Some(qSessionWindowSql)),
+    Q("q_stream_enrich", (s, d) => qStreamEnrich(s, d), Some(qStreamEnrichSql)),
     Q("q_sample_stratified", (s, d) => qSampleStratified(s, d), Some(qSampleStratifiedSql)),
     Q("q_sample_entropy", (s, d) => qSampleEntropy(s, d), Some(qSampleEntropySql)),
     Q("q_sample_margin", (s, d) => qSampleMargin(s, d), Some(qSampleMarginSql)))

@@ -111,6 +111,29 @@ object EventStreams {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** STREAM–STATIC enrichment: the arriving event stream joined
+    * against a batch dimension (per-user first-seen cohort day,
+    * computed once from the at-rest table) before a stateful
+    * aggregation. The static side is broadcast — every micro-batch
+    * enriches map-side with zero stream-side shuffle for the join,
+    * the deployment shape for joining a 100 TB/day stream against a
+    * user/account dimension. The batch oracle replays join + group
+    * over the same rows, so the gate proves the enrichment is
+    * value-identical to at-rest execution. */
+  def streamingEnriched(spark: SparkSession, dir: String): DataFrame = {
+    val dim = graft.core.Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("cohort_day"))
+    val agg = eventsStream(spark, dir)
+      .join(broadcast(dim), "user_id")
+      .groupBy(col("cohort_day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast(DecimalType(30, 4))), 2).cast("double")
+          .as("total_value"))
+    val name = s"stream_enrich_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    runToCompletion(spark, agg, name)
+  }
+
   /** Stateful operators create one state store instance per shuffle
     * partition and checkpoint each per batch; at test scale that
     * fixed cost dominates, so streaming queries run with a smaller

@@ -95,6 +95,39 @@ class LakeSpec extends AnyFunSuite {
     assert(out.where(abs(col("z")) <= 1.8).count() === 0)
   }
 
+  test("incremental rollup equals the from-scratch recompute exactly") {
+    val inc = graft.SparkEntry.queries("q_rollup_incremental")(spark, dir)
+    val full = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(30,4)")), 2).cast("double")
+          .as("total_value"))
+      .select(col("event_type"), col("day"), col("n"), col("total_value"))
+    assert(inc.exceptAll(full).count() === 0)
+    assert(full.exceptAll(inc).count() === 0)
+  }
+
+  test("pivot → unpivot round trip restores the long form exactly") {
+    val rt = graft.SparkEntry.queries("q_unpivot")(spark, dir)
+    val direct = Tables.documents(spark, dir)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n"))
+    assert(rt.exceptAll(direct).count() === 0)
+    assert(direct.exceptAll(rt).count() === 0)
+  }
+
+  test("stream-static enrichment equals the batch join+group twin") {
+    val st = graft.SparkEntry.queries("q_stream_enrich")(spark, dir)
+    val dim = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(to_date(min(col("ts"))).as("cohort_day"))
+    val batch = Tables.events(spark, dir).join(dim, "user_id")
+      .groupBy(col("cohort_day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(30,4)")), 2).cast("double")
+          .as("total_value"))
+    assert(st.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(st).count() === 0)
+  }
+
   test("corpus overlap: jaccard within [0,1] and bounded by set sizes") {
     val ov = graft.SparkEntry.queries("q_corpus_overlap")(spark, dir).cache()
     assert(ov.where(col("jaccard") < 0 || col("jaccard") > 1).count() === 0)
