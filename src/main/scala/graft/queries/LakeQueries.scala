@@ -282,6 +282,51 @@ object LakeQueries extends QueryModule {
       |JOIN sizes sb ON sb.source = src_b
       |ORDER BY src_a, src_b""".stripMargin
 
+  // ------------------------------------------- CDC → view apply
+  /** Change-data-capture PROPAGATION: the downstream per-language
+    * aggregate view of corpus v0 is PERSISTED, v0→v1 changes are
+    * classified by [[Merge.snapshotDiff]], and only the changed keys
+    * are joined back for their measures — the stored view absorbs
+    * the per-language deltas through [[Merge.additiveMerge]] and
+    * must equal recomputing the view over v1 from scratch (the
+    * oracle). At 100 TB the unchanged bulk of the corpus is touched
+    * only by the digest-projected diff join; the measure join and
+    * the view merge are delta-sized. */
+  private def qCdcApply(implicit s: SparkSession, dir: String): DataFrame = {
+    def measures(df: DataFrame) = df.select(col("doc_id"), col("lang"),
+      length(col("text")).cast("long").as("chars"))
+    def view(df: DataFrame) = measures(df).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("chars")).as("chars_total"))
+    val out = java.nio.file.Paths.get(Dedup.SignatureStore.root,
+      "cdcview_" + java.lang.Integer.toHexString(dir.hashCode)).toString
+    view(snapV0).write.mode("overwrite").parquet(out)
+    val stored = s.read.parquet(out)
+    val changed = Merge.snapshotDiff(snapV0, snapV1, "doc_id", "text")
+      .where(col("status") =!= "unchanged")
+    val deltas = changed
+      .join(measures(snapV0).select(col("doc_id"),
+        col("lang").as("_l0"), col("chars").as("_c0")), Seq("doc_id"), "left")
+      .join(measures(snapV1).select(col("doc_id"),
+        col("lang").as("_l1"), col("chars").as("_c1")), Seq("doc_id"), "left")
+      .select(coalesce(col("_l1"), col("_l0")).as("lang"),
+        (when(col("_l1").isNotNull, 1L).otherwise(0L) -
+         when(col("_l0").isNotNull, 1L).otherwise(0L)).as("n_docs"),
+        (coalesce(col("_c1"), lit(0L)) - coalesce(col("_c0"), lit(0L)))
+          .as("chars_total"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("chars_total")).as("chars_total"))
+    Merge.additiveMerge(stored.unionByName(deltas),
+        Seq("lang"), Seq("n_docs", "chars_total"))
+      .where(col("n_docs") > 0)
+      .orderBy(col("lang"))
+  }
+
+  private val qCdcApplySql =
+    s"""WITH $snapCtes
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(length(text)) AS BIGINT) AS chars_total
+       |FROM v1 GROUP BY lang ORDER BY lang""".stripMargin
+
   // ------------------------------------- incremental rollup (IVM)
   /** Incremental materialized-view maintenance: the daily
     * (event_type, day) rollup is PERSISTED up to a cutoff, and a new
@@ -400,6 +445,7 @@ object LakeQueries extends QueryModule {
     Q("q_gapfill", (s, d) => qGapfill(s, d), Some(qGapfillSql)),
     Q("q_outlier_zscore", (s, d) => qOutlierZscore(s, d), Some(qOutlierZscoreSql)),
     Q("q_corpus_overlap", (s, d) => qCorpusOverlap(s, d), Some(qCorpusOverlapSql)),
+    Q("q_cdc_apply", (s, d) => qCdcApply(s, d), Some(qCdcApplySql)),
     Q("q_rollup_incremental", (s, d) => qRollupIncremental(s, d), Some(qRollupIncrementalSql)),
     Q("q_unpivot", (s, d) => qUnpivot(s, d), Some(qUnpivotSql)),
     Q("q_quality_constraints", (s, d) => qQualityConstraints(s, d), Some(qQualityConstraintsSql)))

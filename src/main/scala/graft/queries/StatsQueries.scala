@@ -199,7 +199,32 @@ object StatsQueries extends QueryModule {
       |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS pearson_r
       |FROM a ORDER BY l_returnflag""".stripMargin
 
+  // --------------------------------- scalable exact grouped quantile
+  /** Exact per-language median and p90 of document length WITHOUT a
+    * per-group row sort ([[graft.operators.Quantiles]] scaladoc: value
+    * histogram → ordered window over DISTINCT VALUES → rank-bracket
+    * interpolation). The oracle is plain `quantile_cont` — the gate
+    * proves the histogram path is bit-identical to sort-based
+    * percentile semantics, while its window only ever sees the value
+    * grid (≤ a few hundred rows per group here, domain-bounded at any
+    * corpus size). */
+  private def qMedianScalable(implicit s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quantiles
+    val d = Tables.documents(s, dir).select(col("lang"), col("n_chars"))
+    val p50 = Quantiles.exactGroupedQuantile(d, "lang", "n_chars", 0.5)
+      .select(col("lang"), round(col("q"), 6).as("p50"))
+    val p90 = Quantiles.exactGroupedQuantile(d, "lang", "n_chars", 0.9)
+      .select(col("lang"), round(col("q"), 6).as("p90"))
+    p50.join(p90, "lang").orderBy(col("lang"))
+  }
+
+  private val qMedianScalableSql =
+    """SELECT lang, round(quantile_cont(n_chars, 0.5), 6) AS p50,
+      |  round(quantile_cont(n_chars, 0.9), 6) AS p90
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("q_median_scalable", (s, d) => qMedianScalable(s, d), Some(qMedianScalableSql)),
     Q("q_moving_avg", (s, d) => qMovingAvg(s, d), Some(qMovingAvgSql)),
     Q("q_cohort_retention", (s, d) => qCohortRetention(s, d), Some(qCohortRetentionSql)),
     Q("q_histogram", (s, d) => qHistogram(s, d), Some(qHistogramSql)),

@@ -95,6 +95,21 @@ class LakeSpec extends AnyFunSuite {
     assert(out.where(abs(col("z")) <= 1.8).count() === 0)
   }
 
+  test("CDC apply: stored view + diff deltas equals the v1 recompute") {
+    val applied = graft.SparkEntry.queries("q_cdc_apply")(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val v1 = docs.where(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"),
+        col("lang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("chars_total"))
+    assert(applied.exceptAll(v1).count() === 0)
+    assert(v1.exceptAll(applied).count() === 0)
+  }
+
   test("incremental rollup equals the from-scratch recompute exactly") {
     val inc = graft.SparkEntry.queries("q_rollup_incremental")(spark, dir)
     val full = Tables.events(spark, dir)

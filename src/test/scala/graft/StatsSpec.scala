@@ -56,6 +56,21 @@ class StatsSpec extends AnyFunSuite {
       .count() === 0)
   }
 
+  test("histogram-path grouped quantile equals sort-based percentile exactly") {
+    import graft.operators.Quantiles
+    val d = Tables.documents(spark, dir).select(col("lang"), col("n_chars"))
+    for (p <- Seq(0.0, 0.25, 0.5, 0.9, 1.0)) {
+      val hist = Quantiles.exactGroupedQuantile(d, "lang", "n_chars", p)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val sorted = d.groupBy("lang")
+        .agg(expr(s"percentile(n_chars, $p)").as("q"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      hist.foreach { case (l, v) =>
+        assert(v === sorted(l), s"p=$p lang=$l: $v vs ${sorted(l)}")
+      }
+    }
+  }
+
   test("exact-sum Pearson r matches the builtin corr to float tolerance") {
     val r = graft.SparkEntry.queries("q_correlation")(spark, dir)
       .collect().map(x => x.getString(0) -> x.getDouble(2)).toMap
