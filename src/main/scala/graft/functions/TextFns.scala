@@ -35,6 +35,24 @@ object TextFns {
     aggregate(tokens(c), lit(0L),
       (acc, w) => acc + lit(1L) + floor(length(w) / lit(6.0)).cast("long"))
 
+  /** Canonical comparison form for near-identical-text dedup: strip
+    * an explicit ASCII punctuation class, collapse whitespace runs,
+    * trim, lowercase. The punctuation class is enumerated (not a
+    * regex category) because Java and RE2 disagree on category
+    * contents; `lower` is applied to the ORIGINAL text only — both
+    * engines lowercase é/É identically, while an upper→lower round
+    * trip would diverge on ß. Replayed verbatim by
+    * [[canonicalFormSql]]. */
+  def canonicalForm(c: Column): Column =
+    lower(trim(regexp_replace(
+      regexp_replace(c, "[.,;:!?'\"()\\[\\]{}-]", " "), "\\s+", " ")))
+
+  /** DuckDB twin of [[canonicalForm]] (RE2 needs the explicit 'g'
+    * flag; Spark replaces globally by default). */
+  def canonicalFormSql(col: String): String =
+    s"""lower(trim(regexp_replace(regexp_replace($col,""" +
+      """ '[.,;:!?''"()\[\]{}-]', ' ', 'g'), '\s+', ' ', 'g')))"""
+
   /** Characters that are not alphanumeric or whitespace, as a ratio of
     * total length. */
   def punctRatio(c: Column): Column =

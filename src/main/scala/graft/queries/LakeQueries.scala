@@ -384,6 +384,61 @@ object LakeQueries extends QueryModule {
     """SELECT source, lang, COUNT(*) AS n FROM documents
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------- canonical-form dedup
+  /** Case/punctuation/whitespace-insensitive exact dedup: documents
+    * are collapsed on their canonical comparison form
+    * ([[TextFns.canonicalForm]]) rather than raw bytes — the
+    * "same article, different formatting" tier between byte-exact
+    * and MinHash near-dup. The gate plants a formatting variant of
+    * EVERY document (leading whitespace + trailing punctuation,
+    * shifted ids) and the canonical dedup must collapse each pair
+    * back to its original id — raw exact dedup would keep all of
+    * them. Same one-shuffle posture as [[Dedup.exactDedup]] (the
+    * canonical form is a narrow projected column). */
+  private def qDedupCanonical(implicit s: SparkSession, dir: String): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"), col("lang"))
+    val variants = base.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(lit("  "), col("text"), lit(" !!")).as("text"), col("lang"))
+    val union = base.unionByName(variants)
+      .withColumn("_canon", TextFns.canonicalForm(col("text")))
+    val keepers = Dedup.exactDedup(union, "doc_id", Seq("_canon"))
+    keepers.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_keepers"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("lang"))
+  }
+
+  private val qDedupCanonicalSql = {
+    val canon = TextFns.canonicalFormSql("text")
+    s"""WITH u AS (
+       |  SELECT doc_id, text, lang FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, '  ' || text || ' !!', lang FROM documents),
+       |c AS (SELECT doc_id, lang, $canon AS canon FROM u),
+       |k AS (SELECT MIN(doc_id) AS doc_id FROM c GROUP BY canon)
+       |SELECT c.lang, COUNT(*) AS n_keepers,
+       |  CAST(SUM(c.doc_id) AS BIGINT) AS id_sum
+       |FROM c JOIN k ON k.doc_id = c.doc_id
+       |GROUP BY c.lang ORDER BY c.lang""".stripMargin
+  }
+
+  // ----------------------------------------------- catalog stats
+  /** ANALYZE-style catalog statistics sweep: one row per fixture
+    * table with its row count — the statistics a cost-based
+    * optimizer's join-size estimates feed on, collected as ten
+    * metadata-sized aggregates (parquet scans read zero data
+    * columns: count(*) is answered from row-group metadata). */
+  private def qTableStats(implicit s: SparkSession, dir: String): DataFrame = {
+    val stats = Tables.All.map { t =>
+      Tables.table(s, dir, t).agg(count(lit(1)).as("n_rows"))
+        .select(lit(t).as("table_name"), col("n_rows"))
+    }
+    stats.reduce(_ unionByName _).orderBy(col("table_name"))
+  }
+
+  private val qTableStatsSql =
+    Tables.All.map(t => s"SELECT '$t' AS table_name, COUNT(*) AS n_rows FROM $t")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+
   // --------------------------------------- data-quality constraints
   /** One-pass corpus validation report (the Deequ-style pre-training
     * gate): row volume, key uniqueness, null/empty payloads, domain
@@ -446,6 +501,8 @@ object LakeQueries extends QueryModule {
     Q("q_outlier_zscore", (s, d) => qOutlierZscore(s, d), Some(qOutlierZscoreSql)),
     Q("q_corpus_overlap", (s, d) => qCorpusOverlap(s, d), Some(qCorpusOverlapSql)),
     Q("q_cdc_apply", (s, d) => qCdcApply(s, d), Some(qCdcApplySql)),
+    Q("q_dedup_canonical", (s, d) => qDedupCanonical(s, d), Some(qDedupCanonicalSql)),
+    Q("q_table_stats", (s, d) => qTableStats(s, d), Some(qTableStatsSql)),
     Q("q_rollup_incremental", (s, d) => qRollupIncremental(s, d), Some(qRollupIncrementalSql)),
     Q("q_unpivot", (s, d) => qUnpivot(s, d), Some(qUnpivotSql)),
     Q("q_quality_constraints", (s, d) => qQualityConstraints(s, d), Some(qQualityConstraintsSql)))

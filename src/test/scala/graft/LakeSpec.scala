@@ -110,6 +110,30 @@ class LakeSpec extends AnyFunSuite {
     assert(v1.exceptAll(applied).count() === 0)
   }
 
+  test("canonical dedup collapses formatting variants back to originals") {
+    val k = graft.SparkEntry.queries("q_dedup_canonical")(spark, dir).cache()
+    // no planted variant (id ≥ 1e6) can survive: its original always
+    // shares the canonical form and has the smaller id
+    val docs = Tables.documents(spark, dir)
+    val canonDistinct = docs
+      .select(graft.functions.TextFns.canonicalForm(col("text")).as("c"))
+      .distinct().count()
+    assert(k.agg(sum("n_keepers")).head().getLong(0) === canonDistinct)
+    val maxIdSum = docs.agg(sum("doc_id")).head().getLong(0)
+    assert(k.agg(sum("id_sum")).head().getLong(0) <= maxIdSum)
+    k.unpersist()
+  }
+
+  test("catalog stats sweep covers every table with positive counts") {
+    val st = graft.SparkEntry.queries("q_table_stats")(spark, dir).cache()
+    assert(st.count() === Tables.All.size)
+    assert(st.where(col("n_rows") <= 0).count() === 0)
+    val docRow = st.where(col("table_name") === "documents")
+      .head().getLong(1)
+    assert(docRow === Tables.documents(spark, dir).count())
+    st.unpersist()
+  }
+
   test("incremental rollup equals the from-scratch recompute exactly") {
     val inc = graft.SparkEntry.queries("q_rollup_incremental")(spark, dir)
     val full = Tables.events(spark, dir)
