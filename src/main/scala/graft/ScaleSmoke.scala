@@ -236,6 +236,46 @@ object ScaleSmoke {
           c
         }
       }
+      // INCREMENTAL VIEW MAINTENANCE: the daily rollup absorbed as
+      // stored ∪ delta-agg → re-sum (Merge.additiveMerge) vs
+      // recomputed over all of history. The stored rollup is
+      // yesterday's artifact (materialized OUTSIDE the timer); the
+      // arriving day is fixed-size. The incremental path must stay
+      // delta-shaped as history grows n×; the recompute pays the
+      // whole corpus every day.
+      locally {
+        // per-(user, day, type) granularity — the realistic view key:
+        // the maintained view is users×days×types rows (view-sized),
+        // history is events (corpus-sized); replicas shift user ids so
+        // the view grows with the corpus like a real user base does
+        val evBase = graft.core.Tables.events(spark, sfDir)
+        def rollup(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy(col("event_type"), col("day"), col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(30,4)")).as("value_sum"))
+        val history = (0 until n).map { i =>
+          evBase.withColumn("user_id", col("user_id") + lit(i.toLong * 100000000L))
+        }.reduce(_ unionAll _)
+          .select(col("event_type"), to_date(col("ts")).as("day"),
+            col("user_id"), col("value"))
+          .repartition(32).cache()
+        history.count()
+        val delta = evBase
+          .where(col("ts") >= lit("2024-01-30 00:00:00").cast("timestamp"))
+          .select(col("event_type"), to_date(col("ts")).as("day"),
+            col("user_id"), col("value"))
+          .localCheckpoint()
+        val stored = rollup(history).localCheckpoint()
+        time("ivm_rollup_full") {
+          rollup(history.unionAll(delta)).count()
+        }
+        time("ivm_rollup_incremental") {
+          graft.operators.Merge.additiveMerge(
+            stored.unionAll(rollup(delta)),
+            Seq("event_type", "day", "user_id"), Seq("n", "value_sum")).count()
+        }
+        history.unpersist()
+      }
       // Streaming STATE GROWTH: a windowed aggregation over a stream
       // that keeps arriving (one file per micro-batch, event time
       // advancing an hour per batch, 1000 keys/hour). Without

@@ -57,6 +57,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
   }
 
+  test("q_rollup_incremental: both event scans push the ts cutoff to parquet") {
+    val p = planOf("q_rollup_incremental")
+    // (the history side's LessThan pushes identically but runs inside
+    // the eager store-write job, so it is not in the returned plan)
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts"), p)
+    // the stored-view scan reads the pre-aggregated schema — no raw
+    // ts/value columns, i.e. absorbing a day never re-reads history
+    val storedScan = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("rollup_"))
+      .mkString("\n")
+    assert(storedScan.nonEmpty && !storedScan.contains("ts:timestamp"), p)
+  }
+
+  test("q_outlier_zscore / q_winsorize: per-group stats broadcast back") {
+    for (q <- Seq("q_outlier_zscore", "q_winsorize")) {
+      val p = planOf(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q plan:\n$p")
+    }
+  }
+
+  test("q_corpus_diff: only digests shuffle, never the payload") {
+    val p = planOf("q_corpus_diff")
+    // the full-outer join's exchanges carry (doc_id, md5) projections;
+    // the text column must not appear in any exchange output
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("text"), s"payload in exchange:\n$exchanges")
+  }
+
   test("q_dedup_exact shuffles the 8-byte hash, not the text") {
     val df = SparkEntry.queries("q_dedup_exact")(spark, dir)
     df.collect()
