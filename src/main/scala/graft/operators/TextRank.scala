@@ -53,8 +53,15 @@ object TextRank {
     * (word, rank) for every non-isolated vocabulary word. */
   def textRank(docs: DataFrame, textCol: String,
                damping: Double, iters: Int): DataFrame = {
-    val edges = cooccurrenceEdges(docs, textCol).cache()
-    val outw  = edges.groupBy(col("src")).agg(sum(col("w")).as("wout")).cache()
+    val raw  = cooccurrenceEdges(docs, textCol)
+    val outw = raw.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    // the src-weight normalizer is ITERATION-INVARIANT: join it into
+    // the edge relation once, so each round is one join + one grouped
+    // sum instead of two joins (the per-edge arithmetic r·w/wout is
+    // unchanged — same operands, same order — so the oracle replay,
+    // which keeps its per-round join, still matches bit-for-bit)
+    val edges = raw.join(outw, "src")
+      .select(col("src"), col("dst"), col("w"), col("wout")).cache()
     val nodes = edges.select(col("src").as("word")).distinct().cache()
     try {
       val n = nodes.count()
@@ -62,24 +69,25 @@ object TextRank {
       val base = (1.0 - damping) / n
       var ranks = nodes.withColumn("r", lit(round9(1.0 / n)))
         .localCheckpoint()
-      for (_ <- 1 to iters) {
+      for (i <- 1 to iters) {
         val contrib = edges
           .join(ranks.withColumnRenamed("word", "src"), "src")
-          .join(outw, "src")
           .select(col("dst").as("word"),
             round(col("r") * col("w") / col("wout"), 9).as("c"))
         val sums = contrib.groupBy(col("word"))
           .agg(sum(col("c").cast(DecimalType(28, 9))).as("s"))
-        ranks = nodes.join(sums, Seq("word"), "left")
+        val next = nodes.join(sums, Seq("word"), "left")
           .select(col("word"),
             round(lit(base) +
               lit(damping) * coalesce(col("s").cast("double"), lit(0.0)),
               9).as("r"))
-          .localCheckpoint()
+        // truncate lineage every third round (plus the last): enough
+        // to stop recompute blowup, a third of the materializations
+        ranks = if (i % 3 == 0 || i == iters) next.localCheckpoint() else next
       }
       ranks
     } finally {
-      edges.unpersist(false); outw.unpersist(false); nodes.unpersist(false)
+      edges.unpersist(false); nodes.unpersist(false)
     }
   }
 
