@@ -364,6 +364,17 @@ object LakeQueries extends QueryModule {
       |  CAST(round(SUM(CAST(value AS DECIMAL(30,4))), 2) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------- streaming rollup (IVM)
+  /** The STREAMING deployment of the same maintained view
+    * ([[graft.streaming.EventStreams.streamingRollup]] scaladoc):
+    * micro-batches absorbed generation-per-batch via
+    * [[Merge.additiveMerge]], replay-idempotent; the final
+    * generation must equal the batch rollup over all events — the
+    * SAME oracle as [[qRollupIncremental]]. */
+  private def qStreamRollup(implicit s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.streamingRollup(s, dir)
+      .orderBy(col("event_type"), col("day"))
+
   // ----------------------------------------------- unpivot (melt)
   /** Wide → long reshaping: the per-(source, lang) counts pivoted
     * wide (one column per language) and melted back with `unpivot` —
@@ -504,6 +515,7 @@ object LakeQueries extends QueryModule {
     Q("q_dedup_canonical", (s, d) => qDedupCanonical(s, d), Some(qDedupCanonicalSql)),
     Q("q_table_stats", (s, d) => qTableStats(s, d), Some(qTableStatsSql)),
     Q("q_rollup_incremental", (s, d) => qRollupIncremental(s, d), Some(qRollupIncrementalSql)),
+    Q("q_stream_rollup", (s, d) => qStreamRollup(s, d), Some(qRollupIncrementalSql)),
     Q("q_unpivot", (s, d) => qUnpivot(s, d), Some(qUnpivotSql)),
     Q("q_quality_constraints", (s, d) => qQualityConstraints(s, d), Some(qQualityConstraintsSql)))
 }

@@ -146,6 +146,21 @@ class LakeSpec extends AnyFunSuite {
     assert(full.exceptAll(inc).count() === 0)
   }
 
+  test("streaming rollup is batch-boundary invariant and equals the batch view") {
+    import graft.streaming.EventStreams
+    val r4 = EventStreams.streamingRollup(spark, dir, parts = 4)
+    val r2 = EventStreams.streamingRollup(spark, dir, parts = 2)
+    assert(r4.exceptAll(r2).count() === 0)
+    assert(r2.exceptAll(r4).count() === 0)
+    val batch = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(30,4)")), 2).cast("double")
+          .as("total_value"))
+    assert(r4.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(r4).count() === 0)
+  }
+
   test("pivot → unpivot round trip restores the long form exactly") {
     val rt = graft.SparkEntry.queries("q_unpivot")(spark, dir)
     val direct = Tables.documents(spark, dir)
