@@ -435,15 +435,46 @@ object LakeQueries extends QueryModule {
   // ----------------------------------------------- catalog stats
   /** ANALYZE-style catalog statistics sweep: one row per fixture
     * table with its row count — the statistics a cost-based
-    * optimizer's join-size estimates feed on, collected as ten
-    * metadata-sized aggregates (parquet scans read zero data
-    * columns: count(*) is answered from row-group metadata). */
+    * optimizer's join-size estimates feed on. Collected from parquet
+    * FOOTERS, not data: the (table, file) list is distributed and
+    * each task sums its files' row-group metadata — ONE Spark job
+    * over a file-count-sized dataset, zero data pages read, the way
+    * a 100 TB lake's ANALYZE actually runs (a `count(*)` scan per
+    * table would read every page of every table; the default-off V2
+    * aggregate pushdown is the conf-fragile alternative). Footer
+    * counts are definitionally equal to scan counts, which the
+    * oracle (a real COUNT(*) per table) re-proves every run. */
   private def qTableStats(implicit s: SparkSession, dir: String): DataFrame = {
-    val stats = Tables.All.map { t =>
-      Tables.table(s, dir, t).agg(count(lit(1)).as("n_rows"))
-        .select(lit(t).as("table_name"), col("n_rows"))
+    import s.implicits._
+    val files: Seq[(String, String)] = Tables.All.flatMap { t =>
+      val root = new org.apache.hadoop.fs.Path(
+        Tables.readPath(s, s"$dir/$t.parquet"))
+      val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+      val leaves =
+        if (fs.getFileStatus(root).isDirectory)
+          fs.listStatus(root).map(_.getPath)
+            .filter(_.getName.endsWith(".parquet")).toSeq
+        else Seq(root)
+      leaves.map(p => t -> p.toString)
     }
-    stats.reduce(_ unionByName _).orderBy(col("table_name"))
+    files.toDF("table_name", "path")
+      .repartition(8)
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.map { r =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(r.getString(1)), conf)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          val n = try {
+            import scala.jdk.CollectionConverters._
+            reader.getRowGroups.asScala.map(_.getRowCount.toLong).sum
+          } finally reader.close()
+          (r.getString(0), n)
+        }
+      }.toDF("table_name", "n_file_rows")
+      .groupBy(col("table_name"))
+      .agg(sum(col("n_file_rows")).as("n_rows"))
+      .orderBy(col("table_name"))
   }
 
   private val qTableStatsSql =
