@@ -1063,6 +1063,49 @@ object NorthStarQueries extends QueryModule {
       .select(col("lang"), col("doc_id"), col("quality"))
       .orderBy(col("lang"), col("doc_id"))
 
+  /** Training-shard EXPORT MANIFEST — the accounting artifact a
+    * dataset release publishes next to its shards: the curated band
+    * (read from the checkpoint, not recomputed) is cut into
+    * ~[[ExportShardTokens]]-token shards per language by cumulative
+    * token offset, and the manifest reports docs + tokens per shard.
+    * Composition of proven pieces: the curate-once artifact, the
+    * `q_pack_sequences` prefix-sum idiom (per-language partitioned
+    * window; the bucket-decomposed form takes over at 100 TB, as in
+    * token-budget selection), and token counting. A consumer resumes
+    * a partial download from the manifest — and an off-by-one shard
+    * boundary fails the hash. */
+  private val ExportShardTokens = 2000L
+  private def qExportManifest(implicit s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val band = s.read.parquet(curatedArtifact).select(col("doc_id"), col("lang"))
+    val toks = docs.select(col("doc_id"),
+      TextFns.tokenCount(col("text")).cast("long").as("n_toks"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    band.join(toks, "doc_id")
+      .withColumn("start_tok", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .withColumn("shard", expr(s"start_tok div $ExportShardTokens"))
+      .groupBy(col("lang"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .orderBy(col("lang"), col("shard"))
+  }
+
+  private val qExportManifestSql =
+    s"""WITH RECURSIVE $curateBandCtes,
+       |band_toks AS (
+       |  SELECT b.lang, b.doc_id,
+       |    CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT) AS n_toks
+       |  FROM band b JOIN documents d ON d.doc_id = b.doc_id),
+       |cum AS (
+       |  SELECT lang, doc_id, n_toks,
+       |    CAST(coalesce(SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS start_tok
+       |  FROM band_toks)
+       |SELECT lang, CAST(start_tok // $ExportShardTokens AS BIGINT) AS shard,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+       |FROM cum GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** The partitioned training sink derived FROM THE ARTIFACT — same
     * result and oracle as [[qCurateSink]], but the band is read from
     * the checkpoint: together with [[qCurateFromArtifact]] this is
@@ -1196,6 +1239,7 @@ object NorthStarQueries extends QueryModule {
     Q("q_curate_funnel", (s, d) => qCurateFunnel(s, d), Some(qCurateFunnelSql)),
     Q("q_curate_from_artifact", (s, d) => qCurateFromArtifact(s, d), Some(qCuratePipelineSql)),
     Q("q_curate_sink_artifact", (s, d) => qCurateSinkArtifact(s, d), Some(qCurateSinkSql)),
+    Q("q_export_manifest", (s, d) => qExportManifest(s, d), Some(qExportManifestSql)),
     Q("q_dedup_minhash_lsh", (s, d) => qDedupMinhashLsh(s, d), Some(qDedupMinhashLshSql)),
     Q("q_dedup_ngram_jaccard", (s, d) => qDedupNgramJaccard(s, d), Some(qDedupNgramJaccardSql)),
     Q("q_dedup_simhash", (s, d) => qDedupSimhash(s, d), Some(qDedupSimhashSql)),
