@@ -471,6 +471,31 @@ object NorthStarQueries extends QueryModule {
       FROM documents_fn ORDER BY doc_id""")
   }
 
+  /** PARAMETERIZED SQL (the `spark.sql(text, args)` named-parameter
+    * binding, Spark ≥3.4): the query text carries `:minQty`/`:cutoff`
+    * placeholders and the values bind at plan time — the injection-
+    * safe templated-query API a serving layer calls with user input.
+    * The oracle inlines the same literals. */
+  private def qSqlParams(implicit s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_params")
+    s.sql(
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(28,2))), 2) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem_params
+        |WHERE l_quantity >= :minQty AND l_shipdate < CAST(:cutoff AS TIMESTAMP)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      Map("minQty" -> 30, "cutoff" -> "1997-01-01 00:00:00"))
+  }
+
+  private val qSqlParamsSql =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(28,2))), 2) AS DOUBLE)
+      |    AS revenue
+      |FROM lineitem
+      |WHERE l_quantity >= 30 AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   private val qSqlFunctionsSql =
     s"""SELECT doc_id,
        |  ${TextFns.fingerprintSql("text")} AS fp,
@@ -1269,5 +1294,6 @@ object NorthStarQueries extends QueryModule {
     Q("q_zorder_skip", (s, d) => qZorderSkip(s, d), Some(qZorderSkipSql)),
     Q("q_wordcount_gen", (s, d) => qWordcountGen(s, d), Some(qWordcountTopkSql)),
     Q("q_bigram_lm_score", (s, d) => qBigramLmScore(s, d), Some(qBigramLmScoreSql)),
-    Q("q_sql_functions", (s, d) => qSqlFunctions(s, d), Some(qSqlFunctionsSql)))
+    Q("q_sql_functions", (s, d) => qSqlFunctions(s, d), Some(qSqlFunctionsSql)),
+    Q("q_sql_params", (s, d) => qSqlParams(s, d), Some(qSqlParamsSql)))
 }
