@@ -488,7 +488,57 @@ object EngineSurfaceQueries extends QueryModule {
       .orderBy(col("sim").desc, col("id_a"), col("id_b"))
       .limit(50)
 
-  private def embLshSql(planes: Int): String = {
+  /** The PRODUCTION config — [[graft.operators.Similarity
+    * .lshNearDupPairsAuto]] sizes the plane count to the corpus (a
+    * plane per doubling, occupancy ≤16). Registered rows-only BY
+    * CONSTRUCTION: the chosen plane count is data-dependent, so no
+    * static SQL twin exists — instead (a) the spec asserts auto ==
+    * the pinned operator at the chosen count, and (b) the pinned 8-
+    * and 12-plane configs remain ORACLE-EXACT gates of the identical
+    * code path (same policy as the sketch queries: engine-adaptive
+    * surface, oracle-exact sibling). The sf ladder is the reason it
+    * exists: the pinned 12-plane gate measures 1.6 s at 20 k vectors
+    * and 386 s at 200 k (occupancy ~49 → quadratic per bucket), while
+    * auto's 14-plane choice restores the near-linear curve
+    * (PROFILE_r09 sf10 probe). */
+  private def qDedupEmbedLshAuto(implicit s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.lshNearDupPairsAuto(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", EmbLshTables)
+      .orderBy(col("sim").desc, col("id_a"), col("id_b"))
+      .limit(50)
+
+  /** The COMPOSED production path: exact-collapse identical vectors
+    * ([[graft.operators.Similarity.exactCollapseEmbeddings]]) then
+    * LSH over the representatives — the embedding twin of
+    * `q_dedup_minhash_scalable`'s collapse-then-near-dup. The pinned
+    * 8-plane config stays oracle-able at every SF because the
+    * REPRESENTATIVE count is what the planes must hold, and the
+    * collapse is what keeps it bounded under duplication (sf10:
+    * 200 k vectors with 100× exact replication — the uncollapsed
+    * 12-plane gate pays 386 s of unsplittable duplicate buckets,
+    * this path collapses to 2 000 reps first; PROFILE_r09). */
+  private def qDedupEmbedScalable(implicit s: SparkSession, dir: String): DataFrame = {
+    val reps = graft.operators.Similarity.exactCollapseEmbeddings(
+      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding")
+    graft.operators.Similarity.lshNearDupPairs(
+        reps, "vec_id", "embedding", EmbLshPlanes, EmbLshTables)
+      .orderBy(col("sim").desc, col("id_a"), col("id_b"))
+      .limit(50)
+  }
+
+  private def embLshSql(planes: Int): String = embLshSqlFrom(planes, "embeddings")
+
+  private val qDedupEmbedScalableSql = {
+    val reps =
+      """reps AS (
+        |  SELECT MIN(vec_id) AS vec_id, embedding
+        |  FROM embeddings GROUP BY embedding)""".stripMargin
+    s"WITH $reps,\n${embLshSqlFrom(EmbLshPlanes, "reps").stripPrefix("WITH ")}"
+  }
+
+  private def embLshSqlFrom(planes: Int, src: String): String = {
     def bucket(t: Int) = (0 until planes).map { p =>
       val g = t * planes + p
       s"""CASE WHEN list_aggregate(list_transform(embedding,
@@ -497,8 +547,8 @@ object EngineSurfaceQueries extends QueryModule {
     }.mkString(" + ")
     val tableCands = (0 until EmbLshTables).map { t =>
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b
-         |FROM (SELECT vec_id, CAST(${bucket(t)} AS BIGINT) AS bkt FROM embeddings) a
-         |JOIN (SELECT vec_id, CAST(${bucket(t)} AS BIGINT) AS bkt FROM embeddings) b
+         |FROM (SELECT vec_id, CAST(${bucket(t)} AS BIGINT) AS bkt FROM $src) a
+         |JOIN (SELECT vec_id, CAST(${bucket(t)} AS BIGINT) AS bkt FROM $src) b
          |  ON a.bkt = b.bkt AND a.vec_id < b.vec_id""".stripMargin
     }.mkString(" UNION ")
     s"""WITH cands AS ($tableCands)
@@ -509,8 +559,8 @@ object EngineSurfaceQueries extends QueryModule {
        |    / (sqrt(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))
        |       * sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))), 6) AS sim
        |FROM cands
-       |JOIN embeddings a ON cands.id_a = a.vec_id
-       |JOIN embeddings b ON cands.id_b = b.vec_id
+       |JOIN $src a ON cands.id_a = a.vec_id
+       |JOIN $src b ON cands.id_b = b.vec_id
        |ORDER BY sim DESC, id_a, id_b LIMIT 50""".stripMargin
   }
 
@@ -533,5 +583,7 @@ object EngineSurfaceQueries extends QueryModule {
     Q("q_stream_join", (s, d) => qStreamJoin(s, d), Some(qStreamJoinSql)),
     Q("q_dedup_embed_cosine", (s, d) => qDedupEmbedCosine(s, d), Some(qDedupEmbedCosineSql)),
     Q("q_dedup_embed_lsh", (s, d) => qDedupEmbedLsh(s, d), Some(embLshSql(EmbLshPlanes))),
-    Q("q_dedup_embed_lsh_wide", (s, d) => qDedupEmbedLshWide(s, d), Some(embLshSql(EmbLshPlanesWide))))
+    Q("q_dedup_embed_lsh_wide", (s, d) => qDedupEmbedLshWide(s, d), Some(embLshSql(EmbLshPlanesWide))),
+    Q("q_dedup_embed_lsh_auto", (s, d) => qDedupEmbedLshAuto(s, d), None),
+    Q("q_dedup_embed_scalable", (s, d) => qDedupEmbedScalable(s, d), Some(qDedupEmbedScalableSql)))
 }

@@ -287,4 +287,27 @@ class SimilaritySpec extends AnyFunSuite {
       .as[(Long, Int, Int)].collect().sortBy(_._1)
     assert(re.toSeq == out.toSeq)
   }
+
+  test("exact-collapse: duplicates collapse to min-id reps, LSH pairs unchanged") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val base = graft.core.Tables.embeddings(spark, TestSpark.SfDir)
+      .select(col("vec_id"), col("embedding"))
+    // replicate 3× with shifted ids — identical vectors, like a
+    // duplicated corpus (the sf10 regime that defeats pure LSH)
+    val dup = base
+      .unionAll(base.withColumn("vec_id", col("vec_id") + 1000000L))
+      .unionAll(base.withColumn("vec_id", col("vec_id") + 2000000L))
+    val reps = Similarity.exactCollapseEmbeddings(dup, "vec_id", "embedding")
+    // one rep per distinct vector, and always the ORIGINAL (min) id
+    assert(reps.count() === base.select("embedding").distinct().count())
+    assert(reps.where(col("vec_id") >= 1000000L).count() === 0)
+    // the composed pairs equal the undup'd corpus' pairs exactly
+    val a = Similarity.lshNearDupPairs(reps, "vec_id", "embedding", 8, 4)
+    val b = Similarity.lshNearDupPairs(
+      Similarity.exactCollapseEmbeddings(base, "vec_id", "embedding"),
+      "vec_id", "embedding", 8, 4)
+    assert(a.exceptAll(b).count() === 0)
+    assert(b.exceptAll(a).count() === 0)
+  }
 }
