@@ -27,7 +27,10 @@ class OracleParitySpec extends AnyFunSuite {
   private val churn = Set(
     "q_dedup_minhash_lsh", "q_dedup_simhash", "q_dedup_minhash_scalable",
     "q_quantile_bucket", "q_json_roundtrip", "q_image_headers",
-    "q_audio_headers")
+    "q_audio_headers",
+    // r9-final additions: hand-mirrored hash/window/decimal math
+    "q_dedup_embed_scalable", "q_cdc_apply", "q_rollup_incremental",
+    "q_median_scalable", "q_export_manifest")
 
   private val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR_VERIFY",
     "/root/testdata/sf0.01")
