@@ -481,6 +481,38 @@ object LakeQueries extends QueryModule {
     Tables.All.map(t => s"SELECT '$t' AS table_name, COUNT(*) AS n_rows FROM $t")
       .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
 
+  // --------------------------------------- bloom point lookup
+  /** Point lookup on a high-cardinality UNSORTED key via parquet
+    * column BLOOM FILTERS — the skipping mechanism when zone maps
+    * are blind (every row group's min/max spans the key space) and
+    * sorting for one lookup column is not on the table. The writer
+    * embeds a per-row-group bloom on the key; the reader's row-group
+    * filter consults it before touching data pages (`BloomSkipSpec`
+    * measures the same lookup reading <1/4 of the plain layout's
+    * rows). Oracle-exact sink → point-lookup round trip: the key is
+    * md5 over the id, replayed identically by DuckDB. */
+  private val BloomLookupId = 42L
+  private def qBloomPointLookup(implicit s: SparkSession, dir: String): DataFrame = {
+    val keyed = docs.select(md5(col("doc_id").cast("string")).as("bkey"),
+      col("doc_id"), col("lang"), col("n_chars"))
+    val out = java.nio.file.Paths.get(Dedup.SignatureStore.root,
+      "bloomkeyed_" + java.lang.Integer.toHexString(dir.hashCode)).toString
+    keyed.repartition(4).sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#bkey", "true")
+      .option("parquet.bloom.filter.expected.ndv#bkey", "10000")
+      .parquet(out)
+    s.read.parquet(out)
+      .where(col("bkey") === md5(lit(BloomLookupId.toString)))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qBloomPointLookupSql =
+    s"""SELECT doc_id, lang, n_chars FROM documents
+       |WHERE md5(CAST(doc_id AS VARCHAR)) = md5('$BloomLookupId')
+       |ORDER BY doc_id""".stripMargin
+
   // --------------------------------------- data-quality constraints
   /** One-pass corpus validation report (the Deequ-style pre-training
     * gate): row volume, key uniqueness, null/empty payloads, domain
@@ -548,5 +580,6 @@ object LakeQueries extends QueryModule {
     Q("q_rollup_incremental", (s, d) => qRollupIncremental(s, d), Some(qRollupIncrementalSql)),
     Q("q_stream_rollup", (s, d) => qStreamRollup(s, d), Some(qRollupIncrementalSql)),
     Q("q_unpivot", (s, d) => qUnpivot(s, d), Some(qUnpivotSql)),
-    Q("q_quality_constraints", (s, d) => qQualityConstraints(s, d), Some(qQualityConstraintsSql)))
+    Q("q_quality_constraints", (s, d) => qQualityConstraints(s, d), Some(qQualityConstraintsSql)),
+    Q("q_bloom_point_lookup", (s, d) => qBloomPointLookup(s, d), Some(qBloomPointLookupSql)))
 }
