@@ -38,26 +38,35 @@ object Merge {
     * every measure is addition-order-independent (BIGINT / DECIMAL —
     * see [[graft.queries.Q]]'s determinism contract). */
   def additiveMerge(parts: DataFrame, keys: Seq[String],
-      measures: Seq[String]): DataFrame =
+      measures: Seq[String]): DataFrame = {
+    require(measures.nonEmpty, "additiveMerge needs at least one measure")
     parts.groupBy(keys.map(col): _*)
       .agg(sum(col(measures.head)).as(measures.head),
         measures.tail.map(m => sum(col(m)).as(m)): _*)
+  }
 
   /** Row-level change classification between two snapshots of a keyed
     * table: `added` (key only in `next`), `removed` (key only in
     * `prev`), `changed` (both, different content hash), `unchanged`.
     * Returns (key, status); content equality is md5 over the given
     * payload column — hash equality ⇔ payload equality for change
-    * accounting purposes, and only digests shuffle. */
+    * accounting purposes, and only digests shuffle. Key presence is
+    * carried by EXPLICIT side markers, never inferred from digest
+    * nullness: a row whose payload is NULL hashes to NULL, and
+    * conflating "hash is NULL" with "key absent" would report a
+    * prev-only NULL-payload row as `added`. NULL payloads compare
+    * null-safely: NULL↔NULL is `unchanged`, NULL↔text is `changed`. */
   def snapshotDiff(prev: DataFrame, next: DataFrame, key: String,
       payload: String): DataFrame = {
-    val a = prev.select(col(key), md5(col(payload)).as("_h_prev"))
-    val b = next.select(col(key), md5(col(payload)).as("_h_next"))
+    val a = prev.select(col(key), lit(true).as("_in_prev"),
+      md5(col(payload)).as("_h_prev"))
+    val b = next.select(col(key), lit(true).as("_in_next"),
+      md5(col(payload)).as("_h_next"))
     a.join(b, Seq(key), "full_outer")
       .select(col(key),
-        when(col("_h_prev").isNull, lit("added"))
-          .when(col("_h_next").isNull, lit("removed"))
-          .when(col("_h_prev") =!= col("_h_next"), lit("changed"))
+        when(col("_in_prev").isNull, lit("added"))
+          .when(col("_in_next").isNull, lit("removed"))
+          .when(!(col("_h_prev") <=> col("_h_next")), lit("changed"))
           .otherwise(lit("unchanged")).as("status"))
   }
 }

@@ -28,6 +28,14 @@ import graft.operators.{Dedup, Merge}
   */
 object LakeQueries extends QueryModule {
 
+  /** Planted-variant id offset for [[qDedupCanonical]]: a single high
+    * bit keeps variant ids disjoint from real doc_ids at ANY scale
+    * factor (2^40 ≫ any fixture's max id; a decimal 1e6 offset would
+    * collide once doc_id reaches a million). Declared FIRST — object
+    * vals initialize in declaration order and the oracle-SQL val
+    * below interpolates it. */
+  private val VariantIdOffset = 1L << 40
+
   private def docs(implicit s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
 
@@ -408,7 +416,10 @@ object LakeQueries extends QueryModule {
     * canonical form is a narrow projected column). */
   private def qDedupCanonical(implicit s: SparkSession, dir: String): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"), col("lang"))
-    val variants = base.select((col("doc_id") + 1000000L).as("doc_id"),
+    // variant ids live in a disjoint high-bit range: a fixed decimal
+    // offset (1e6) collides with real doc_ids at large SF and silently
+    // corrupts the keeper accounting on BOTH engines at once
+    val variants = base.select((col("doc_id") + VariantIdOffset).as("doc_id"),
       concat(lit("  "), col("text"), lit(" !!")).as("text"), col("lang"))
     val union = base.unionByName(variants)
       .withColumn("_canon", TextFns.canonicalForm(col("text")))
@@ -423,7 +434,7 @@ object LakeQueries extends QueryModule {
     s"""WITH u AS (
        |  SELECT doc_id, text, lang FROM documents
        |  UNION ALL
-       |  SELECT doc_id + 1000000, '  ' || text || ' !!', lang FROM documents),
+       |  SELECT doc_id + $VariantIdOffset, '  ' || text || ' !!', lang FROM documents),
        |c AS (SELECT doc_id, lang, $canon AS canon FROM u),
        |k AS (SELECT MIN(doc_id) AS doc_id FROM c GROUP BY canon)
        |SELECT c.lang, COUNT(*) AS n_keepers,
@@ -450,11 +461,19 @@ object LakeQueries extends QueryModule {
       val root = new org.apache.hadoop.fs.Path(
         Tables.readPath(s, s"$dir/$t.parquet"))
       val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+      // recursive walk: a partitioned/nested table layout (files under
+      // key=value subdirectories) would be silently undercounted by a
+      // single-level listStatus
       val leaves =
-        if (fs.getFileStatus(root).isDirectory)
-          fs.listStatus(root).map(_.getPath)
-            .filter(_.getName.endsWith(".parquet")).toSeq
-        else Seq(root)
+        if (fs.getFileStatus(root).isDirectory) {
+          val it = fs.listFiles(root, true)
+          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (it.hasNext) {
+            val p = it.next().getPath
+            if (p.getName.endsWith(".parquet")) buf += p.toString
+          }
+          buf.toSeq.map(new org.apache.hadoop.fs.Path(_))
+        } else Seq(root)
       leaves.map(p => t -> p.toString)
     }
     files.toDF("table_name", "path")

@@ -311,11 +311,13 @@ object EventStreams {
                       parts: Int = 4): DataFrame = {
     import org.apache.hadoop.fs.Path
     val splits = stageSplits(spark, dir, parts)
+    // Per-invocation UUID in the root (as streamingEnriched does for its
+    // memory-sink name): a fixture-keyed fixed path would let two
+    // concurrent runs over the same fixture (bench + verify) race on one
+    // directory and read/overwrite each other's generations mid-stream.
     val root = java.nio.file.Paths.get("/tmp/graft_stream_rollup",
-      "g_" + Integer.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(s"$dir/$parts"))).toString
+      "g_" + java.util.UUID.randomUUID().toString).toString
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
-    fs.delete(new Path(root), true) // fresh generations per invocation
     def rollup(df: DataFrame): DataFrame =
       graft.core.Tables.normalizeEventTs(df)
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
@@ -341,6 +343,15 @@ object EventStreams {
       finally q.stop()
     }
     require(lastGen >= 0, "streamingRollup: no batch ran")
+    // Superseded generations are dead once the stream finishes — only
+    // gen=lastGen backs the returned (lazy) frame, so the rest can go
+    // now; the final generation is reaped at JVM exit.
+    (0L until lastGen).foreach(g => fs.delete(new Path(s"$root/gen=$g"), true))
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try org.apache.hadoop.fs.FileSystem.get(new java.net.URI("file:///"),
+        new org.apache.hadoop.conf.Configuration())
+        .delete(new Path(root), true)
+      catch { case _: Throwable => () }))
     spark.read.parquet(s"$root/gen=$lastGen")
       .select(col("event_type"), col("day"), col("n"),
         round(col("value_sum"), 2).cast("double").as("total_value"))

@@ -36,6 +36,21 @@ class LakeSpec extends AnyFunSuite {
     d.unpersist()
   }
 
+  test("snapshotDiff classifies NULL payloads by key presence, not hash nullness") {
+    import spark.implicits._
+    // (1) prev-only with NULL payload → removed (not 'added');
+    // (2) NULL→text on the same key → changed; (3) text→NULL → changed;
+    // (4) NULL→NULL → unchanged; (5) next-only NULL payload → added
+    val prev = Seq((1L, null: String), (2L, null: String), (3L, "x"),
+      (4L, null: String)).toDF("id", "payload")
+    val next = Seq((2L, "y"), (3L, null: String), (4L, null: String),
+      (5L, null: String)).toDF("id", "payload")
+    val got = Merge.snapshotDiff(prev, next, "id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "removed", 2L -> "changed", 3L -> "changed",
+      4L -> "unchanged", 5L -> "added"))
+  }
+
   test("keyedUpsert: delta wins, non-delta base rows survive, inserts append") {
     import spark.implicits._
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
@@ -112,7 +127,7 @@ class LakeSpec extends AnyFunSuite {
 
   test("canonical dedup collapses formatting variants back to originals") {
     val k = graft.SparkEntry.queries("q_dedup_canonical")(spark, dir).cache()
-    // no planted variant (id ≥ 1e6) can survive: its original always
+    // no planted variant (id ≥ 2^40) can survive: its original always
     // shares the canonical form and has the smaller id
     val docs = Tables.documents(spark, dir)
     val canonDistinct = docs
