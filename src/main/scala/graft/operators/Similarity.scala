@@ -354,8 +354,14 @@ object Similarity {
                  minPlanes: Int = 8, maxPlanes: Int = 24): Int = {
     require(targetOccupancy >= 1 && minPlanes >= 1 && maxPlanes >= minPlanes,
       s"bad autoPlanes bounds: occ=$targetOccupancy min=$minPlanes max=$maxPlanes")
-    val needed = math.ceil(
-      math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2.0)).toInt
+    // ceil(log2(n/occ)) in EXACT integer arithmetic — the smallest k
+    // with 2^k · occ ≥ n. A float log ratio can land a hair above an
+    // integer at exact-doubling boundaries (n = occ·2^k) and ceil to
+    // k+1 on one engine but not the other; the integer rule is what
+    // the SQL oracle twin replays verbatim.
+    var needed = 0
+    while (needed < maxPlanes &&
+           (1L << needed) * targetOccupancy < n) needed += 1
     math.min(maxPlanes, math.max(minPlanes, needed))
   }
 

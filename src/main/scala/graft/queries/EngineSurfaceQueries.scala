@@ -490,13 +490,14 @@ object EngineSurfaceQueries extends QueryModule {
 
   /** The PRODUCTION config — [[graft.operators.Similarity
     * .lshNearDupPairsAuto]] sizes the plane count to the corpus (a
-    * plane per doubling, occupancy ≤16). Registered rows-only BY
-    * CONSTRUCTION: the chosen plane count is data-dependent, so no
-    * static SQL twin exists — instead (a) the spec asserts auto ==
-    * the pinned operator at the chosen count, and (b) the pinned 8-
-    * and 12-plane configs remain ORACLE-EXACT gates of the identical
-    * code path (same policy as the sketch queries: engine-adaptive
-    * surface, oracle-exact sibling). The sf ladder is the reason it
+    * plane per doubling, occupancy ≤16). ORACLE-EXACT since r10: the
+    * plane count is data-dependent, but [[Similarity.autoPlanes]] is
+    * exact integer arithmetic (smallest k with 2^k·16 ≥ n), so the
+    * SQL twin derives the SAME count from `COUNT(*)` and expands the
+    * per-plane bucket bits with a list comprehension over
+    * `range(0, planes)` instead of a pinned literal expansion — one
+    * static SQL string gates every scale factor at whatever plane
+    * count auto picks there. The sf ladder is the reason the operator
     * exists: the pinned 12-plane gate measures 1.6 s at 20 k vectors
     * and 386 s at 200 k (occupancy ~49 → quadratic per bucket), while
     * auto's 14-plane choice restores the near-linear curve
@@ -529,6 +530,43 @@ object EngineSurfaceQueries extends QueryModule {
   }
 
   private def embLshSql(planes: Int): String = embLshSqlFrom(planes, "embeddings")
+
+  /** SQL twin of [[qDedupEmbedLshAuto]]: derives the plane count from
+    * `COUNT(*)` with the same exact integer rule as
+    * [[graft.operators.Similarity.autoPlanes]] (smallest k in [8,24]
+    * with 2^k·16 ≥ n), then computes each table's bucket as a SUM over
+    * `range(0, planes)` of per-plane sign bits — the dynamic twin of
+    * [[embLshSqlFrom]]'s literal expansion. Verified equal to the
+    * pinned expansion at planes 8 (sf0.01/sf0.1 corpus sizes) and 11
+    * (20 k-vector synthetic) digit-for-digit. */
+  private val embLshAutoSql =
+    s"""WITH prm AS (
+       |  SELECT CAST(LEAST(24, GREATEST(8, COALESCE(
+       |    list_min(list_filter(range(0, 25), k -> (1::BIGINT << k) * 16 >= n)), 24))) AS BIGINT) AS planes
+       |  FROM (SELECT COUNT(*) AS n FROM embeddings)
+       |),
+       |b AS (
+       |  SELECT e.vec_id, t.tbl,
+       |    CAST(list_aggregate(list_transform(range(0, prm.planes), p ->
+       |      CASE WHEN list_aggregate(list_transform(e.embedding,
+       |          (x, j) -> CAST(x AS DOUBLE) * CAST((j * (2 * (t.tbl * prm.planes + p) + 3)) % 17 - 8 AS DOUBLE)), 'sum') > 0
+       |        THEN (1::BIGINT << p) ELSE 0::BIGINT END), 'sum') AS BIGINT) AS bkt
+       |  FROM embeddings e CROSS JOIN prm CROSS JOIN (SELECT unnest(range(0, $EmbLshTables)) AS tbl) t
+       |),
+       |cands AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+       |  FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.bkt = b2.bkt AND a.vec_id < b2.vec_id
+       |)
+       |SELECT cands.id_a, cands.id_b,
+       |  round(
+       |    list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+       |      p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum')
+       |    / (sqrt(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))
+       |       * sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))), 6) AS sim
+       |FROM cands
+       |JOIN embeddings a ON cands.id_a = a.vec_id
+       |JOIN embeddings b ON cands.id_b = b.vec_id
+       |ORDER BY sim DESC, id_a, id_b LIMIT 50""".stripMargin
 
   private val qDedupEmbedScalableSql = {
     val reps =
@@ -584,6 +622,6 @@ object EngineSurfaceQueries extends QueryModule {
     Q("q_dedup_embed_cosine", (s, d) => qDedupEmbedCosine(s, d), Some(qDedupEmbedCosineSql)),
     Q("q_dedup_embed_lsh", (s, d) => qDedupEmbedLsh(s, d), Some(embLshSql(EmbLshPlanes))),
     Q("q_dedup_embed_lsh_wide", (s, d) => qDedupEmbedLshWide(s, d), Some(embLshSql(EmbLshPlanesWide))),
-    Q("q_dedup_embed_lsh_auto", (s, d) => qDedupEmbedLshAuto(s, d), None),
+    Q("q_dedup_embed_lsh_auto", (s, d) => qDedupEmbedLshAuto(s, d), Some(embLshAutoSql)),
     Q("q_dedup_embed_scalable", (s, d) => qDedupEmbedScalable(s, d), Some(qDedupEmbedScalableSql)))
 }
