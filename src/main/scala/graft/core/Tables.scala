@@ -33,7 +33,25 @@ object Tables {
     // bench scale (a production corpus has thousands of splits and
     // keeps the default).
     "spark.sql.files.maxPartitionBytes" -> "2097152",
-    "spark.sql.files.openCostInBytes" -> "262144")
+    "spark.sql.files.openCostInBytes" -> "262144",
+    // Cost-based optimization: consumed ONLY by relations carrying
+    // catalog statistics ([[CatalogStats.ensure]]'s ANALYZEd tables —
+    // q_cbo_join_order); every other query reads raw parquet paths,
+    // whose stats fall back to the same size-only estimates as with
+    // CBO off. Histogram collection sharpens ANALYZE's per-column
+    // selectivity estimates (equi-height, 254 bins).
+    "spark.sql.cbo.enabled" -> "true",
+    "spark.sql.cbo.joinReorder.enabled" -> "true",
+    "spark.sql.statistics.histogram.enabled" -> "true",
+    // Always honor a table's declared bucketing on read. The auto
+    // heuristic drops the bucketed layout (and with it BUCKET
+    // PRUNING) whenever no join/agg consumes the bucket key — but a
+    // point/id-keyed read of a bucketed store is exactly the case
+    // where pruning pays: SignatureStore.resolveGroup reads 3 of 8
+    // bucket files instead of the whole `sets` table. Every bucketed
+    // table here is a store whose reads either exploit the key or
+    // are id-keyed lookups; none benefit from the heuristic.
+    "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false")
 
   val All: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",

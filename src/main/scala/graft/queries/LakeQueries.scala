@@ -586,7 +586,49 @@ object LakeQueries extends QueryModule {
        |ORDER BY rule""".stripMargin
   }
 
+  // --------------------------------------- cost-based optimization
+  /** The join predicates/filter/aggregate of the CBO probe, shared
+    * verbatim by the Spark side (over ANALYZEd catalog tables) and
+    * the DuckDB oracle (over the raw fixtures) — only the FROM-clause
+    * qualification differs. The syntactic join order is DELIBERATELY
+    * worst-first: fact ⋈ fact (lineitem ⋈ orders) before any
+    * selective dimension. */
+  private def cboJoinSql(qual: String): String =
+    s"""SELECT n.n_name AS nation, COUNT(*) AS n_items,
+       |  CAST(ROUND(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue
+       |FROM ${qual}lineitem l
+       |JOIN ${qual}orders o ON l.l_orderkey = o.o_orderkey
+       |JOIN ${qual}customer c ON o.o_custkey = c.c_custkey
+       |JOIN ${qual}nation n ON c.c_nationkey = n.n_nationkey
+       |WHERE n.n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+       |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin
+
+  /** Statistics-DRIVEN join ordering: the same revenue rollup as the
+    * TPC-H family, but phrased with the WORST syntactic join order
+    * (fact ⋈ fact first, the selective nation filter last) and run
+    * over catalog tables that [[graft.core.CatalogStats]] has
+    * ANALYZEd. With `spark.sql.cbo.enabled` +
+    * `spark.sql.cbo.joinReorder.enabled` (session defaults) Catalyst's
+    * cost-based reorder consumes the row-count/NDV statistics and
+    * rebuilds the join tree dimension-first — the optimizer lever
+    * `q_table_stats` collects numbers for, actually pulling weight.
+    * PlanShapeSpec asserts the reorder happened (lineitem is NOT
+    * joined first in the optimized plan, and the stats-less plan
+    * keeps the syntactic order); this gate asserts the reordered
+    * plan's RESULT is unchanged. At 100 TB the difference is a
+    * petabyte-scale fact⋈fact shuffle vs a broadcast-pruned
+    * dimension-first pipeline — the single highest-leverage decision
+    * a distributed optimizer makes. */
+  private def qCboJoinOrder(implicit s: SparkSession, dir: String): DataFrame = {
+    val db = graft.core.CatalogStats.ensure(s, dir,
+      Seq("lineitem", "orders", "customer", "nation"))
+    s.sql(cboJoinSql(s"$db."))
+  }
+
+  private val qCboJoinOrderSql = cboJoinSql("")
+
   override def queries: Seq[Q] = Seq(
+    Q("q_cbo_join_order", (s, d) => qCboJoinOrder(s, d), Some(qCboJoinOrderSql)),
     Q("q_corpus_diff", (s, d) => qCorpusDiff(s, d), Some(qCorpusDiffSql)),
     Q("q_merge_upsert", (s, d) => qMergeUpsert(s, d), Some(qMergeUpsertSql)),
     Q("q_schema_evolution", (s, d) => qSchemaEvolution(s, d), Some(qSchemaEvolutionSql)),

@@ -170,4 +170,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(o_custkey"), p)
     assert("Sort \\[".r.findAllIn(p).length >= 2, p)
   }
+
+  test("q_cbo_join_order: catalog statistics drive the join reorder") {
+    // leaf relations in depth-first (execution) order, identified by
+    // their column-name prefix: l_ o_ c_ n_
+    def leafOrder(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collectLeaves()
+        .map(_.output.head.name.take(2))
+    val syntactic = Seq("l_", "o_", "c_", "n_")
+
+    // stats-less control: the SAME SQL over temp views on the raw
+    // parquet (no catalog statistics) keeps the worst-case syntactic
+    // order — fact ⋈ fact first
+    val sql = SparkEntry.oracleSql("q_cbo_join_order")
+    Seq("lineitem", "orders", "customer", "nation").foreach(t =>
+      graft.core.Tables.table(spark, dir, t).createOrReplaceTempView(t))
+    val statless = spark.sql(sql)
+    assert(leafOrder(statless) === syntactic,
+      s"control should keep syntactic order, got ${leafOrder(statless)}")
+
+    // stats-fed run: ANALYZEd catalog tables + cbo.joinReorder rebuild
+    // the tree — lineitem must no longer be the first join participant
+    val cbo = SparkEntry.queries("q_cbo_join_order")(spark, dir)
+    val order = leafOrder(cbo)
+    assert(order !== syntactic, s"CBO did not reorder: $order")
+    assert(order.head !== "l_",
+      s"fact table still leads the join tree: $order")
+
+    // and the reordered plan's result is unchanged
+    assert(cbo.exceptAll(statless).count() === 0)
+    assert(statless.exceptAll(cbo).count() === 0)
+  }
 }
