@@ -503,6 +503,64 @@ object Dedup {
         .saveAsTable(setsTable(toTag))
     }
 
+    /** Per-bucket member counts of the persisted banded store — the
+      * group-selection half of a group-resolution read. The banded
+      * table is bucketed by exactly this grouping key, so the
+      * aggregation plans with ZERO Exchange (plan-asserted in
+      * DedupSpec): at 100 TB, "how big are my LSH buckets" is a
+      * store-local scan, never a shuffle. */
+    def bucketCounts(spark: org.apache.spark.sql.SparkSession,
+                     tag: String): DataFrame =
+      banded(spark, tag).groupBy(col("band"), col("bsig"))
+        .agg(count(lit(1)).as("n"))
+
+    /** Resolve ONE near-dup group's member sets off the persisted
+      * store — the id-keyed read the `sets` table's id-bucketing
+      * exists for. Given the group's member ids (driver-known, the
+      * way a curation UI or repair job addresses a group), fetches
+      * each member's shingle set via a BUCKET-PRUNED scan (ids hash
+      * to a subset of the 8 buckets; `SelectedBucketsCount` < total,
+      * plan-asserted) and reports its shingle count plus Jaccard to
+      * the group representative (min id). No Exchange touches the
+      * store: the only shuffle in the whole read is the final
+      * group-sized ORDER BY. */
+    def resolveGroup(spark: org.apache.spark.sql.SparkSession, tag: String,
+                     idCol: String, members: Seq[Long]): DataFrame = {
+      require(members.nonEmpty, "resolveGroup needs at least one member id")
+      val rep = members.min
+      val ss = sets(spark, tag)
+      val repSet = ss.where(col(idCol) === rep)
+        .select(col("shset").as("_rep"))
+      ss.where(col(idCol).isin(members: _*))
+        .crossJoin(broadcast(repSet))
+        .select(col(idCol),
+          size(col("shset")).cast("long").as("n_shingles"),
+          round(graft.plans.StringArrayJaccard(col("shset"), col("_rep")), 6)
+            .as("jaccard_rep"))
+        .orderBy(col(idCol))
+    }
+
+    /** [[resolveGroup]] for the store's LARGEST LSH bucket (count
+      * desc, then (band, bsig) — deterministic). Two bounded driver
+      * actions select the group: the winning bucket key (one row) and
+      * its member ids (≤ `maxGroup`, enforced — near-dup groups are
+      * small by contract; a bucket bigger than that is a skew signal
+      * to split, not resolve). */
+    def resolveLargestGroup(spark: org.apache.spark.sql.SparkSession,
+                            tag: String, idCol: String,
+                            maxGroup: Int = 10000): DataFrame = {
+      val top = bucketCounts(spark, tag)
+        .orderBy(col("n").desc, col("band"), col("bsig"))
+        .limit(1).collect()(0)
+      val memberRows = banded(spark, tag)
+        .where(col("band") === top.getInt(0) && col("bsig") === top.getString(1))
+        .select(col(idCol)).distinct()
+        .limit(maxGroup + 1).collect()
+      require(memberRows.length <= maxGroup,
+        s"group exceeds $maxGroup members — split the bucket, don't resolve it")
+      resolveGroup(spark, tag, idCol, memberRows.map(_.getLong(0)).toSeq)
+    }
+
     /** RETENTION — the last step of the daily-cron loop: drop
       * generation `tag` (catalog entries AND on-disk data) once a
       * newer generation has been absorbed and its probe verified.

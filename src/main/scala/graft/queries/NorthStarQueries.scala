@@ -872,6 +872,42 @@ object NorthStarQueries extends QueryModule {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** GROUP-RESOLUTION read off the persisted signature store — the
+    * id-keyed consumer the `sets` table's id-bucketing exists for
+    * (promised in [[Dedup.SignatureStore]]'s scaladoc since r8, landed
+    * here): pick the store's largest LSH bucket (the banded table is
+    * bucketed by exactly that grouping key, so the bucket census plans
+    * ZERO Exchange), then fetch its members' shingle sets through a
+    * BUCKET-PRUNED scan of `sets` (SelectedBucketsCount < total,
+    * plan-asserted in DedupSpec) and report each member's shingle
+    * count and Jaccard to the group representative. At 100 TB this is
+    * the "show me this duplicate cluster" read a curation UI issues —
+    * it touches only the buckets the member ids hash to, never scans
+    * or shuffles the store. Oracle: DuckDB replays bands, picks the
+    * same bucket (count DESC, band, bsig), and recomputes both
+    * measures from the shingle CTEs. */
+  private def qDedupGroupResolve(implicit s: SparkSession, dir: String): DataFrame = {
+    val all = docs.select(col("doc_id"), col("text"))
+    val tag = java.lang.Integer.toHexString(dir.hashCode) + "_gr"
+    Dedup.SignatureStore.writeOnce(s, all, "doc_id", "text", tag,
+      n = 3, k = MhK, bands = MhBands)
+    Dedup.SignatureStore.resolveLargestGroup(s, tag, "doc_id")
+  }
+
+  private val qDedupGroupResolveSql =
+    s"""WITH ${minhashPairCtes("", "documents")},
+       |grp AS (SELECT band, bsig FROM banded GROUP BY band, bsig
+       |        ORDER BY COUNT(*) DESC, band, bsig LIMIT 1),
+       |members AS (SELECT DISTINCT b.doc_id FROM banded b
+       |  JOIN grp g ON b.band = g.band AND b.bsig = g.bsig),
+       |rep AS (SELECT s.shset AS rep_set FROM sets s
+       |  WHERE s.doc_id = (SELECT MIN(doc_id) FROM members))
+       |SELECT m.doc_id, CAST(len(s.shset) AS BIGINT) AS n_shingles,
+       |  round(CAST(len(list_intersect(s.shset, rep.rep_set)) AS DOUBLE)
+       |    / len(list_distinct(list_concat(s.shset, rep.rep_set))), 6) AS jaccard_rep
+       |FROM members m JOIN sets s ON m.doc_id = s.doc_id CROSS JOIN rep
+       |ORDER BY m.doc_id""".stripMargin
+
   /** The persisted store probed from a STREAM — ingestion-time dedup:
     * delta documents arrive as micro-batches and each batch is
     * LSH-probed against the same bucketed on-disk store
@@ -1273,6 +1309,7 @@ object NorthStarQueries extends QueryModule {
     Q("q_dedup_incremental", (s, d) => qDedupIncremental(s, d), Some(qDedupIncrementalSql)),
     Q("q_dedup_incremental_store", (s, d) => qDedupIncrementalStore(s, d), Some(qDedupIncrementalSql)),
     Q("q_dedup_store_day2", (s, d) => qDedupStoreDay2(s, d), Some(qDedupIncrementalSql)),
+    Q("q_dedup_group_resolve", (s, d) => qDedupGroupResolve(s, d), Some(qDedupGroupResolveSql)),
     Q("q_stream_dedup_store", (s, d) => qStreamDedupStore(s, d), Some(qStreamDedupStoreSql)),
     Q("q_embed_cosine_topk", (s, d) => qCosineTopK(s, d), Some(qCosineTopKSql)),
     Q("q_embed_ann_lsh", (s, d) => qAnnLsh(s, d), Some(qAnnLshSql)),

@@ -465,4 +465,46 @@ class DedupSpec extends AnyFunSuite {
     Dedup.SignatureStore.vacuum(spark, "vac0")
     Dedup.SignatureStore.vacuum(spark, "vac1")
   }
+
+  test("group resolution: exchange-free bucket census, bucket-pruned member fetch") {
+    // planted group: three IDENTICAL texts share every band signature,
+    // so the largest LSH bucket is exactly the trio (band 0 wins ties)
+    val docs = Seq(
+      (3L, "the quick brown fox jumps over the lazy dog today"),
+      (7L, "the quick brown fox jumps over the lazy dog today"),
+      (9L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different content about large scale data systems"),
+      (5L, "totally novel document with brand new words indeed")
+    ).toDF("doc_id", "text")
+    Dedup.SignatureStore.write(spark, docs, "doc_id", "text", "grspec",
+      buckets = 4)
+
+    // bucket census: grouped on exactly the banded table's bucket key —
+    // the whole aggregation plans with ZERO Exchange of any kind
+    val census = Dedup.SignatureStore.bucketCounts(spark, "grspec")
+    census.collect()
+    val cplan = census.queryExecution.executedPlan.toString
+    assert(!cplan.contains("Exchange"), s"bucket census shuffled:\n$cplan")
+    assert(cplan.contains("Bucketed: true"), cplan)
+
+    val res = Dedup.SignatureStore.resolveLargestGroup(spark, "grspec", "doc_id")
+    val rows = res.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the trio, rep = min id, identical sets → jaccard 1.0 throughout
+    assert(rows.map(_._1).toSeq == Seq(3L, 7L, 9L), rows.toSeq)
+    assert(rows.forall(_._3 == 1.0), rows.toSeq)
+    assert(rows.map(_._2).distinct.length == 1, rows.toSeq)
+
+    val plan = res.queryExecution.executedPlan.toString
+    // member fetch reads ONLY the buckets the ids hash to
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findAllMatchIn(plan).toSeq
+    assert(sel.nonEmpty, s"no bucket pruning in:\n$plan")
+    assert(sel.forall(m => m.group(1).toInt < m.group(2).toInt),
+      s"sets scan read every bucket:\n$plan")
+    // the store is never shuffled — the only exchange is the final
+    // group-sized ORDER BY (range partitioning)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"store-side hash exchange in:\n$plan")
+  }
 }
