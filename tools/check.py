@@ -3,6 +3,10 @@
 
 Usage: python3 tools/check.py [outDir] [sfDir]
 
+Set CHECK_JSON_OUT=<path> to also write a CORRECTNESS-style JSON
+artifact (per-query rows_match/schema_match/hash_match/err) mirroring
+the driver's format, for committed scale-ladder evidence.
+
 Reads each parquet result written by graft.Verify plus oracle_sql.json,
 runs the oracle SQL in DuckDB over the same sf tables, and compares:
 row count, column names, and a value hash computed over columns sorted
@@ -22,6 +26,13 @@ for t in ["region","nation","customer","supplier","part","orders",
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+report = {}
+
+def record(name, rows_match=False, schema_match=False, hash_match=False,
+           spark_rows=None, oracle_rows=None, err=None):
+    report[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                    "hash_match": hash_match, "spark_rows": spark_rows,
+                    "oracle_rows": oracle_rows, "err": err}
 
 def canon(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -43,6 +54,7 @@ for name in sorted(oracle):
     files = sorted(glob.glob(f"{path}/*.parquet"))
     if not files:
         print(f"FAIL {name}: no spark result at {path}")
+        record(name, err="no spark result")
         fails += 1
         continue
     import pyarrow as pa
@@ -61,19 +73,24 @@ for name in sorted(oracle):
                      if str(t) in ("HUGEINT", "UHUGEINT") or str(t).startswith("DECIMAL")]
         if bad_types:
             print(f"FAIL {name}: oracle emits pandas-lossy types {bad_types} — CAST them (BIGINT/DOUBLE)")
+            record(name, err=f"lossy oracle types {bad_types}")
             fails += 1
             continue
         d_rows = rel.fetchall()
     except Exception as e:
         print(f"FAIL {name}: duckdb error: {str(e).splitlines()[0][:200]}")
+        record(name, err=str(e).splitlines()[0][:200])
         fails += 1
         continue
     if sorted(s_cols) != sorted(d_cols):
         print(f"FAIL {name}: columns spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        record(name, spark_rows=len(s_rows), oracle_rows=len(d_rows))
         fails += 1
         continue
     if len(s_rows) != len(d_rows):
         print(f"FAIL {name}: rows spark={len(s_rows)} duck={len(d_rows)}")
+        record(name, schema_match=True, spark_rows=len(s_rows),
+               oracle_rows=len(d_rows))
         fails += 1
         continue
     cs, cd = canon(s_cols, s_rows), canon(d_cols, d_rows)
@@ -82,8 +99,12 @@ for name in sorted(oracle):
         print(f"FAIL {name}: value mismatch, first diffs:")
         for a, b in bad:
             print(f"  spark: {a[:160]}\n  duck : {b[:160]}")
+        record(name, rows_match=True, schema_match=True,
+               spark_rows=len(s_rows), oracle_rows=len(d_rows))
         fails += 1
         continue
+    record(name, rows_match=True, schema_match=True, hash_match=True,
+           spark_rows=len(s_rows), oracle_rows=len(d_rows))
     print(f"OK   {name}: {len(s_rows)} rows")
 
 # rows-only queries (no oracle): just report
@@ -94,8 +115,14 @@ for path in sorted(glob.glob(f"{outdir}/*")):
     files = glob.glob(f"{path}/*.parquet")
     n = pq.read_table(files[0]).num_rows if files else -1
     print(f"ROWS {name}: {n} rows {'OK' if n > 0 else 'FAIL (empty)'}")
+    record(name, rows_match=n > 0, spark_rows=n,
+           err=None if n > 0 else "empty result, no oracle")
     if n <= 0:
         fails += 1
+
+if os.environ.get("CHECK_JSON_OUT"):
+    with open(os.environ["CHECK_JSON_OUT"], "w") as f:
+        json.dump(report, f, indent=1, sort_keys=True)
 
 print(f"\n{'ALL OK' if fails == 0 else f'{fails} FAILURES'}")
 sys.exit(1 if fails else 0)
