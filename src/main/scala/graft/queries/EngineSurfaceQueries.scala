@@ -431,9 +431,21 @@ object EngineSurfaceQueries extends QueryModule {
     * exact cosine (the synthetic corpus plants no true dups, so the
     * operator reports the top of the similarity distribution rather
     * than a fixed threshold). Brute force here is the oracle-exact
-    * baseline; the LSH-bucketed scale path is q_embed_ann_lsh. */
+    * baseline; the LSH-bucketed scale path is q_embed_ann_lsh.
+    *
+    * CAPPED at a documented reference-set bound ([[EmbCosineCap]]
+    * vectors — the full bench-SF corpus): an all-pairs exact contrast
+    * exists to validate the scale paths' answers, and a bounded
+    * reference set is its whole job. Uncapped it was the one
+    * super-linear term in the sf ladder (27.5 s at 20 k vectors,
+    * ~45 min at 200 k — pairs grow n²); capped, the contrast costs
+    * the same at every SF and big-SF bench totals track production
+    * paths only. Both engines apply the cap, so the gate stays
+    * hash-exact at every rung. */
+  private val EmbCosineCap = 2000
   private def qDedupEmbedCosine(implicit s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      .where(col("vec_id") < EmbCosineCap)
     e.alias("a").join(e.alias("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         round(graft.operators.Similarity.cosine(
@@ -443,14 +455,15 @@ object EngineSurfaceQueries extends QueryModule {
   }
 
   private val qDedupEmbedCosineSql =
-    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      |  round(
-      |    list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
-      |      p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum')
-      |    / (sqrt(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))
-      |       * sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))), 6) AS sim
-      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      |ORDER BY sim DESC, id_a, id_b LIMIT 50""".stripMargin
+    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  round(
+       |    list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+       |      p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum')
+       |    / (sqrt(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))
+       |       * sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))), 6) AS sim
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |WHERE a.vec_id < $EmbCosineCap AND b.vec_id < $EmbCosineCap
+       |ORDER BY sim DESC, id_a, id_b LIMIT 50""".stripMargin
 
   /** The SCALE path for embedding near-dup: hyperplane-LSH pair
     * blocking (8 planes × 12 tables — 256 buckets/table, so the
@@ -474,6 +487,17 @@ object EngineSurfaceQueries extends QueryModule {
     * quadratic per bucket) and this one restores the near-linear
     * curve. */
   private val EmbLshPlanesWide = 12
+  /** Corpus cap for the PINNED 12-plane contrast: 4096 buckets/table
+    * hold exactly the corpus size this config was sized for (sf1's
+    * 20 k vectors, occupancy ~5). Past that the pinned config is
+    * by-construction mis-sized — sf10's 100×-replicated corpus packs
+    * unsplittable duplicate buckets and the contrast costs 386 s for
+    * an answer the production paths (`q_dedup_embed_lsh_auto`,
+    * `q_dedup_embed_scalable`) give in ~2 s. The cap keeps the pinned
+    * gate at its design corpus at every SF (sf ≤ 1 unchanged — the
+    * filter passes everything) so big-SF ladder totals track
+    * production paths. Both engines apply it; hash-exact throughout. */
+  private val EmbLshWideCap = 20000
   private def qDedupEmbedLsh(implicit s: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.lshNearDupPairs(
         Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
@@ -483,7 +507,8 @@ object EngineSurfaceQueries extends QueryModule {
 
   private def qDedupEmbedLshWide(implicit s: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.lshNearDupPairs(
-        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+          .where(col("vec_id") < EmbLshWideCap),
         "vec_id", "embedding", EmbLshPlanesWide, EmbLshTables)
       .orderBy(col("sim").desc, col("id_a"), col("id_b"))
       .limit(50)
@@ -568,6 +593,14 @@ object EngineSurfaceQueries extends QueryModule {
        |JOIN embeddings b ON cands.id_b = b.vec_id
        |ORDER BY sim DESC, id_a, id_b LIMIT 50""".stripMargin
 
+  private val embLshWideSql = {
+    val capped =
+      s"""capped AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id < $EmbLshWideCap)""".stripMargin
+    s"WITH $capped,\n${embLshSqlFrom(EmbLshPlanesWide, "capped").stripPrefix("WITH ")}"
+  }
+
   private val qDedupEmbedScalableSql = {
     val reps =
       """reps AS (
@@ -621,7 +654,7 @@ object EngineSurfaceQueries extends QueryModule {
     Q("q_stream_join", (s, d) => qStreamJoin(s, d), Some(qStreamJoinSql)),
     Q("q_dedup_embed_cosine", (s, d) => qDedupEmbedCosine(s, d), Some(qDedupEmbedCosineSql)),
     Q("q_dedup_embed_lsh", (s, d) => qDedupEmbedLsh(s, d), Some(embLshSql(EmbLshPlanes))),
-    Q("q_dedup_embed_lsh_wide", (s, d) => qDedupEmbedLshWide(s, d), Some(embLshSql(EmbLshPlanesWide))),
+    Q("q_dedup_embed_lsh_wide", (s, d) => qDedupEmbedLshWide(s, d), Some(embLshWideSql)),
     Q("q_dedup_embed_lsh_auto", (s, d) => qDedupEmbedLshAuto(s, d), Some(embLshAutoSql)),
     Q("q_dedup_embed_scalable", (s, d) => qDedupEmbedScalable(s, d), Some(qDedupEmbedScalableSql)))
 }
