@@ -13,11 +13,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - `GraftFunctions.register(spark)` on a live session (same
   *    registry, no restart).
   *
-  * One planner Strategy is injected — [[AsofJoinStrategy]], planning
-  * the custom [[AsofJoinPlan]] whole-operator node (as-of join has no
-  * Spark builtin; see [[AsofJoinNative]]) — plus the one optimizer
-  * Rule that node needs, [[AsofJoinFilterPushdown]] (Catalyst can't
-  * push predicates through a node it doesn't know). Every other graft
+  * Two planner Strategies are injected — [[AsofJoinStrategy]] and
+  * [[RangeJoinStrategy]], planning the custom whole-operator nodes
+  * (as-of join has no Spark builtin; the equi+range join's builtin
+  * plan re-filters whole key groups — see [[AsofJoinNative]] /
+  * [[RangeJoinNative]]) — plus the optimizer Rules those nodes need,
+  * [[AsofJoinFilterPushdown]] / [[RangeJoinFilterPushdown]] (Catalyst
+  * can't push predicates through a node it doesn't know). Every other graft
   * operator is expressible as a declarative plan over these
   * expressions, so Catalyst's own planning stays authoritative
   * (SURVEY.md §4).
@@ -27,6 +29,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.descriptions.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
     ext.injectOptimizerRule(_ => AsofJoinFilterPushdown)
+    ext.injectPlannerStrategy(_ => RangeJoinStrategy)
+    ext.injectOptimizerRule(_ => RangeJoinFilterPushdown)
   }
 }
 

@@ -539,8 +539,32 @@ object RelationalQueries extends QueryModule {
       | AND ts <= o_orderdate + INTERVAL 12000 DAYS
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** [[qRangeJoin]] through the custom whole-operator node
+    * ([[graft.plans.RangeJoinNative]]): same pairs, same DuckDB
+    * oracle, but the band predicate is a SEARCH BOUND (per-key
+    * interval index, O(log group + matches) per probe) instead of a
+    * residual filter over each buffered key group. The right side is
+    * pre-projected to key + band + payload — the node is opaque to
+    * Catalyst's column pruning, so pruning happens by construction. */
+  private def qRangeJoinNative(implicit s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val ord = t("orders").select(col("o_custkey"), col("o_orderkey"),
+      col("o_orderdate").cast("timestamp").as("win_lo"),
+      (col("o_orderdate").cast("timestamp") + expr("INTERVAL 12000 DAYS"))
+        .as("win_hi"))
+    graft.plans.RangeJoinNative.rangeJoin(ev, ord,
+        leftKey = "user_id", rightKey = "o_custkey",
+        valueCol = "ts", loCol = "win_lo", hiCol = "win_hi")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("user_id"))
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q_range_join", (s, d) => qRangeJoin(s, d), Some(qRangeJoinSql)),
+    Q("q_range_join_native", (s, d) => qRangeJoinNative(s, d), Some(qRangeJoinSql)),
     Q("q_asof_join", (s, d) => qAsofJoin(s, d), Some(qAsofJoinSql)),
     Q("q_asof_join_native", (s, d) => qAsofJoinNative(s, d), Some(qAsofJoinSql)),
     Q("q_cube", (s, d) => qCube(s, d), Some(qCubeSql)),
