@@ -173,13 +173,13 @@ object NorthStarQueries extends QueryModule {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  private val qDedupSimhashSql = {
+  private def simhashSqlOver(prefixCtes: String, src: String): String = {
     val votes = (0 until 16).map { b =>
       s"SUM(CASE WHEN ((wid * 1103515245 + 12345) % 2147483648 >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v_$b"
     }.mkString(", ")
     val fp = (0 until 16).map(b => s"CASE WHEN v_$b > 0 THEN ${1L << b} ELSE 0 END")
       .mkString(" + ")
-    s"""WITH $shingleCtes,
+    s"""WITH $prefixCtes${shingleCtesFrom(src)},
        |votes AS (SELECT doc_id, $votes FROM docw GROUP BY doc_id),
        |fps AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM votes),
        |blocked AS (
@@ -192,6 +192,33 @@ object NorthStarQueries extends QueryModule {
        |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
        |ORDER BY id_a, id_b""".stripMargin
   }
+
+  private val qDedupSimhashSql = simhashSqlOver("", "documents")
+
+  /** The SCALE path for SimHash: collapse exact-duplicate texts to
+    * their minimum-id representative FIRST, then fingerprint and
+    * pigeonhole-block the representatives — the SimHash twin of
+    * `q_dedup_minhash_scalable` / `q_dedup_embed_scalable`. The
+    * pigeonhole blocks of the plain query hold every member of an
+    * exact-duplicate family (identical text → identical fingerprint →
+    * same segment values in all 4 segments), so a K×-replicated
+    * corpus pays K² verification pairs per family per segment — the
+    * r10 sf10 probe measured the uncollapsed query at ~20 min for
+    * 500 k docs with 100× replication, while this path fingerprints
+    * 5 k representatives in seconds. Same oracle construction,
+    * prefixed with the reps collapse. */
+  private def qDedupSimhashScalable(implicit s: SparkSession, dir: String): DataFrame = {
+    val reps = docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+    val sets = graft.core.Caches.track(reps.select(col("doc_id"),
+      TextFns.shinglesDistinct(col("text"), 3).as("shset")))
+    val fps = Dedup.simhashFingerprints(docWids(sets), "doc_id", "wid", bits = 16)
+    Dedup.simhashPairs(fps, "doc_id", maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val qDedupSimhashScalableSql = simhashSqlOver(
+    "reps AS (\n  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text),\n",
+    "reps")
 
   // ------------------------------------------------- similarity search
   private def queryVecs(implicit s: SparkSession, dir: String): DataFrame =
@@ -1304,6 +1331,7 @@ object NorthStarQueries extends QueryModule {
     Q("q_dedup_minhash_lsh", (s, d) => qDedupMinhashLsh(s, d), Some(qDedupMinhashLshSql)),
     Q("q_dedup_ngram_jaccard", (s, d) => qDedupNgramJaccard(s, d), Some(qDedupNgramJaccardSql)),
     Q("q_dedup_simhash", (s, d) => qDedupSimhash(s, d), Some(qDedupSimhashSql)),
+    Q("q_dedup_simhash_scalable", (s, d) => qDedupSimhashScalable(s, d), Some(qDedupSimhashScalableSql)),
     Q("q_dedup_minhash_scalable", (s, d) => qDedupMinhashScalable(s, d), Some(qDedupMinhashScalableSql)),
     Q("q_dedup_clusters", (s, d) => qDedupClusters(s, d), Some(qDedupClustersSql)),
     Q("q_dedup_incremental", (s, d) => qDedupIncremental(s, d), Some(qDedupIncrementalSql)),
