@@ -95,6 +95,61 @@ object Clustering {
     assigned
   }
 
+  /** [[lloydExactAssign]] with per-row MULTIPLICITIES — bit-identical
+    * centroids and assignments to running the unweighted version over
+    * the frame with each row repeated `weightCol` times. The exactness
+    * argument: the unweighted path sums `decimal(28,10)(v)` once per
+    * member, and decimal addition is exact, so a family of `m`
+    * identical rows contributes exactly `decimal(v) · m`; multiplying
+    * AFTER the decimal cast (by `m` as DECIMAL(8,0) — the same typed
+    * arithmetic DuckDB replays without precision overflow) reproduces
+    * that digit-for-digit, and the mean divides by `SUM(weight)`
+    * where the full set divides by `COUNT(*)`. This is what makes
+    * exact-collapse compositions (dedup the replicated corpus down to
+    * representatives, cluster the representatives) EQUAL to
+    * clustering the full corpus instead of merely approximating it —
+    * the collapse keeps k-means honest under duplication. */
+  def lloydExactAssignWeighted(df: DataFrame, idCol: String, embCol: String,
+                               weightCol: String, k: Int,
+                               iters: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def assign(cents: Seq[(Int, Array[Double])]): DataFrame = {
+      val cands = cents.map { case (cid, arr) =>
+        struct(graft.plans.ArraySqDistToConst(col(embCol), arr).as("dist"),
+          lit(cid).as("cid"))
+      }
+      df.withColumn("cluster", array_min(array(cands: _*)).getField("cid"))
+    }
+    var cents: Seq[(Int, Array[Double])] = df.where(col(idCol) < k)
+      .select(col(idCol).cast("int"), col(embCol)).collect()
+      .map(r => (r.getInt(0),
+        r.getSeq[Number](1).map(_.doubleValue).toArray))
+      .toSeq.sortBy(_._1)
+    require(cents.length == k,
+      s"fixed init needs every id in [0, $k); found ids ${cents.map(_._1)}")
+    var assigned = assign(cents)
+    for (_ <- 1 until iters) {
+      val rows = assigned
+        .select(col("cluster"), col(weightCol).as("_w"),
+          posexplode(col(embCol)).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg((sum(col("v").cast("double").cast(DecimalType(28, 10))
+            * col("_w").cast(DecimalType(8, 0)))
+          .cast("double") / sum(col("_w"))).as("c"))
+        .collect()
+      cents = rows.groupBy(_.getInt(0)).map { case (cid, rs) =>
+        val arr = new Array[Double](rs.map(_.getInt(1)).max + 1)
+        rs.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+        (cid, arr)
+      }.toSeq.sortBy(_._1)
+      require(cents.length == k,
+        s"cluster(s) emptied mid-iteration: ${k - cents.length} of $k " +
+          "lost; fixed-init Lloyd's needs every cluster non-empty")
+      assigned = assign(cents)
+    }
+    assigned
+  }
+
   /** Oracle-EXACT leading-component projection via fixed-init power
     * iteration, relationally — the cross-engine-checkable sibling of
     * MLlib [[pcaProject]] (whose eigensolver has sign/ulp

@@ -443,6 +443,55 @@ object Similarity {
         when(col("_drop").isNull, lit(1)).otherwise(lit(0)).as("kept"))
   }
 
+  /** EXACT-COLLAPSE composition of [[semanticDedup]] — same output
+    * contract (every id, its cluster, kept flag), computed over
+    * representatives only. Three exact identities make it EQUAL to
+    * the uncollapsed operator, not an approximation:
+    *
+    *  1. identical vectors get identical Lloyd's assignments, and
+    *     [[Clustering.lloydExactAssignWeighted]] with multiplicity
+    *     weights reproduces the FULL corpus's centroids
+    *     digit-for-digit (decimal·m = m decimal additions);
+    *  2. a non-representative member x always has its family's
+    *     smaller-id rep in its own cluster at cosine 1 ≥ τ, so
+    *     x is dropped unconditionally;
+    *  3. a representative r is dropped iff some smaller-id REP in its
+    *     cluster clears τ — any qualifying non-rep y < r implies
+    *     y's rep r' < y < r with the same cosine (identical vector),
+    *     so checking reps only loses nothing.
+    *
+    * Pairs are evaluated over reps² instead of corpus² — under K×
+    * duplication that is a K² reduction of the only quadratic term
+    * (the within-cluster verify), the same collapse lever as
+    * `q_dedup_minhash_scalable` / `q_dedup_embed_scalable` /
+    * `q_dedup_simhash_scalable`. Requires τ ≤ 1 (a cosine-of-equal
+    * pair must clear it — identity 2). */
+  def semanticDedupScalable(df: DataFrame, idCol: String, embCol: String,
+                            k: Int, iters: Int, tau: Double,
+                            roundTo: Int = 6): DataFrame = {
+    require(tau <= 1.0, s"collapse identity needs tau <= 1, got $tau")
+    val fam = df.groupBy(col(embCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("_mult"))
+    val labeled = Clustering.lloydExactAssignWeighted(
+        fam, idCol, embCol, "_mult", k, iters)
+      .select(col(idCol), col(embCol), col("cluster"))
+    val a = labeled.select(col("cluster"), col(idCol).as("_id_a"),
+      col(embCol).as("_emb_a"))
+    val b = labeled.select(col("cluster"), col(idCol).as("_id_b"),
+      col(embCol).as("_emb_b"))
+    val droppedReps = a.join(b, Seq("cluster"))
+      .where(col("_id_a") < col("_id_b") &&
+        round(cosine(col("_emb_a"), col("_emb_b")), roundTo) >= tau)
+      .select(col("_id_b").as("_rep")).distinct()
+    df.select(col(idCol), col(embCol))
+      .join(labeled.select(col(embCol), col(idCol).as("_rep"),
+        col("cluster")), Seq(embCol))
+      .join(droppedReps.withColumn("_d", lit(1)), Seq("_rep"), "left")
+      .select(col(idCol), col("cluster"),
+        when(col(idCol) === col("_rep") && col("_d").isNull, lit(1))
+          .otherwise(lit(0)).as("kept"))
+  }
+
   /** Greedy k-center (farthest-point) selection — the reference's
     * KCenterSampling. One Spark action per round (the MLlib idiom):
     * track each point's distance to its nearest chosen center, pick

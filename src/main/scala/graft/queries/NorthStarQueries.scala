@@ -147,11 +147,11 @@ object NorthStarQueries extends QueryModule {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  private val qDedupNgramJaccardSql =
-    s"""WITH $shingleCtes,
+  private def ngramJaccardSqlOver(prefixCtes: String, src: String): String =
+    s"""WITH $prefixCtes${shingleCtesFrom(src)},
        |blocked AS (
        |  SELECT s.doc_id, substr(d.text, 1, 16) AS blk, s.shset
-       |  FROM sets s JOIN documents d ON s.doc_id = d.doc_id)
+       |  FROM sets s JOIN $src d ON s.doc_id = d.doc_id)
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |  round(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
        |    / len(list_distinct(list_concat(a.shset, b.shset))), 6) AS jaccard
@@ -159,6 +159,34 @@ object NorthStarQueries extends QueryModule {
        |WHERE round(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
        |    / len(list_distinct(list_concat(a.shset, b.shset))), 6) >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
+
+  private val qDedupNgramJaccardSql = ngramJaccardSqlOver("", "documents")
+
+  /** Collapse-first prefix-blocked Jaccard — the n-gram twin of the
+    * `_scalable` family: exact-duplicate texts share their 16-char
+    * prefix block BY DEFINITION, so a K×-replicated corpus pays
+    * K²-per-family verification in the plain contrast (27.3 M pairs
+    * at sf10, measured); collapsing to min-id representatives first
+    * blocks only the 5 k distinct texts. Same oracle construction
+    * prefixed with the reps collapse. */
+  private def qDedupNgramScalable(implicit s: SparkSession, dir: String): DataFrame = {
+    val reps = docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+    val sets = graft.core.Caches.track(reps.select(col("doc_id"),
+      substring(col("text"), 1, 16).as("blk"),
+      TextFns.shinglesDistinct(col("text"), 3).as("shset"))) // self-joined
+    sets.alias("a").join(sets.alias("b"), "blk")
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .withColumn("jaccard",
+        round(graft.plans.StringArrayJaccard(col("a.shset"), col("b.shset")), 6))
+      .where(col("jaccard") >= 0.5)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val qDedupNgramScalableSql = ngramJaccardSqlOver(
+    "reps AS (\n  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text),\n",
+    "reps")
 
   // ----------------------------------------------------- SimHash dedup
   /** SimHash(16-bit) pairs within Hamming ≤ 3, 4-segment pigeonhole
@@ -1332,6 +1360,7 @@ object NorthStarQueries extends QueryModule {
     Q("q_dedup_ngram_jaccard", (s, d) => qDedupNgramJaccard(s, d), Some(qDedupNgramJaccardSql)),
     Q("q_dedup_simhash", (s, d) => qDedupSimhash(s, d), Some(qDedupSimhashSql)),
     Q("q_dedup_simhash_scalable", (s, d) => qDedupSimhashScalable(s, d), Some(qDedupSimhashScalableSql)),
+    Q("q_dedup_ngram_scalable", (s, d) => qDedupNgramScalable(s, d), Some(qDedupNgramScalableSql)),
     Q("q_dedup_minhash_scalable", (s, d) => qDedupMinhashScalable(s, d), Some(qDedupMinhashScalableSql)),
     Q("q_dedup_clusters", (s, d) => qDedupClusters(s, d), Some(qDedupClustersSql)),
     Q("q_dedup_incremental", (s, d) => qDedupIncremental(s, d), Some(qDedupIncrementalSql)),

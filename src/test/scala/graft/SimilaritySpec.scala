@@ -288,6 +288,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(re.toSeq == out.toSeq)
   }
 
+  test("semanticDedupScalable == semanticDedup, including under duplication") {
+    import org.apache.spark.sql.functions.col
+    // the planted-cluster frame above, PLUS a 3× exact replication of
+    // id 2 and a 2× replication of id 5 (shifted ids — mixed
+    // multiplicities, the case where unweighted rep clustering would
+    // move the centroids and diverge)
+    val base = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.95f, 0.05f, 0.0f)),
+      (3L, Array(0.0f, 0.9f, 0.1f)),
+      (4L, Array(1.0f, 0.02f, 0.0f)),
+      (5L, Array(0.05f, 1.0f, 0.0f)),
+      (6L, Array(0.6f, 0.8f, 0.0f))).toDF("vec_id", "embedding")
+    val dup = base
+      .unionAll(base.where(col("vec_id") === 2L)
+        .withColumn("vec_id", col("vec_id") + 100L))
+      .unionAll(base.where(col("vec_id") === 2L)
+        .withColumn("vec_id", col("vec_id") + 200L))
+      .unionAll(base.where(col("vec_id") === 5L)
+        .withColumn("vec_id", col("vec_id") + 300L))
+    def collect(d: org.apache.spark.sql.DataFrame) =
+      d.select($"vec_id", $"cluster", $"kept")
+        .as[(Long, Int, Int)].collect().sortBy(_._1).toSeq
+    val plain = collect(Similarity.semanticDedup(
+      dup, "vec_id", "embedding", k = 2, iters = 2, tau = 0.99))
+    val scalable = collect(Similarity.semanticDedupScalable(
+      dup, "vec_id", "embedding", k = 2, iters = 2, tau = 0.99))
+    assert(plain.nonEmpty)
+    assert(scalable == plain)
+    // the replicas (non-rep family members) are all dropped
+    assert(scalable.filter(_._1 >= 100L).forall(_._3 == 0))
+  }
+
   test("exact-collapse: duplicates collapse to min-id reps, LSH pairs unchanged") {
     import org.apache.spark.sql.functions._
     import graft.operators.Similarity
