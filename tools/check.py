@@ -21,6 +21,12 @@ outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_verify"
 sfdir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
 
 con = duckdb.connect()
+# Bound DuckDB's memory and let it SPILL instead of dying: big-SF
+# oracle replays (minhash/decontam shingle joins at 100x) otherwise
+# balloon past host RAM and get OOM-killed mid-gate (measured: 110 GB
+# RSS on q_decontaminate's sf10 twin). CHECK_DUCKDB_MEM overrides.
+con.sql(f"SET memory_limit='{os.environ.get('CHECK_DUCKDB_MEM', '32GB')}'")
+con.sql("SET temp_directory='/tmp/duckdb_spill'")
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
@@ -33,6 +39,11 @@ def record(name, rows_match=False, schema_match=False, hash_match=False,
     report[name] = {"rows_match": rows_match, "schema_match": schema_match,
                     "hash_match": hash_match, "spark_rows": spark_rows,
                     "oracle_rows": oracle_rows, "err": err}
+    # write-through per query: a crash (or OOM kill) mid-gate keeps
+    # every already-judged entry instead of losing the whole artifact
+    if os.environ.get("CHECK_JSON_OUT"):
+        with open(os.environ["CHECK_JSON_OUT"], "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
 
 def canon(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
