@@ -77,10 +77,18 @@ object Bench {
     val codecFamily = Seq("q_video_frames_real", "q_media_features_real",
       "q_image_pixels", "q_audio_energy", "q_multimodal_features")
     val selectedNames = selected.map(_._1).toSet
-    codecFamily.filter(selectedNames).foreach { n =>
+    val warmed = codecFamily.filter(selectedNames)
+    warmed.foreach { n =>
+      // A broken codec query must not pass warm-up silently: log the
+      // failure (the timed pass below will surface it too), and leave
+      // interruption intact instead of eating it.
       try SparkEntry.queries(n)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch {
+        case e: InterruptedException => Thread.currentThread().interrupt(); throw e
+        case e: Throwable =>
+          System.err.println(s"[bench] warm-up $n failed: ${e.getMessage}")
+      }
       finally { graft.core.Caches.releaseAll(); spark.catalog.clearCache() }
     }
 
@@ -104,8 +112,12 @@ object Bench {
     val total = results.map(_._2).sum
     // total leads the line so a tail-truncated capture still loses only
     // per-query detail, never the headline number
+    // `warmed` records which queries got the untimed codec-family
+    // warm-up pass (since r10), so cross-round comparisons don't read
+    // their timings raw against pre-warm-up rounds.
+    val warmedJson = warmed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","load":$entryLoad%.2f,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","load":$entryLoad%.2f,"warmed":$warmedJson,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // the full JSON also lands in a file: the driver's stdout capture
     // has truncated long lines (BENCH_r03 lost the TPC-H head)

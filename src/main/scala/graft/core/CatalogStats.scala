@@ -25,7 +25,13 @@ import org.apache.spark.sql.SparkSession
   */
 object CatalogStats {
 
-  private val analyzed = scala.collection.mutable.Set[String]()
+  // Weak-keyed by the live session object: identityHashCode strings
+  // could collide after a session is GC'd (hash reuse skips the
+  // CREATE/ANALYZE for a brand-new session → table-not-found), and
+  // entries for dead sessions would pin memo state forever. The weak
+  // map drops a session's memo with the session itself.
+  private val analyzed =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Set[String]]()
 
   /** Ensure `tables` exist as analyzed catalog tables for `dir`;
     * returns the database name to qualify them with. Idempotent and
@@ -34,8 +40,9 @@ object CatalogStats {
              tables: Seq[String]): String = synchronized {
     val db = "cbo_" + Integer.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(dir))
-    val memoKey = System.identityHashCode(spark) + "/" + db
-    if (!analyzed.contains(memoKey)) {
+    val seen = analyzed.computeIfAbsent(spark,
+      _ => scala.collection.mutable.Set[String]())
+    if (!seen.contains(db)) {
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
       tables.foreach { t =>
         val path = Tables.readPath(spark, s"$dir/$t.parquet")
@@ -43,7 +50,7 @@ object CatalogStats {
         spark.sql(s"CREATE TABLE $db.$t USING parquet LOCATION '$path'")
         spark.sql(s"ANALYZE TABLE $db.$t COMPUTE STATISTICS FOR ALL COLUMNS")
       }
-      analyzed += memoKey
+      seen += db
     }
     db
   }

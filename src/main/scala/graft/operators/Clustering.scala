@@ -110,8 +110,8 @@ object Clustering {
     * clustering the full corpus instead of merely approximating it —
     * the collapse keeps k-means honest under duplication. */
   def lloydExactAssignWeighted(df: DataFrame, idCol: String, embCol: String,
-                               weightCol: String, k: Int,
-                               iters: Int): DataFrame = {
+                               weightCol: String, k: Int, iters: Int,
+                               initFrom: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     def assign(cents: Seq[(Int, Array[Double])]): DataFrame = {
       val cands = cents.map { case (cid, arr) =>
@@ -120,7 +120,15 @@ object Clustering {
       }
       df.withColumn("cluster", array_min(array(cands: _*)).getField("cid"))
     }
-    var cents: Seq[(Int, Array[Double])] = df.where(col(idCol) < k)
+    // Init centroids from `initFrom` when the weighted frame is a
+    // COLLAPSED view of it: an exact-duplicate family keeps only its
+    // min id, so id j < k whose vector equals a smaller id's would be
+    // absent from `df` — reading init from the uncollapsed original
+    // reproduces [[lloydExactAssign]]'s init verbatim (duplicate
+    // centroids included, which then empty identically at the next
+    // round in both paths).
+    var cents: Seq[(Int, Array[Double])] = initFrom.getOrElse(df)
+      .where(col(idCol) < k)
       .select(col(idCol).cast("int"), col(embCol)).collect()
       .map(r => (r.getInt(0),
         r.getSeq[Number](1).map(_.doubleValue).toArray))

@@ -553,12 +553,13 @@ object Dedup {
         .orderBy(col("n").desc, col("band"), col("bsig"))
         .limit(1).collect()(0)
       val memberRows = banded(spark, tag)
-        .where(col("band") === top.getInt(0) && col("bsig") === top.getString(1))
+        .where(col("band") === top.getAs[Int]("band") &&
+          col("bsig") === top.getAs[String]("bsig"))
         .select(col(idCol)).distinct()
         .limit(maxGroup + 1).collect()
       require(memberRows.length <= maxGroup,
         s"group exceeds $maxGroup members — split the bucket, don't resolve it")
-      resolveGroup(spark, tag, idCol, memberRows.map(_.getLong(0)).toSeq)
+      resolveGroup(spark, tag, idCol, memberRows.map(_.getAs[Long](idCol)).toSeq)
     }
 
     /** RETENTION — the last step of the daily-cron loop: drop

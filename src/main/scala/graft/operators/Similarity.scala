@@ -465,7 +465,14 @@ object Similarity {
     * (the within-cluster verify), the same collapse lever as
     * `q_dedup_minhash_scalable` / `q_dedup_embed_scalable` /
     * `q_dedup_simhash_scalable`. Requires τ ≤ 1 (a cosine-of-equal
-    * pair must clear it — identity 2). */
+    * pair must clear it — identity 2). Precondition: no ZERO vectors
+    * — identity 2 assumes cosine(x, x) = 1, but a zero vector's
+    * self-cosine is NaN, so the plain operator KEEPS zero-vector
+    * duplicates (NaN never clears τ) where this path would drop the
+    * non-rep members. Centroid init reads the UNCOLLAPSED frame, so
+    * duplicate vectors among ids [0, k) behave exactly as in
+    * [[semanticDedup]] (identical init, identical empty-cluster
+    * failure at iters ≥ 2). */
   def semanticDedupScalable(df: DataFrame, idCol: String, embCol: String,
                             k: Int, iters: Int, tau: Double,
                             roundTo: Int = 6): DataFrame = {
@@ -473,7 +480,8 @@ object Similarity {
     val fam = df.groupBy(col(embCol))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("_mult"))
     val labeled = Clustering.lloydExactAssignWeighted(
-        fam, idCol, embCol, "_mult", k, iters)
+        fam, idCol, embCol, "_mult", k, iters,
+        initFrom = Some(df.select(col(idCol), col(embCol))))
       .select(col(idCol), col(embCol), col("cluster"))
     val a = labeled.select(col("cluster"), col(idCol).as("_id_a"),
       col(embCol).as("_emb_a"))

@@ -25,8 +25,9 @@ import org.apache.spark.sql.graftbridge.CatalystBridge
   * scanning the group. At 100 TB with hot keys (the exact regime
   * where group sizes explode) that's the difference between a
   * per-key quadratic and output-linear work; reference behavior:
-  * muyu42/DataS joins scored pools by key+band in its selection
-  * pipelines (datas/operations/selection.py).
+  * muyu42/DataS selects per-cluster score bands (percentile lo..hi
+  * against each pool member's score, `main.py:402-450`) — the
+  * key+value-in-[lo,hi] shape this node executes natively.
   *
   * Physical shape mirrors the as-of node: both children hash-clustered
   * on the key and sorted within partitions by it — DECLARED via

@@ -114,22 +114,55 @@ object TrainDataQueries extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** COLLAPSE-FIRST replay — exact at any replication factor. The
+    * naive doc-level twin (explode both sides, join on shingle) pays
+    * pair multiplicity K² under K× duplicated corpora: at sf10 (100×)
+    * DuckDB ballooned to 110 GB RSS / 57 GB spill and the gate could
+    * only run to sf3. But a doc's shingle set is a FUNCTION of its
+    * text, so the join is invariant under collapsing docs to text
+    * FAMILIES: n_shared(d) = |sh(d) ∩ ∪eval-sh| depends only on d's
+    * family, and n_eval_docs(d) = Σ over intersecting eval families
+    * of that family's eval-doc count (every member of an eval family
+    * shares the identical shingle set). Join families (corpus-shaped,
+    * not replication-shaped), then expand back to doc ids through the
+    * documents table. Same algebra as the engine's `_scalable` dedup
+    * paths; one SQL gates every SF. */
   private val qDecontaminateSql =
-    s"""WITH toks AS (
-       |  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+    s"""WITH dfam AS (
+       |  SELECT text, MIN(doc_id) AS fam_id,
+       |    CAST(COUNT(*) FILTER (WHERE source = 'src0') AS BIGINT) AS n_eval,
+       |    CAST(COUNT(*) FILTER (WHERE source <> 'src0') AS BIGINT) AS n_train
+       |  FROM documents GROUP BY text),
+       |toks AS (
+       |  SELECT fam_id, n_eval, n_train,
+       |    string_split_regex(trim(text), '\\s+') AS t FROM dfam),
        |sets AS (
-       |  SELECT doc_id, source,
+       |  SELECT fam_id, n_eval, n_train,
        |    list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
        |      ELSE list_transform(range(1, len(t) - 1),
        |             i -> array_to_string(list_slice(t, i, i + 2), ' ')) END) AS shset
        |  FROM toks),
-       |ex AS (SELECT doc_id, source, unnest(shset) AS sh FROM sets)
-       |SELECT t.doc_id, COUNT(DISTINCT t.sh) AS n_shared,
-       |  COUNT(DISTINCT e.doc_id) AS n_eval_docs
-       |FROM (SELECT doc_id, sh FROM ex WHERE source <> 'src0') t
-       |JOIN (SELECT doc_id, sh FROM ex WHERE source = 'src0') e ON t.sh = e.sh
-       |GROUP BY t.doc_id HAVING COUNT(DISTINCT t.sh) >= $DecontamMinShared
-       |ORDER BY t.doc_id""".stripMargin
+       |ex AS (SELECT fam_id, n_eval, n_train, unnest(shset) AS sh FROM sets),
+       |shared AS (
+       |  SELECT t.fam_id, t.sh, e.fam_id AS efam, e.n_eval
+       |  FROM (SELECT fam_id, sh FROM ex WHERE n_train > 0) t
+       |  JOIN (SELECT fam_id, sh, n_eval FROM ex WHERE n_eval > 0) e
+       |    ON t.sh = e.sh),
+       |nsh AS (SELECT fam_id, COUNT(DISTINCT sh) AS n_shared
+       |        FROM shared GROUP BY fam_id),
+       |nev AS (SELECT fam_id, CAST(SUM(n_eval) AS BIGINT) AS n_eval_docs
+       |        FROM (SELECT DISTINCT fam_id, efam, n_eval FROM shared)
+       |        GROUP BY fam_id),
+       |famres AS (
+       |  SELECT nsh.fam_id, nsh.n_shared, nev.n_eval_docs
+       |  FROM nsh JOIN nev ON nsh.fam_id = nev.fam_id
+       |  WHERE nsh.n_shared >= $DecontamMinShared)
+       |SELECT d.doc_id, f.n_shared, f.n_eval_docs
+       |FROM documents d
+       |JOIN dfam df ON d.text = df.text
+       |JOIN famres f ON df.fam_id = f.fam_id
+       |WHERE d.source <> 'src0'
+       |ORDER BY d.doc_id""".stripMargin
 
   /** Decontamination for the regime where the BENCHMARK side outgrows
     * broadcast. [[qDecontaminate]] broadcasts the eval shingle→doc map

@@ -19,6 +19,50 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
+  /** Shared parent of every [[streamingRollup]] generation store.
+    * One JVM-wide shutdown hook reaps THIS JVM's dirs (tracked below)
+    * — per-invocation hooks accumulated unboundedly across bench
+    * iterations — and deletes with java.nio rather than a Hadoop
+    * FileSystem handle, which its own shutdown hook may already have
+    * closed by the time ours runs. Dirs leaked by a crashed/killed
+    * JVM (its hook never ran) are reclaimed by the mtime sweep at
+    * the next invocation, not here: deleting the WHOLE root at exit
+    * would race a concurrently-running second JVM (bench + verify)
+    * mid-stream. */
+  private val RollupRoot = "/tmp/graft_stream_rollup"
+  private val rollupDirsThisJvm =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val rollupHookArmed = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def nioDeleteRecursive(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => try java.nio.file.Files.deleteIfExists(f)
+          catch { case _: java.io.IOException => () })
+    }
+
+  /** Reclaim generation dirs whose mtime is over an hour old — stale
+    * by construction (a live rollup runs for seconds) and therefore
+    * left by a JVM whose exit hook never fired. */
+  private def sweepStaleRollupDirs(): Unit = synchronized {
+    if (rollupHookArmed.compareAndSet(false, true))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        rollupDirsThisJvm.forEach { d =>
+          try nioDeleteRecursive(java.nio.file.Paths.get(d))
+          catch { case _: Throwable => () }
+        }))
+    val root = java.nio.file.Paths.get(RollupRoot)
+    if (java.nio.file.Files.isDirectory(root)) {
+      val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+      java.nio.file.Files.list(root).forEach { d =>
+        try {
+          if (java.nio.file.Files.getLastModifiedTime(d).toMillis < cutoff)
+            nioDeleteRecursive(d)
+        } catch { case _: java.io.IOException => () }
+      }
+    }
+  }
+
   /** Raw parquet schema of an events directory/file, read from the
     * footer (a streaming source needs an explicit schema). Derived
     * rather than hardcoded because the driver fixture's `ts` physical
@@ -315,8 +359,10 @@ object EventStreams {
     // memory-sink name): a fixture-keyed fixed path would let two
     // concurrent runs over the same fixture (bench + verify) race on one
     // directory and read/overwrite each other's generations mid-stream.
-    val root = java.nio.file.Paths.get("/tmp/graft_stream_rollup",
+    val root = java.nio.file.Paths.get(RollupRoot,
       "g_" + java.util.UUID.randomUUID().toString).toString
+    sweepStaleRollupDirs()
+    rollupDirsThisJvm.add(root)
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
     def rollup(df: DataFrame): DataFrame =
       graft.core.Tables.normalizeEventTs(df)
@@ -347,11 +393,6 @@ object EventStreams {
     // gen=lastGen backs the returned (lazy) frame, so the rest can go
     // now; the final generation is reaped at JVM exit.
     (0L until lastGen).foreach(g => fs.delete(new Path(s"$root/gen=$g"), true))
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try org.apache.hadoop.fs.FileSystem.get(new java.net.URI("file:///"),
-        new org.apache.hadoop.conf.Configuration())
-        .delete(new Path(root), true)
-      catch { case _: Throwable => () }))
     spark.read.parquet(s"$root/gen=$lastGen")
       .select(col("event_type"), col("day"), col("n"),
         round(col("value_sum"), 2).cast("double").as("total_value"))
