@@ -40,17 +40,22 @@ object CatalogStats {
              tables: Seq[String]): String = synchronized {
     val db = "cbo_" + Integer.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(dir))
+    // Memoized PER TABLE, not per db: two callers over the same dir
+    // may ANALYZE different table subsets (join-order wants lineitem+
+    // nation, broadcast wants orders+customer) — a db-level memo would
+    // let whichever ran first starve the other of its tables.
     val seen = analyzed.computeIfAbsent(spark,
       _ => scala.collection.mutable.Set[String]())
-    if (!seen.contains(db)) {
+    val missing = tables.filterNot(t => seen.contains(s"$db.$t"))
+    if (missing.nonEmpty) {
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-      tables.foreach { t =>
+      missing.foreach { t =>
         val path = Tables.readPath(spark, s"$dir/$t.parquet")
         spark.sql(s"DROP TABLE IF EXISTS $db.$t")
         spark.sql(s"CREATE TABLE $db.$t USING parquet LOCATION '$path'")
         spark.sql(s"ANALYZE TABLE $db.$t COMPUTE STATISTICS FOR ALL COLUMNS")
+        seen += s"$db.$t"
       }
-      seen += db
     }
     db
   }

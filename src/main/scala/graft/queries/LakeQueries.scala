@@ -627,8 +627,40 @@ object LakeQueries extends QueryModule {
 
   private val qCboJoinOrderSql = cboJoinSql("")
 
+  /** Statistics-DRIVEN join STRATEGY (the sibling decision to
+    * [[qCboJoinOrder]]'s join ordering): customer filtered to a
+    * narrow key band joined to orders. Whether the filtered side fits
+    * under `spark.sql.autoBroadcastJoinThreshold` is knowable only
+    * from ANALYZE column statistics — a raw parquet relation
+    * estimates the Filter at the FULL file size (size-only stats
+    * don't shrink through predicates), so Spark plans a sort-merge
+    * join; with catalog min/max + NDV the estimate collapses to the
+    * selected fraction and the planner flips to broadcast-hash.
+    * PlanShapeSpec asserts exactly that flip (BroadcastHashJoin with
+    * stats, SortMergeJoin without, same result both ways); this gate
+    * asserts the result is oracle-exact. At 100 TB the flip deletes
+    * the fact table's shuffle — the second-highest-leverage decision
+    * after join order, and the one `q_table_stats`-style row counts
+    * alone cannot make. */
+  private def cboBroadcastSql(qual: String): String =
+    s"""SELECT c.c_mktsegment AS segment, o.o_orderstatus AS status,
+       |  COUNT(*) AS n_orders,
+       |  CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(30,8))), 2) AS DOUBLE) AS total_price
+       |FROM ${qual}orders o
+       |JOIN ${qual}customer c ON o.o_custkey = c.c_custkey
+       |WHERE c.c_custkey < 100 AND c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private def qCboBroadcast(implicit s: SparkSession, dir: String): DataFrame = {
+    val db = graft.core.CatalogStats.ensure(s, dir, Seq("orders", "customer"))
+    s.sql(cboBroadcastSql(s"$db."))
+  }
+
+  private val qCboBroadcastSql = cboBroadcastSql("")
+
   override def queries: Seq[Q] = Seq(
     Q("q_cbo_join_order", (s, d) => qCboJoinOrder(s, d), Some(qCboJoinOrderSql)),
+    Q("q_cbo_broadcast", (s, d) => qCboBroadcast(s, d), Some(qCboBroadcastSql)),
     Q("q_corpus_diff", (s, d) => qCorpusDiff(s, d), Some(qCorpusDiffSql)),
     Q("q_merge_upsert", (s, d) => qMergeUpsert(s, d), Some(qMergeUpsertSql)),
     Q("q_schema_evolution", (s, d) => qSchemaEvolution(s, d), Some(qSchemaEvolutionSql)),

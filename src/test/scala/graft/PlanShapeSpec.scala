@@ -201,4 +201,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(cbo.exceptAll(statless).count() === 0)
     assert(statless.exceptAll(cbo).count() === 0)
   }
+
+  test("q_cbo_broadcast: catalog statistics flip sort-merge to broadcast") {
+    // sf0.01 for selectivity headroom: c_custkey < 100 is ~7% of the
+    // 1500-key span there (at sf0.001 the predicate selects most of
+    // the table and the stats-fed estimate would not shrink).
+    val d01 = "/root/testdata/sf0.01"
+    // Threshold between the stats-fed estimate of the FILTERED
+    // customer side (~40 rows × ~40B ≈ 2 KB) and the raw file size
+    // (34 KB) — size-only stats don't shrink through a Filter, so
+    // only the ANALYZEd run can know the side fits.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (16 * 1024).toString)
+      val sql = SparkEntry.oracleSql("q_cbo_broadcast")
+      Seq("orders", "customer").foreach(t =>
+        graft.core.Tables.table(spark, d01, t).createOrReplaceTempView(t))
+      val statless = spark.sql(sql)
+      // sparkPlan (pre-AQE): the STATIC decision, before runtime
+      // sizes let AQE rescue the stat-less plan
+      val p0 = statless.queryExecution.sparkPlan.toString
+      assert(p0.contains("SortMergeJoin") && !p0.contains("BroadcastHashJoin"),
+        s"stat-less plan should sort-merge:\n$p0")
+      val cbo = SparkEntry.queries("q_cbo_broadcast")(spark, d01)
+      val p1 = cbo.queryExecution.sparkPlan.toString
+      assert(p1.contains("BroadcastHashJoin"),
+        s"stats-fed plan should broadcast:\n$p1")
+      // same result both ways
+      assert(cbo.exceptAll(statless).count() === 0)
+      assert(statless.exceptAll(cbo).count() === 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
