@@ -74,6 +74,90 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  test("sf10: AQE splits q_skew_join's engineered hot key with PRODUCTION thresholds") {
+    // The one 100 TB failure mode previously proven only at bench SF:
+    // a skewed shuffle. At sf10 the q_skew_join fact side puts 30 M
+    // rows (half of lineitem) on part key 1 — big enough that AQE's
+    // DEFAULT skew definition (256 MB AND 5x median, post-compression
+    // map sizes) fires with no tuned-down thresholds. Runs only where
+    // the big-SF fixture exists (the driver/dev hosts keep /tmp/sf10;
+    // a bare container gets the documented skip).
+    val sf10 = sys.env.getOrElse("SPARK_GRAFT_BIGSF_DIR", "/tmp/sf10")
+    assume(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$sf10/lineitem.parquet")),
+      s"big-SF fixture $sf10 absent: skipping 100x skew evidence")
+    val c = spark.conf
+    val keys = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> c.getOption(k)).toMap
+    try {
+      // 64 reducers so the median partition is corpus/64, not
+      // corpus/4 — the production shape where one hot key dwarfs the
+      // median. Skew thresholds themselves stay at the DEFAULTS.
+      c.set("spark.sql.shuffle.partitions", "64")
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      c.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // an incompressible payload rides along because skew detection
+      // reads map output sizes POST-compression: a constant key + 3
+      // numerics lz4-packs the 30 M-row hot partition under the 256 MB
+      // default and AQE (correctly) sees no skew; md5 hex keeps the
+      // bytes honest — a production fact row is never 32 bytes either
+      val fact = graft.core.Tables.lineitem(spark, sf10).select(
+        when($"l_orderkey" % 2 === 0, lit(1L)).otherwise($"l_partkey")
+          .as("p_partkey"),
+        $"l_orderkey", $"l_extendedprice", $"l_discount",
+        md5(concat_ws("|", $"l_orderkey", $"l_linenumber")).as("pad"))
+      val dim = graft.core.Tables.table(spark, sf10, "part")
+        .select($"p_partkey", $"p_brand")
+      // the agg must CONSUME the payload — otherwise Catalyst's column
+      // pruning (correctly) strips it below the fact Exchange and the
+      // shuffled hot partition is 8 bytes/row again
+      val agg = fact.join(dim, "p_partkey")
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).as("n"), sum(length($"pad")).as("padlen"))
+      val rows = agg.collect()
+      assert(rows.map(_.getLong(1)).sum == 60000000L)
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE to mark the sf10 hot partition skew=true:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None)    => c.unset(k)
+    }
+  }
+
+  test("sf10: saltedJoin fans the 30M-row hot key across all 8 salts") {
+    // Runtime counterpart of the plan-shape assertion: the salt
+    // actually SPREADS the hot key's 30 M rows near-uniformly at
+    // 100x bench SF (hash of varying l_orderkey/qty), so no single
+    // reducer holds the key.
+    val sf10 = sys.env.getOrElse("SPARK_GRAFT_BIGSF_DIR", "/tmp/sf10")
+    assume(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$sf10/lineitem.parquet")),
+      s"big-SF fixture $sf10 absent: skipping 100x skew evidence")
+    val fact = graft.core.Tables.lineitem(spark, sf10).select(
+      when($"l_orderkey" % 2 === 0, lit(1L)).otherwise($"l_partkey")
+        .as("p_partkey"),
+      $"l_orderkey",
+      $"l_quantity".cast(org.apache.spark.sql.types.DecimalType(30, 4))
+        .as("qty"))
+    val perSalt = fact
+      .withColumn("_salt", pmod(xxhash64(fact.columns.map(col): _*), lit(8L)))
+      .where($"p_partkey" === 1L)
+      .groupBy($"_salt").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perSalt.keySet == (0L until 8L).toSet,
+      s"hot key missing salts: ${perSalt.keySet}")
+    // all 30 M even-orderkey rows, plus the handful of odd-orderkey
+    // rows whose NATURAL l_partkey is 1 — the hot key absorbs both
+    val total = perSalt.values.sum
+    assert(total >= 30000000L && total < 30100000L, s"hot key rows: $total")
+    // near-uniform: every salt holds at least half its fair share
+    assert(perSalt.values.min > total / 16,
+      s"salt spread collapsed: $perSalt")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective join") {
     // The third leg of the runtime-optimization evidence (with AQE
     // skew split and coalesce): InjectRuntimeFilter must push a bloom
