@@ -140,6 +140,28 @@ object Dedup {
       .distinct()
   }
 
+  /** [[lshCandidatePairs]] through the custom UNARY plan node
+    * ([[graft.plans.LshBandJoinNative]]): identical candidate set, but
+    * the banded table is shuffled ONCE on (band, bsig) and pairs
+    * stream from a single sorted pass — the composed self-join
+    * exchanges the same data twice and sort-merges bucket against
+    * itself. Same cross-band `.distinct()`; same `maxBucketSize`
+    * backstop semantics (the cap window runs before the pass). */
+  def lshCandidatePairsNative(signatures: DataFrame, idCol: String,
+                              bands: Int, rowsPerBand: Int,
+                              maxBucketSize: Int = 0): DataFrame = {
+    val exploded = bandExplode(signatures, idCol, bands, rowsPerBand)
+    val capped =
+      if (maxBucketSize <= 0) exploded
+      else exploded
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(col("band"), col("bsig")).orderBy(col(idCol))))
+        .where(col("_rn") <= maxBucketSize)
+        .drop("_rn")
+    graft.plans.LshBandJoinNative.bandPairs(capped, "band", "bsig", idCol)
+      .distinct()
+  }
+
   /** True n-gram Jaccard for given pairs: join the distinct-shingle
     * sets back and compare. */
   def jaccardForPairs(pairs: DataFrame, shingleSets: DataFrame,

@@ -89,6 +89,21 @@ object NorthStarQueries extends QueryModule {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** [[qDedupMinhashLsh]] with candidate generation through the
+    * native unary band-pairs node ([[graft.plans.LshBandJoinNative]])
+    * instead of the banded self-join — same oracle SQL, same output,
+    * half the shuffled bytes on the dedup tier's biggest stage. */
+  private def qDedupMinhashLshNative(implicit s: SparkSession, dir: String): DataFrame = {
+    val sets  = shingleSets
+    val docw  = docWids(sets)
+    val sigs  = Dedup.minhashSignatures(docw, "doc_id", "wid", MhK)
+    val cands = Dedup.lshCandidatePairsNative(sigs, "doc_id", MhBands, MhK / MhBands)
+    Dedup.jaccardForPairs(cands, sets, "doc_id", "shset")
+      .where(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** The full MinHash(12)+LSH(4×3)+verify pipeline as a CTE chain
     * ending in `pairs(id_a, id_b, jaccard)` over a source relation:
     * used verbatim by the plain query (src = documents), the
@@ -1357,6 +1372,7 @@ object NorthStarQueries extends QueryModule {
     Q("q_curate_sink_artifact", (s, d) => qCurateSinkArtifact(s, d), Some(qCurateSinkSql)),
     Q("q_export_manifest", (s, d) => qExportManifest(s, d), Some(qExportManifestSql)),
     Q("q_dedup_minhash_lsh", (s, d) => qDedupMinhashLsh(s, d), Some(qDedupMinhashLshSql)),
+    Q("q_dedup_minhash_lsh_native", (s, d) => qDedupMinhashLshNative(s, d), Some(qDedupMinhashLshSql)),
     Q("q_dedup_ngram_jaccard", (s, d) => qDedupNgramJaccard(s, d), Some(qDedupNgramJaccardSql)),
     Q("q_dedup_simhash", (s, d) => qDedupSimhash(s, d), Some(qDedupSimhashSql)),
     Q("q_dedup_simhash_scalable", (s, d) => qDedupSimhashScalable(s, d), Some(qDedupSimhashScalableSql)),
