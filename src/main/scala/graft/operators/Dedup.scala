@@ -190,7 +190,11 @@ object Dedup {
     val ids = sets.select(col(idCol), explode(col("shset")).as("sh"))
       .withColumn("wid", md5Wid(col("sh")))
     val sigs = minhashSignatures(ids, idCol, "wid", k)
-    val cands = lshCandidatePairs(sigs, idCol, bands, k / bands, maxBucketSize)
+    // candidate generation through the native unary band-pairs node
+    // (one exchange of the banded table instead of the self-join's
+    // two) — pair-set-identical to [[lshCandidatePairs]], spec- and
+    // oracle-asserted
+    val cands = lshCandidatePairsNative(sigs, idCol, bands, k / bands, maxBucketSize)
     jaccardForPairs(cands, sets, idCol, "shset")
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
