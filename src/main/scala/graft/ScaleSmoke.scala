@@ -130,6 +130,24 @@ object ScaleSmoke {
         graft.core.Caches.releaseAll()
         c
       }
+      // A/B the candidate stage alone, composed self-join vs the
+      // native unary band-pairs node, over the REAL (multiplied)
+      // corpus — isolates the stage the native operator replaces
+      def candStage(native: Boolean): Long = {
+        val ids = docs.select(col("doc_id"),
+          explode(graft.functions.TextFns.shinglesDistinct(col("text"), 3)).as("sh"))
+          .withColumn("wid", graft.operators.Dedup.md5Wid(col("sh")))
+        val sigs = graft.operators.Dedup.minhashSignatures(ids, "doc_id", "wid", 12)
+        val c =
+          if (native) graft.operators.Dedup
+            .lshCandidatePairsNative(sigs, "doc_id", 4, 3).count()
+          else graft.operators.Dedup
+            .lshCandidatePairs(sigs, "doc_id", 4, 3).count()
+        graft.core.Caches.releaseAll()
+        c
+      }
+      time("lsh_cands_composed") { candStage(native = false) }
+      time("lsh_cands_native") { candStage(native = true) }
       var uncapped = -1L
       time("lsh_mega_bucket_uncapped") { uncapped = candCount(0); uncapped }
       time("lsh_mega_bucket_cap64") {

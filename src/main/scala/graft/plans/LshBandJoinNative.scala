@@ -81,7 +81,101 @@ case class LshBandPairsExec(
     val idType = docId.dataType
     val inSchema = child.output
     val outSchema = output
+    val isLong = idType == org.apache.spark.sql.types.LongType
     child.execute().mapPartitions({ iter =>
+      if (isLong) longPairsIterator(iter, keyExprs, idExpr, inSchema)
+      else genericPairsIterator(iter, keyExprs, idExpr, idType, inSchema, outSchema)
+    }, preservesPartitioning = true)
+  }
+
+  /** Primitive-long fast path — the shape every registered dedup query
+    * runs (doc_id: bigint). The quadratic regime (hot buckets of
+    * near-identical docs) is pair-EMISSION-bound, so the hot loop must
+    * not box: ids buffer in an Array[Long], comparisons are primitive,
+    * and pairs are written through a reused UnsafeRowWriter exactly as
+    * codegen'd operators emit (downstream shuffle writers serialize
+    * each row before the next `next()`). */
+  private def longPairsIterator(
+      iter: Iterator[InternalRow], keyExprs: Seq[Expression],
+      idExpr: Expression,
+      inSchema: Seq[Attribute]): Iterator[InternalRow] = {
+    val keyProj = UnsafeProjection.create(keyExprs, inSchema)
+    val idProj = UnsafeProjection.create(Seq(idExpr), inSchema)
+    val writer = new org.apache.spark.sql.catalyst.expressions.codegen
+      .UnsafeRowWriter(2)
+
+    var headKey: InternalRow = null
+    var headId = 0L
+    def advance(): Unit = {
+      headKey = null
+      while (headKey == null && iter.hasNext) {
+        val row = iter.next()
+        val k = keyProj(row)
+        if (!k.isNullAt(0) && !k.isNullAt(1)) {
+          val idv = idProj(row)
+          if (!idv.isNullAt(0)) { headKey = k.copy(); headId = idv.getLong(0) }
+        }
+      }
+    }
+    advance()
+
+    new Iterator[InternalRow] {
+      private var ids = new Array[Long](16)
+      private var n = 0
+      private var i = 0
+      private var j = 1
+
+      private def loadNextBucket(): Unit = {
+        while (headKey != null) {
+          val k0 = headKey
+          n = 0
+          while (headKey != null && headKey == k0) { // UnsafeRow equals = bytes
+            if (n == ids.length) ids = java.util.Arrays.copyOf(ids, n * 2)
+            ids(n) = headId; n += 1
+            advance()
+          }
+          if (n >= 2) { i = 0; j = 1; return }
+        }
+        n = 0; i = 0; j = 1
+      }
+
+      private def positioned(): Boolean = {
+        while (true) {
+          while (i < n - 1) {
+            // skip self-pairs of duplicate ids (strict < in the join);
+            // ids are sorted, so equal ids are adjacent
+            while (j < n && ids(i) == ids(j)) j += 1
+            if (j < n) return true
+            i += 1; j = i + 1
+          }
+          if (headKey == null) return false
+          loadNextBucket()
+          if (n == 0) return false
+        }
+        false
+      }
+
+      override def hasNext: Boolean = positioned()
+      override def next(): InternalRow = {
+        if (!positioned()) throw new NoSuchElementException
+        writer.reset()
+        writer.write(0, ids(i))
+        writer.write(1, ids(j))
+        j += 1
+        if (j >= n) { i += 1; j = i + 1 }
+        writer.getRow
+      }
+    }
+  }
+
+  /** Generic path for non-long id types (string keys, decimals):
+    * boxed buffer + interpreted ordering. */
+  private def genericPairsIterator(
+      iter: Iterator[InternalRow], keyExprs: Seq[Expression],
+      idExpr: Expression, idType: org.apache.spark.sql.types.DataType,
+      inSchema: Seq[Attribute],
+      outSchema: Seq[Attribute]): Iterator[InternalRow] = {
+    {
       val keyProj = UnsafeProjection.create(keyExprs, inSchema)
       val idProj = UnsafeProjection.create(Seq(idExpr), inSchema)
       val resultProj = UnsafeProjection.create(outSchema, outSchema)
@@ -152,7 +246,7 @@ case class LshBandPairsExec(
           resultProj(pairRow)
         }
       }
-    }, preservesPartitioning = true)
+    }
   }
 }
 
