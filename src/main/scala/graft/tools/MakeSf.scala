@@ -17,11 +17,17 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * dst/<table>.parquet, so graft.Verify, graft.Bench, and
   * tools/check.py (DuckDB read_parquet) all work unchanged.
   *
-  * Usage: runMain graft.tools.MakeSf <srcSfDir> <dstDir> <k>
+  * Usage: runMain graft.tools.MakeSf <srcSfDir> <dstDir> <k> [tables]
+  * (tables = optional comma list; default all — a 1000x ladder probe
+  * of the documents-family paths doesn't need a 600 M-row lineitem)
   */
 object MakeSf {
   def main(args: Array[String]): Unit = {
-    val Array(srcDir, dstDir, kStr) = args
+    val (srcDir, dstDir, kStr) = (args(0), args(1), args(2))
+    val tables: Set[String] =
+      if (args.length > 3) args(3).split(",").toSet
+      else Set("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents", "embeddings")
     val k = kStr.toInt
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = SparkSession.builder()
@@ -37,10 +43,10 @@ object MakeSf {
     def span(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head.getLong(0) + 1L
 
-    val custSpan = span(tbl("customer"), "c_custkey")
-    val suppSpan = span(tbl("supplier"), "s_suppkey")
-    val partSpan = span(tbl("part"), "p_partkey")
-    val ordSpan  = span(tbl("orders"), "o_orderkey")
+    lazy val custSpan = span(tbl("customer"), "c_custkey")
+    lazy val suppSpan = span(tbl("supplier"), "s_suppkey")
+    lazy val partSpan = span(tbl("part"), "p_partkey")
+    lazy val ordSpan  = span(tbl("orders"), "o_orderkey")
 
     /** Union of k copies of df, with each listed BIGINT key column
       * shifted by replica*span. Column order is preserved. */
@@ -56,7 +62,8 @@ object MakeSf {
 
     /** Write as a single parquet FILE at dst/<name>.parquet (the
       * driver's layout — DuckDB read_parquet needs a file). */
-    def write(name: String, df: DataFrame): Unit = {
+    def write(name: String, df: => DataFrame): Unit = {
+      if (!tables.contains(name)) return
       val stage = s"$dstDir/_stage_$name"
       df.coalesce(1).write.mode("overwrite").parquet(stage)
       val part = Files.list(Paths.get(stage)).filter(_.toString.endsWith(".parquet"))
