@@ -29,6 +29,11 @@ con.sql(f"SET memory_limit='{os.environ.get('CHECK_DUCKDB_MEM', '32GB')}'")
 con.sql("SET temp_directory='/tmp/duckdb_spill'")
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
+    # partial ladder fixtures (e.g. a documents-family-only sf100) omit
+    # tables: skip the view; a query that needs it fails loudly below
+    if not os.path.exists(f"{sfdir}/{t}.parquet"):
+        print(f"[check] no {t}.parquet in {sfdir}; view skipped")
+        continue
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
