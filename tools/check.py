@@ -64,6 +64,56 @@ def canon(cols, rows):
         out.append("|".join(vals))
     return sorted(out)
 
+# Above CHECK_PY_MAX_ROWS output rows the per-row Python canon
+# (materialize + sort both sides as Python strings) stops fitting in
+# RAM — a 95M-row sf100 window result is tens of GB of tuples. For
+# those, compare entirely inside DuckDB: canonical row string =
+# name-sorted columns CAST to VARCHAR (both sides formatted by the
+# SAME engine, so float formatting parity is structural), reduced to
+# an order-independent multiset digest (count, 128-bit sum of row
+# hashes, xor of row hashes). Engine values still diverge loudly —
+# any differing row changes the digest — while Python memory stays
+# O(1). Strictly weaker than the byte-sort compare only via hash
+# collision (~2^-64); recorded per query as compare=duckdb-multiset.
+PY_MAX = int(os.environ.get("CHECK_PY_MAX_ROWS", 15_000_000))
+
+def multiset_compare(name, files, sql, n_rows):
+    s_cols = pq.read_schema(files[0]).names
+    con.sql(f"CREATE OR REPLACE TEMP VIEW _oracle AS {sql}")
+    desc = con.sql("DESCRIBE _oracle").fetchall()
+    d_cols = [r[0] for r in desc]
+    bad = [f"{r[0]}:{r[1]}" for r in desc
+           if r[1] in ("HUGEINT", "UHUGEINT") or r[1].startswith("DECIMAL")]
+    if bad:
+        print(f"FAIL {name}: oracle emits pandas-lossy types {bad} — CAST them (BIGINT/DOUBLE)")
+        record(name, err=f"lossy oracle types {bad}")
+        return False
+    if sorted(s_cols) != sorted(d_cols):
+        print(f"FAIL {name}: columns spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        record(name, spark_rows=n_rows)
+        return False
+    expr = "concat_ws('|', " + ", ".join(
+        f'coalesce(CAST("{c}" AS VARCHAR), chr(1))' for c in sorted(s_cols)) + ")"
+    agg = (f"SELECT count(*), coalesce(sum(CAST(hash({expr}) AS HUGEINT)), 0), "
+           f"coalesce(bit_xor(hash({expr})), 0)")
+    flist = "[" + ", ".join(f"'{f}'" for f in files) + "]"
+    s = con.sql(f"{agg} FROM read_parquet({flist})").fetchone()
+    d = con.sql(f"{agg} FROM _oracle").fetchone()
+    if s[0] != d[0]:
+        print(f"FAIL {name}: rows spark={s[0]} duck={d[0]}")
+        record(name, schema_match=True, spark_rows=s[0], oracle_rows=d[0])
+        return False
+    if s[1:] != d[1:]:
+        print(f"FAIL {name}: multiset digest mismatch spark={s[1:]} duck={d[1:]}")
+        record(name, rows_match=True, schema_match=True,
+               spark_rows=s[0], oracle_rows=d[0])
+        return False
+    record(name, rows_match=True, schema_match=True, hash_match=True,
+           spark_rows=s[0], oracle_rows=d[0])
+    report[name]["compare"] = "duckdb-multiset"
+    print(f"OK   {name}: {s[0]} rows (duckdb-multiset digest)")
+    return True
+
 fails = 0
 for name in sorted(oracle):
     path = f"{outdir}/{name}"
@@ -74,6 +124,17 @@ for name in sorted(oracle):
         fails += 1
         continue
     import pyarrow as pa
+    n_meta = sum(pq.read_metadata(f).num_rows for f in files)
+    if n_meta > PY_MAX:
+        try:
+            ok = multiset_compare(name, files, oracle[name], n_meta)
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {str(e).splitlines()[0][:200]}")
+            record(name, err=str(e).splitlines()[0][:200])
+            ok = False
+        if not ok:
+            fails += 1
+        continue
     spark_t = pa.concat_tables([pq.read_table(f) for f in files])
     s_cols = spark_t.column_names
     s_rows = [tuple(c[i].as_py() for c in spark_t.columns)
