@@ -96,22 +96,81 @@ object TrainDataQueries extends QueryModule {
     * training documents sharing ≥ 5 distinct 3-gram shingles with the
     * held-out set (source = src0 plays the benchmark role). The eval
     * side is tiny relative to training data, so its shingle set is
-    * broadcast — the training corpus never shuffles. */
+    * broadcast — the training corpus never shuffles on the shingle.
+    *
+    * COLLAPSE-FIRST on the engine side too (r11): a doc's shingle set
+    * is a function of its text, so the train⋈eval shingle join is
+    * invariant under collapsing docs to text FAMILIES — and the
+    * doc-level form pays K² pair multiplicity under K×-duplicated
+    * corpora (each train copy matches each eval copy of a shared
+    * shingle). The sf100 ladder caught exactly that: the doc-level
+    * join ground >20 min at 1000× while every collapse-first sibling
+    * ran in seconds; this is the fourth duplicate-blowup family
+    * closed with the same algebra (minhash/LSH r9, SimHash + n-gram
+    * r10, this one r11 — and its own DuckDB twin, fixed r11 for the
+    * same reason on the oracle side). Families join corpus-shaped;
+    * doc ids come back through one broadcast join at the end. */
   private val DecontamMinShared = 5
 
-  private def qDecontaminate(implicit s: SparkSession, dir: String): DataFrame = {
-    val ex = docs.select(col("doc_id"), col("source"),
+  /** One row per text family: keeper id, eval- and train-member
+    * counts. The xxhash64 leads the group key purely as an accelerant
+    * (same idiom as [[graft.operators.Dedup.exactDedup]]); text is in
+    * the key too, so a hash collision cannot merge families. One
+    * linear shuffle of the corpus — the only doc-shaped exchange in
+    * the decontamination plans. */
+  private def decontamFamilies(implicit s: SparkSession, dir: String): DataFrame =
+    docs
+      .groupBy(xxhash64(col("text")).as("_h"), col("text"))
+      .agg(min(col("doc_id")).as("fam_id"),
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("n_eval"),
+        sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("n_train"))
+
+  /** (family, shingle) view: corpus-shaped regardless of replication. */
+  private def famShingles(fams: DataFrame): DataFrame =
+    fams.select(col("text"), col("fam_id"), col("n_eval"), col("n_train"),
       explode(TextFns.shinglesDistinct(col("text"), 3)).as("sh"))
-    val train = ex.where(col("source") =!= "src0")
-      .select(col("doc_id"), col("sh"))
-    val eval = ex.where(col("source") === "src0")
-      .select(col("sh"), col("doc_id").as("eval_id"))
-    train.join(broadcast(eval), "sh")
-      .groupBy(col("doc_id"))
-      .agg(countDistinct(col("sh")).as("n_shared"),
-        countDistinct(col("eval_id")).as("n_eval_docs"))
+
+  /** Family-level join results → per-train-doc output rows. `shared`
+    * carries one row per (train family, shared shingle, eval family);
+    * n_shared = |sh(fam) ∩ ∪eval-sh| and n_eval_docs = Σ n_eval over
+    * intersecting eval families (every member of an eval family has
+    * the identical shingle set) — both exactly the doc-level
+    * countDistincts. The qualifying families (contamination is the
+    * rare case) broadcast back onto the corpus by text equality. */
+  private def decontamExpand(shared0: DataFrame)(
+      implicit s: SparkSession, dir: String): DataFrame = {
+    // the family-pair rows are corpus-shaped (families × shared
+    // shingles × intersecting eval families) and feed two aggregates —
+    // cache them so the corpus-wide family aggregation upstream runs
+    // once, not once per consumer (released per query by Verify/Bench)
+    val shared = graft.core.Caches.track(shared0)
+    val nsh = shared.groupBy(col("fam_id"))
+      .agg(countDistinct(col("sh")).as("n_shared"))
+    val nev = shared.select(col("fam_id"), col("efam"), col("efam_n_eval"))
+      .distinct()
+      .groupBy(col("fam_id"))
+      .agg(sum(col("efam_n_eval")).as("n_eval_docs"))
+    // fam_id IS a doc_id (min of its family), so the representative
+    // text comes straight off the documents scan — no second run of
+    // the corpus-wide family aggregation just to recover ≤|famres| texts
+    val famres = nsh.join(nev, "fam_id")
       .where(col("n_shared") >= DecontamMinShared)
+      .join(docs.select(col("doc_id").as("fam_id"), col("text")), "fam_id")
+    docs.where(col("source") =!= "src0")
+      .select(col("doc_id"), col("text"))
+      .join(broadcast(famres.drop("fam_id")), "text")
+      .select(col("doc_id"), col("n_shared"), col("n_eval_docs"))
       .orderBy(col("doc_id"))
+  }
+
+  private def qDecontaminate(implicit s: SparkSession, dir: String): DataFrame = {
+    val fams = decontamFamilies
+    val sh = famShingles(fams)
+    val trainSh = sh.where(col("n_train") > 0L)
+      .select(col("fam_id"), col("sh"))
+    val evalSh = sh.where(col("n_eval") > 0L)
+      .select(col("sh"), col("fam_id").as("efam"), col("n_eval").as("efam_n_eval"))
+    decontamExpand(trainSh.join(broadcast(evalSh), "sh"))
   }
 
   /** COLLAPSE-FIRST replay — exact at any replication factor. The
@@ -181,24 +240,19 @@ object TrainDataQueries extends QueryModule {
     * pinned `shuffle_hash` to gate the plan this operator exists for
     * (no silent fallback to broadcast at fixture scale). */
   private def qDecontamBloom(implicit s: SparkSession, dir: String): DataFrame = {
-    val ex = docs.select(col("doc_id"), col("source"),
-      explode(TextFns.shinglesDistinct(col("text"), 3)).as("sh"))
-    val train = ex.where(col("source") =!= "src0")
-      .select(col("doc_id"), col("sh"))
-    val eval = ex.where(col("source") === "src0")
-      .select(col("sh"), col("doc_id").as("eval_id"))
-    val evalHashes = eval.select(xxhash64(col("sh")).as("h"))
+    val fams = decontamFamilies
+    val sh = famShingles(fams)
+    val trainSh = sh.where(col("n_train") > 0L)
+      .select(col("fam_id"), col("sh"))
+    val evalSh = sh.where(col("n_eval") > 0L)
+      .select(col("sh"), col("fam_id").as("efam"), col("n_eval").as("efam_n_eval"))
+    val evalHashes = evalSh.select(xxhash64(col("sh")).as("h"))
     val nEval = evalHashes.count() // sizing action on the small side
     val bloom = graft.plans.BloomMightContain.build(
       evalHashes, "h", math.max(nEval, 1L), fpp = 0.01)
-    val pre = train.where(
+    val pre = trainSh.where(
       graft.plans.BloomMightContain.probe(xxhash64(col("sh")), bloom))
-    pre.join(eval.hint("shuffle_hash"), "sh")
-      .groupBy(col("doc_id"))
-      .agg(countDistinct(col("sh")).as("n_shared"),
-        countDistinct(col("eval_id")).as("n_eval_docs"))
-      .where(col("n_shared") >= DecontamMinShared)
-      .orderBy(col("doc_id"))
+    decontamExpand(pre.join(evalSh.hint("shuffle_hash"), "sh"))
   }
 
   // ------------------------------------------- Gopher-style rule filter
