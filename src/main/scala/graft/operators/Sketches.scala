@@ -57,4 +57,96 @@ object Sketches {
       .groupBy(col(itemCol))
       .agg(min(col("cnt")).as("est"))
   }
+
+  // --------------------------------------------- K-minimum-values
+  /** KMV distinct sketch — the DETERMINISTIC, cross-engine-checkable
+    * sibling of HyperLogLog (`q_approx_distinct`'s
+    * `approx_count_distinct`, whose register layout no other engine
+    * can replay): hash every item with the seeded md5-h15 scheme
+    * into [0, 2^60) and keep the k smallest DISTINCT hash values.
+    * Uniform hashes ⇒ the k-th smallest m_k sits near k/n of the
+    * range, so n̂ = (k-1)·2^60 / m_k (unbiased; rel. stderr
+    * ≈ 1/√(k−2)). If fewer than k distinct hashes exist the sketch
+    * IS the exact distinct set, so the estimate degrades to exact.
+    *
+    * Why it scales to 100 TB:
+    *  - the sketch is k values, independent of corpus size; building
+    *    it is a distinct + top-k, which Spark executes as per-
+    *    partition partial top-k (TakeOrderedAndProject globally,
+    *    WindowGroupLimit per group) — map-side-combining, one shuffle
+    *    of at most k·partitions candidate values;
+    *  - it is MERGEABLE: kmv(A ∪ B) = k-smallest(kmv(A) ∪ kmv(B)),
+    *    an exact algebra (not approximate union), so per-shard / per-
+    *    day sketches compose without touching the raw corpus —
+    *    [[kmvMergeTwo]] is that identity as a plan, gated bit-exact
+    *    against the one-shot sketch by `q_kmv_merge`.
+    *
+    * Estimate determinism: (k-1)·2^60 is precomputed in Scala and
+    * embedded as one double literal in BOTH engines; m_k → double is
+    * IEEE nearest in both; one divide + floor is IEEE-identical, so
+    * the DuckDB twin hash-matches bit-for-bit. */
+  val KmvSeed: Long = 7042L
+
+  /** 60-bit seeded hash of `item` (the [[Dedup.md5Wid]] scheme minus
+    * the mod-P fold: KMV needs the full uniform range). */
+  def kmvHash(item: Column, seed: Long = KmvSeed): Column =
+    conv(substring(md5(concat(lit(s"$seed:"), item.cast("string"))), 1, 15),
+      16, 10).cast("long")
+
+  /** DuckDB twin of [[kmvHash]]. */
+  def kmvHashSql(expr: String, seed: Long = KmvSeed): String =
+    graft.operators.Scorers.ProxyBackend.h15Sql(seed, expr)
+
+  /** (k-1)·2^60 as the shared estimate numerator: one literal, both
+    * engines (Scala's Double.toString round-trips, and DuckDB parses
+    * it to the identical IEEE value). */
+  def kmvNumerator(k: Int): Double = (k - 1).toDouble * 1152921504606846976.0
+
+  /** The global sketch: k smallest distinct hashes of `itemCol`.
+    * `distinct` is the one corpus-shaped shuffle; the top-k compiles
+    * to TakeOrderedAndProject (per-partition partial top-k, k-sized
+    * driver merge — never a global sort). */
+  def kmvSketch(items: DataFrame, itemCol: String, k: Int,
+                seed: Long = KmvSeed): DataFrame =
+    items.select(kmvHash(col(itemCol), seed).as("hv"))
+      .distinct().orderBy(col("hv")).limit(k)
+
+  /** Exact merge algebra: the k smallest of the union of two
+    * sketches' values. Inputs are ≤ k rows each, so this is
+    * sketch-sized work regardless of what corpora they summarize. */
+  def kmvMergeTwo(a: DataFrame, b: DataFrame, k: Int): DataFrame =
+    a.union(b).distinct().orderBy(col("hv")).limit(k)
+
+  /** One-row estimate from a sketch: (k_got, kth_min, est_distinct).
+    * k_got < k ⇒ the sketch saw every distinct hash ⇒ exact. */
+  def kmvEstimate(sketch: DataFrame, k: Int): DataFrame =
+    sketch.agg(count(lit(1)).as("k_got"), max(col("hv")).as("kth_min"))
+      .select(col("k_got"), col("kth_min"),
+        when(col("k_got") < k, col("k_got"))
+          .otherwise(floor(lit(kmvNumerator(k)) / col("kth_min").cast("double"))
+            .cast("long"))
+          .as("est_distinct"))
+
+  /** Per-group KMV: one k-value sketch per group in a single pass.
+    * The rank filter is a grouped top-k — Spark 4 plans it as
+    * WindowGroupLimit (per-partition partial top-k BEFORE the
+    * exchange, asserted by KmvSpec), so a group's candidate set
+    * entering the shuffle is k per input partition, not the group's
+    * full distinct-hash census. */
+  def kmvPerGroup(items: DataFrame, grpCol: String, itemCol: String,
+                  k: Int, seed: Long = KmvSeed): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hv = items
+      .select(col(grpCol), kmvHash(col(itemCol), seed).as("hv"))
+      .distinct()
+    val w = Window.partitionBy(col(grpCol)).orderBy(col("hv"))
+    hv.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k)
+      .groupBy(col(grpCol))
+      .agg(count(lit(1)).as("k_got"), max(col("hv")).as("kth_min"))
+      .select(col(grpCol), col("k_got"), col("kth_min"),
+        when(col("k_got") < k, col("k_got"))
+          .otherwise(floor(lit(kmvNumerator(k)) / col("kth_min").cast("double"))
+            .cast("long"))
+          .as("est_distinct"))
+  }
 }

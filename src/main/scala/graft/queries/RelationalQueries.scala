@@ -562,9 +562,126 @@ object RelationalQueries extends QueryModule {
       .orderBy(col("user_id"))
   }
 
+  // ------------------------------------------------ KMV distinct sketch
+  /** Per-group KMV distinct estimate ([[graft.operators.Sketches]]
+    * K-minimum-values) — the hash-exact sibling of
+    * [[qApproxDistinct]]'s HyperLogLog, whose register merge no other
+    * engine can replay. Same question (distinct parts per return
+    * flag), answered by a k-value deterministic sketch the DuckDB
+    * oracle reproduces bit-for-bit, estimate arithmetic included.
+    * `exact_parts` rides along so the accuracy contract (rel. err
+    * ≈ 1/√(k−2)) is gated, not asserted in prose. At sf0.001 each
+    * flag has < k distinct parts, so the exact-degradation branch is
+    * the one under gate; from sf0.01 up the estimator branch is.
+    * Scale: one distinct shuffle + WindowGroupLimit partial top-k
+    * (KmvSpec asserts the pre-shuffle limit); the exact twin column
+    * is itself one grouped count-distinct. */
+  private val KmvK = 512
+  private def qKmvDistinct(implicit s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val li = t("lineitem")
+    val sk = Sketches.kmvPerGroup(li, "l_returnflag", "l_partkey", KmvK)
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    sk.join(exact, "l_returnflag")
+      .select(col("l_returnflag"), col("k_got"), col("kth_min"),
+        col("est_distinct"), col("exact_parts"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private def kmvEstSql(kGot: String, kthMin: String): String = {
+    val num = graft.operators.Sketches.kmvNumerator(KmvK)
+    s"""CASE WHEN $kGot < $KmvK THEN $kGot
+       |     ELSE CAST(floor($num / CAST($kthMin AS DOUBLE)) AS BIGINT) END"""
+      .stripMargin
+  }
+
+  private val qKmvDistinctSql = {
+    val h = graft.operators.Sketches.kmvHashSql("l_partkey")
+    s"""WITH hv AS (
+       |  SELECT DISTINCT l_returnflag, $h AS hv FROM lineitem),
+       |topk AS (
+       |  SELECT l_returnflag, hv,
+       |    row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn
+       |  FROM hv),
+       |sk AS (
+       |  SELECT l_returnflag, COUNT(*) AS k_got, MAX(hv) AS kth_min
+       |  FROM topk WHERE rn <= $KmvK GROUP BY 1),
+       |ex AS (
+       |  SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts
+       |  FROM lineitem GROUP BY 1)
+       |SELECT s.l_returnflag, s.k_got, s.kth_min,
+       |  ${kmvEstSql("s.k_got", "s.kth_min")} AS est_distinct,
+       |  e.exact_parts
+       |FROM sk s JOIN ex e USING (l_returnflag)
+       |ORDER BY s.l_returnflag""".stripMargin
+  }
+
+  /** The KMV MERGE identity as a gated query: sketch each half of the
+    * corpus (split by part-key parity), merge the two k-value
+    * sketches, and emit the merged estimate next to the one-shot
+    * whole-corpus sketch plus the symmetric difference of the two
+    * sketches' value sets — which must be EMPTY (`sym_diff` = 0,
+    * oracle-checked). This is the algebra that lets per-shard /
+    * per-day sketches compose at 100 TB without re-reading raw data:
+    * merge is k-sized work, and it is exact, not approximate. */
+  private def qKmvMerge(implicit s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val li = t("lineitem")
+    // each sketch is <= k rows but feeds 2-3 consumers below; caching
+    // them caps the plan at three corpus scans (one per sketch build)
+    // instead of one per consumer (graft.core.Caches contract)
+    val whole = graft.core.Caches.track(
+      Sketches.kmvSketch(li, "l_orderkey", KmvK))
+    val a = Sketches.kmvSketch(
+      li.where(col("l_partkey") % 2 === 0), "l_orderkey", KmvK)
+    val b = Sketches.kmvSketch(
+      li.where(col("l_partkey") % 2 === 1), "l_orderkey", KmvK)
+    val merged = graft.core.Caches.track(Sketches.kmvMergeTwo(a, b, KmvK))
+    val ew = Sketches.kmvEstimate(whole, KmvK)
+      .select(col("k_got"), col("kth_min").as("kth_min_whole"),
+        col("est_distinct").as("est_whole"))
+    val em = Sketches.kmvEstimate(merged, KmvK)
+      .select(col("kth_min").as("kth_min_merged"),
+        col("est_distinct").as("est_merged"))
+    val sd = whole.except(merged).union(merged.except(whole))
+      .agg(count(lit(1)).as("sym_diff"))
+    ew.crossJoin(em).crossJoin(sd)
+  }
+
+  private val qKmvMergeSql = {
+    val h = graft.operators.Sketches.kmvHashSql("l_orderkey")
+    s"""WITH hw AS (SELECT DISTINCT $h AS hv FROM lineitem),
+       |skw AS (SELECT hv FROM hw ORDER BY hv LIMIT $KmvK),
+       |ha AS (SELECT DISTINCT $h AS hv FROM lineitem WHERE l_partkey % 2 = 0),
+       |ska AS (SELECT hv FROM ha ORDER BY hv LIMIT $KmvK),
+       |hb AS (SELECT DISTINCT $h AS hv FROM lineitem WHERE l_partkey % 2 = 1),
+       |skb AS (SELECT hv FROM hb ORDER BY hv LIMIT $KmvK),
+       |skm AS (
+       |  SELECT hv FROM (
+       |    SELECT DISTINCT hv FROM (
+       |      SELECT hv FROM ska UNION ALL SELECT hv FROM skb))
+       |  ORDER BY hv LIMIT $KmvK),
+       |ew AS (SELECT COUNT(*) AS k_got, MAX(hv) AS kth_min_whole FROM skw),
+       |em AS (SELECT MAX(hv) AS kth_min_merged FROM skm),
+       |sd AS (
+       |  SELECT COUNT(*) AS sym_diff FROM (
+       |    (SELECT hv FROM skw EXCEPT SELECT hv FROM skm)
+       |    UNION ALL
+       |    (SELECT hv FROM skm EXCEPT SELECT hv FROM skw)))
+       |SELECT ew.k_got, ew.kth_min_whole,
+       |  ${kmvEstSql("ew.k_got", "ew.kth_min_whole")} AS est_whole,
+       |  em.kth_min_merged,
+       |  ${kmvEstSql("ew.k_got", "em.kth_min_merged")} AS est_merged,
+       |  sd.sym_diff
+       |FROM ew CROSS JOIN em CROSS JOIN sd""".stripMargin
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q_range_join", (s, d) => qRangeJoin(s, d), Some(qRangeJoinSql)),
     Q("q_range_join_native", (s, d) => qRangeJoinNative(s, d), Some(qRangeJoinSql)),
+    Q("q_kmv_distinct", (s, d) => qKmvDistinct(s, d), Some(qKmvDistinctSql)),
+    Q("q_kmv_merge", (s, d) => qKmvMerge(s, d), Some(qKmvMergeSql)),
     Q("q_asof_join", (s, d) => qAsofJoin(s, d), Some(qAsofJoinSql)),
     Q("q_asof_join_native", (s, d) => qAsofJoinNative(s, d), Some(qAsofJoinSql)),
     Q("q_cube", (s, d) => qCube(s, d), Some(qCubeSql)),

@@ -767,7 +767,97 @@ object TrainDataQueries extends QueryModule {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------- histogram-interpolated percentile
+  /** Bounded-state approximate percentile — the hash-exact sibling of
+    * [[qApproxPercentile]]'s t-digest (whose centroid layout no other
+    * engine can replay): two scans and O(B) state per group, at ANY
+    * corpus size, where the exact percentile needs a per-group sort.
+    * Pass 1 takes each group's (lo, hi, n); pass 2 counts into B
+    * equal-width bins; the p-quantile is linearly interpolated inside
+    * the first bin whose cumulative count reaches p·n. Error ≤ one
+    * bin width (= range/B) by construction — a deterministic bound,
+    * unlike the t-digest's distribution-dependent one.
+    *
+    * Cross-engine determinism: every float step (bin width, bin index
+    * before the floor, p·n, the interpolation) is a mirrored IEEE
+    * expression over exactly-representable counts, so DuckDB
+    * reproduces the estimates bit-for-bit — this is the same contract
+    * that makes [[qMixtureTarget]]'s rates gateable. Bin-boundary
+    * floors are IDENTICAL doubles in both engines (not merely close),
+    * so the floor never straddles.
+    *
+    * Scale: pass-2's stats side is 3 rows (broadcast); the bin census
+    * is one map-side-combined aggregate onto ≤ grp·B cells; the
+    * percentile extraction runs on the census, not the corpus. */
+  private val HistBins = 1000
+  private val HistPs = Seq(0.5, 0.95)
+
+  private def qApproxPercentileHist(implicit s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val x = col("l_extendedprice")
+    val stats = li.groupBy(col("l_returnflag"))
+      .agg(min(x).as("lo"), max(x).as("hi"), count(lit(1)).as("n"))
+      .withColumn("wd", (col("hi") - col("lo")) / lit(HistBins.toDouble))
+    val census = li.select(col("l_returnflag"), x)
+      .join(broadcast(stats), "l_returnflag")
+      .select(col("l_returnflag"),
+        least(floor((x - col("lo")) / col("wd")),
+          lit((HistBins - 1).toLong)).cast("long").as("bin"))
+      .groupBy(col("l_returnflag"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("l_returnflag")).orderBy(col("bin"))))
+      .withColumn("below", col("cum") - col("cnt"))
+    val targets = stats
+      .select(col("l_returnflag"), col("lo"), col("wd"), col("n"),
+        explode(array(HistPs.map(lit): _*)).as("p"))
+      .withColumn("t", col("p") * col("n"))
+    targets.join(census, "l_returnflag")
+      .where(col("below") < col("t") && col("cum") >= col("t"))
+      .select(col("l_returnflag"), col("n"), col("p"),
+        (col("lo") + col("wd") *
+          (col("bin") + (col("t") - col("below")) / col("cnt"))).as("est"))
+      .groupBy(col("l_returnflag"))
+      .agg(max(col("n")).as("n"),
+        max(when(col("p") === 0.5, col("est"))).as("p50_est"),
+        max(when(col("p") === 0.95, col("est"))).as("p95_est"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val qApproxPercentileHistSql =
+    s"""WITH stats AS (
+       |  SELECT l_returnflag, MIN(l_extendedprice) AS lo,
+       |    MAX(l_extendedprice) AS hi, COUNT(*) AS n,
+       |    (MAX(l_extendedprice) - MIN(l_extendedprice)) / ${HistBins.toDouble} AS wd
+       |  FROM lineitem GROUP BY 1),
+       |census AS (
+       |  SELECT l_returnflag, bin, cnt,
+       |    SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+       |    SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) - cnt AS below
+       |  FROM (
+       |    SELECT li.l_returnflag,
+       |      CAST(least(floor((li.l_extendedprice - st.lo) / st.wd),
+       |        ${HistBins - 1}) AS BIGINT) AS bin,
+       |      COUNT(*) AS cnt
+       |    FROM lineitem li JOIN stats st USING (l_returnflag)
+       |    GROUP BY 1, 2)),
+       |targets AS (
+       |  SELECT l_returnflag, lo, wd, n, p, p * n AS t
+       |  FROM stats, (SELECT unnest([${
+          HistPs.map(p => s"CAST($p AS DOUBLE)").mkString(", ")}]) AS p)),
+       |hits AS (
+       |  SELECT tg.l_returnflag, tg.n, tg.p,
+       |    tg.lo + tg.wd * (c.bin + (tg.t - c.below) / c.cnt) AS est
+       |  FROM targets tg JOIN census c USING (l_returnflag)
+       |  WHERE c.below < tg.t AND c.cum >= tg.t)
+       |SELECT l_returnflag, MAX(n) AS n,
+       |  MAX(CASE WHEN p = 0.5 THEN est END) AS p50_est,
+       |  MAX(CASE WHEN p = 0.95 THEN est END) AS p95_est
+       |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("q_approx_percentile_hist",
+      (s, d) => qApproxPercentileHist(s, d), Some(qApproxPercentileHistSql)),
     Q("q_quality_classifier", (s, d) => qQualityClassifier(s, d), Some(qQualityClassifierSql)),
     Q("q_score_normalize", (s, d) => qScoreNormalize(s, d), Some(qScoreNormalizeSql)),
     Q("q_mixture_target", (s, d) => qMixtureTarget(s, d), Some(qMixtureTargetSql)),

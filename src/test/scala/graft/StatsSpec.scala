@@ -71,6 +71,29 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("histogram-interpolated percentile within one bin width of the exact percentile") {
+    // the deterministic error bound the q_approx_percentile_hist
+    // scaladoc claims: |est - exact| <= range/B per group
+    val li = Tables.lineitem(spark, dir)
+    val est = graft.SparkEntry.queries("q_approx_percentile_hist")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, array(0.5, 0.95))").as("q"),
+        ((max(col("l_extendedprice")) - min(col("l_extendedprice"))) / 1000.0)
+          .as("wd"))
+      .collect().map { r =>
+        val q = r.getSeq[Double](1)
+        r.getString(0) -> (q(0), q(1), r.getDouble(2))
+      }.toMap
+    assert(est.keySet == exact.keySet && est.nonEmpty)
+    est.foreach { case (flag, (p50, p95)) =>
+      val (e50, e95, wd) = exact(flag)
+      assert(math.abs(p50 - e50) <= wd, s"$flag p50: $p50 vs $e50 (wd=$wd)")
+      assert(math.abs(p95 - e95) <= wd, s"$flag p95: $p95 vs $e95 (wd=$wd)")
+    }
+  }
+
   test("exact-sum Pearson r matches the builtin corr to float tolerance") {
     val r = graft.SparkEntry.queries("q_correlation")(spark, dir)
       .collect().map(x => x.getString(0) -> x.getDouble(2)).toMap
