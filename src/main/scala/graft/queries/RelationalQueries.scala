@@ -562,6 +562,53 @@ object RelationalQueries extends QueryModule {
       .orderBy(col("user_id"))
   }
 
+  // ------------------------------------- dynamic partition pruning
+  /** DYNAMIC partition pruning evidence — the runtime half of the
+    * pruning story (PartitionPruningSpec covers the static half,
+    * where the partition filter is a literal in the query). Here the
+    * fact table (lineitem, written partitioned by ship year — the
+    * date-partitioned layout every 100 TB fact table uses) is joined
+    * to a dimension whose partition-key values survive a
+    * NON-partition predicate (order-date window + priority), so the
+    * set of fact partitions to read is only known at runtime. Spark
+    * plants a DynamicPruningExpression on the fact scan fed by the
+    * reused broadcast of the dimension — the fact directories for
+    * non-qualifying years are never listed, let alone read. At 100 TB
+    * this is the difference between scanning one year and scanning
+    * the whole lake; `DppSpec` asserts the expression is in the plan
+    * AND that the scan's partition count drops to the qualifying
+    * years. Oracle: the same semantics over the raw table (an IN
+    * subquery on the derived year) — the partitioned round trip must
+    * be value-invisible. */
+  private def qDppJoin(implicit s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Paths.get(graft.operators.Dedup.SignatureStore.root,
+      "lineitem_by_year_" + java.lang.Integer.toHexString(dir.hashCode)).toString
+    t("lineitem")
+      .withColumn("ship_year", year(col("l_shipdate")))
+      .write.mode("overwrite").partitionBy("ship_year").parquet(out)
+    val fact = s.read.parquet(out)
+    val dimYears = t("orders")
+      .where(col("o_orderdate") >= lit("1997-01-01").cast("date") &&
+        col("o_orderdate") <= lit("1997-12-31").cast("date") &&
+        col("o_orderpriority") === "1-URGENT")
+      .select(year(col("o_orderdate")).as("ship_year")).distinct()
+    fact.join(dimYears, "ship_year")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val qDppJoinSql =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,4))), 2) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |WHERE year(l_shipdate) IN (
+      |  SELECT DISTINCT year(o_orderdate) FROM orders
+      |  WHERE o_orderdate BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
+      |    AND o_orderpriority = '1-URGENT')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------ KMV distinct sketch
   /** Per-group KMV distinct estimate ([[graft.operators.Sketches]]
     * K-minimum-values) — the hash-exact sibling of
@@ -680,6 +727,7 @@ object RelationalQueries extends QueryModule {
   override def queries: Seq[Q] = Seq(
     Q("q_range_join", (s, d) => qRangeJoin(s, d), Some(qRangeJoinSql)),
     Q("q_range_join_native", (s, d) => qRangeJoinNative(s, d), Some(qRangeJoinSql)),
+    Q("q_dpp_join", (s, d) => qDppJoin(s, d), Some(qDppJoinSql)),
     Q("q_kmv_distinct", (s, d) => qKmvDistinct(s, d), Some(qKmvDistinctSql)),
     Q("q_kmv_merge", (s, d) => qKmvMerge(s, d), Some(qKmvMergeSql)),
     Q("q_asof_join", (s, d) => qAsofJoin(s, d), Some(qAsofJoinSql)),

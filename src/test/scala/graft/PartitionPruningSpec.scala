@@ -67,4 +67,50 @@ class PartitionPruningSpec extends AnyFunSuite {
     assert(full.where(col("lang") === "en").count() == rows.length.toLong)
     assert(full.count() > rows.length.toLong) // other languages landed too
   }
+
+  test("q_dpp_join: DYNAMIC partition pruning — runtime dim filter prunes fact partitions") {
+    val q = SparkEntry.queries("q_dpp_join")(spark, TestSpark.SfDir)
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+
+    // the fact scan's partition filter is a DynamicPruningExpression,
+    // i.e. the qualifying years come from the executed dimension side
+    // at runtime, not from a literal in the query
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruningexpression"),
+      s"no DynamicPruningExpression on the fact scan:\n$p")
+
+    // quantitative proof: the scan visited only the qualifying year's
+    // partition(s), out of all ship-year directories on disk
+    val out = java.nio.file.Paths.get(
+      graft.operators.Dedup.SignatureStore.root,
+      "lineitem_by_year_" + java.lang.Integer.toHexString(TestSpark.SfDir.hashCode))
+    val it = java.nio.file.Files.list(out).iterator()
+      .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    val yearDirs = Iterator.continually(it).takeWhile(_.hasNext)
+      .map(_.next().getFileName.toString).filter(_.startsWith("ship_year="))
+      .toList
+    assert(yearDirs.size >= 3, s"fixture spans too few ship years: $yearDirs")
+
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(plan: SparkPlan): Seq[FileSourceScanExec] = plan match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val factScan = scans(q.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("lineitem_by_year_")))
+    assert(factScan.nonEmpty, "fact scan not found in executed plan")
+    val partsRead = factScan.map(_.metrics("numPartitions").value).sum
+    assert(partsRead > 0 && partsRead < yearDirs.size,
+      s"expected runtime pruning: read $partsRead of ${yearDirs.size} year partitions")
+
+    // sanity: the directory census matches the table's year census
+    val distinctYears = q.sparkSession.read.parquet(out.toString)
+      .select(col("ship_year")).distinct().count()
+    assert(distinctYears.toInt == yearDirs.size)
+  }
 }
