@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Count–min sketch: fixed d×w counter grid estimating any item's
@@ -149,4 +151,77 @@ object Sketches {
             .cast("long"))
           .as("est_distinct"))
   }
+
+  /** [[KmvAgg]] as a Column aggregate over a 60-bit hash column. */
+  def kmvAggCol(hv: Column, k: Int): Column =
+    udaf(new KmvAgg(k), Encoders.scalaLong).apply(hv)
+
+  /** Sketch → (k_got, kth_min, est_distinct) columns, the same
+    * estimate expression as [[kmvEstimate]] but over a buffer array
+    * (ascending ⇒ the last element IS the k-th smallest). */
+  def kmvEstimateFromBuffer(sketch: Column, k: Int): Seq[Column] = {
+    val kGot = size(sketch).cast("long")
+    val kthMin = element_at(sketch, -1)
+    Seq(kGot.as("k_got"), kthMin.as("kth_min"),
+      when(kGot < k, kGot)
+        .otherwise(floor(lit(kmvNumerator(k)) / kthMin.cast("double"))
+          .cast("long"))
+        .as("est_distinct"))
+  }
+}
+
+/** The KMV sketch AS a typed algebraic aggregate: the buffer is the
+  * sketch itself — an ascending, duplicate-free array of at most k
+  * hash values. `reduce` is a binary-search insert capped at k;
+  * `merge` is [[Sketches.kmvMergeTwo]]'s algebra on two arrays (the
+  * sketch is a proper commutative monoid, so partial aggregation,
+  * any merge-tree shape, AND streaming state-store accumulation all
+  * yield the identical sketch). This is what makes the distinct
+  * estimate maintainable incrementally: Structured Streaming keeps
+  * one ≤k-value buffer in the state store and folds each microbatch
+  * in — `q_stream_kmv` gates that the streamed sketch equals the
+  * batch replay bit-for-bit, estimate included. */
+class KmvAgg(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+  override def zero: Array[Long] = Array.emptyLongArray
+
+  override def reduce(buf: Array[Long], hv: Long): Array[Long] = {
+    val i = java.util.Arrays.binarySearch(buf, hv)
+    if (i >= 0) buf // already in the sketch
+    else {
+      val ins = -i - 1
+      if (buf.length < k) {
+        val out = new Array[Long](buf.length + 1)
+        System.arraycopy(buf, 0, out, 0, ins)
+        out(ins) = hv
+        System.arraycopy(buf, ins, out, ins + 1, buf.length - ins)
+        out
+      } else if (ins < k) { // hv beats the current k-th minimum
+        val out = new Array[Long](k)
+        System.arraycopy(buf, 0, out, 0, ins)
+        out(ins) = hv
+        System.arraycopy(buf, ins, out, ins + 1, k - ins - 1)
+        out
+      } else buf
+    }
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    // two-pointer merge of sorted duplicate-free arrays, capped at k
+    val out = new Array[Long](math.min(a.length + b.length, k))
+    var (i, j, n) = (0, 0, 0)
+    while (n < out.length && (i < a.length || j < b.length)) {
+      val takeA = j >= b.length || (i < a.length && a(i) <= b(j))
+      val v = if (takeA) a(i) else b(j)
+      if (takeA) { if (j < b.length && b(j) == v) j += 1; i += 1 }
+      else j += 1
+      out(n) = v; n += 1
+    }
+    if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+  }
+
+  override def finish(buf: Array[Long]): Array[Long] = buf
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
 }

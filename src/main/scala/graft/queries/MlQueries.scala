@@ -193,6 +193,28 @@ object MlQueries extends QueryModule {
       |  CAST(ROUND(SUM(CAST(value AS DECIMAL(30,4))), 2) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  /** Streaming KMV distinct-user sketch — see
+    * [[EventStreams.streamingKmv]]; the oracle is the BATCH sketch
+    * replay (distinct seeded hashes, k smallest, same estimate
+    * literal), so the gate proves streamed state-store accumulation
+    * equals the one-shot batch sketch bit-for-bit. */
+  private val StreamKmvK = 512
+  private def qStreamKmv(implicit s: SparkSession, dir: String): DataFrame =
+    EventStreams.streamingKmv(s, dir, StreamKmvK)
+
+  private val qStreamKmvSql = {
+    import graft.operators.Sketches
+    val h = Sketches.kmvHashSql("user_id")
+    val num = Sketches.kmvNumerator(StreamKmvK)
+    s"""WITH hv AS (SELECT DISTINCT $h AS hv FROM events),
+       |sk AS (SELECT hv FROM hv ORDER BY hv LIMIT $StreamKmvK)
+       |SELECT COUNT(*) AS k_got, MAX(hv) AS kth_min,
+       |  CASE WHEN COUNT(*) < $StreamKmvK THEN COUNT(*)
+       |       ELSE CAST(floor($num / CAST(MAX(hv) AS DOUBLE)) AS BIGINT) END
+       |    AS est_distinct
+       |FROM sk""".stripMargin
+  }
+
   /** Stateful sessionization (30-min gap) via flatMapGroupsWithState;
     * emits closed sessions only (open sessions stay in state — the
     * streaming-correct behavior on an unbounded source). On the
@@ -713,6 +735,7 @@ object MlQueries extends QueryModule {
     Q("q_pca_energy", (s, d) => qPca(s, d), None),
     Q("q_pca_exact", (s, d) => qPcaExact(s, d), Some(qPcaExactSql)),
     Q("q_stream_hourly", (s, d) => qStreamHourly(s, d), Some(qStreamHourlySql)),
+    Q("q_stream_kmv", (s, d) => qStreamKmv(s, d), Some(qStreamKmvSql)),
     Q("q_sessionize", (s, d) => qSessionize(s, d), Some(qSessionizeSql)),
     Q("q_multimodal_features", (s, d) => qMultimodal(s, d), Some(qMultimodalSql)),
     Q("q_image_headers", (s, d) => qImageHeaders(s, d), Some(qImageHeadersSql)),

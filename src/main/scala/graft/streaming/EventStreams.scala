@@ -235,6 +235,27 @@ object EventStreams {
     runToCompletion(spark, hourlyAgg(eventsStream(spark, dir)), name)
   }
 
+  /** STREAMING distinct-count sketch: the KMV aggregate
+    * ([[graft.operators.KmvAgg]] — buffer = the ≤k-value sketch, a
+    * commutative monoid) maintained incrementally over the event
+    * stream. Each microbatch partial-aggregates map-side, then folds
+    * into the single k-long buffer in the state store — bounded state
+    * for an unbounded distinct-count question, the streaming shape of
+    * the `q_kmv_merge` algebra (a microbatch IS a shard; absorbing it
+    * is the same k-sized merge). Because the sketch is deterministic
+    * and merge-order-free, the streamed result equals the batch
+    * replay BIT-FOR-BIT — gated by the same DuckDB oracle as the
+    * batch sketch, estimate arithmetic included. */
+  def streamingKmv(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    import graft.operators.Sketches
+    val hv = eventsStream(spark, dir)
+      .select(Sketches.kmvHash(col("user_id")).as("hv"))
+    val agg = hv.agg(Sketches.kmvAggCol(col("hv"), k).as("sketch"))
+    val name = s"stream_kmv_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    runToCompletion(spark, agg, name)
+      .select(Sketches.kmvEstimateFromBuffer(col("sketch"), k): _*)
+  }
+
   /** Hopping (sliding) 1-hour window advancing every 30 minutes —
     * each event lands in two overlapping windows; state is two open
     * windows per key instead of one. */

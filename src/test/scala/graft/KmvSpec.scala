@@ -53,6 +53,27 @@ class KmvSpec extends AnyFunSuite {
     assert(run(1) == run(13))
   }
 
+  test("KmvAgg aggregate == relational sketch, any partitioning (monoid merge is shape-free)") {
+    def viaAgg(parts: Int): Seq[Long] = ids(0, 5000, parts)
+      .select(Sketches.kmvHash($"item").as("hv"))
+      .agg(Sketches.kmvAggCol($"hv", K).as("sk"))
+      .select(explode($"sk").as("hv")).as[Long].collect().sorted.toSeq
+    val relational = Sketches.kmvSketch(ids(0, 5000), "item", K)
+      .as[Long].collect().sorted.toSeq
+    assert(viaAgg(1) == relational)
+    assert(viaAgg(17) == relational)
+  }
+
+  test("KmvAgg reduce/merge invariants: sorted, duplicate-free, capped at k") {
+    val agg = new graft.operators.KmvAgg(4)
+    val one = Seq(9L, 3L, 9L, 7L, 1L, 5L, 2L).foldLeft(agg.zero)(agg.reduce)
+    assert(one.toSeq == Seq(1L, 2L, 3L, 5L)) // 4 smallest, dedup'd, sorted
+    val other = Seq(2L, 4L, 0L).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.merge(one, other).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(agg.merge(other, one).toSeq == Seq(0L, 1L, 2L, 3L)) // commutes
+    assert(agg.merge(one, agg.zero).toSeq == one.toSeq)        // identity
+  }
+
   test("global sketch plans as TakeOrderedAndProject (per-partition partial top-k)") {
     val plan = Sketches.kmvSketch(ids(0, 1000), "item", K)
       .queryExecution.executedPlan.toString
