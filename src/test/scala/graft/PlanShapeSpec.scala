@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, count, lit, sum}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Plan-shape assertions: the properties that make these queries
@@ -231,5 +232,55 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(cbo.exceptAll(statless).count() === 0)
       assert(statless.exceptAll(cbo).count() === 0)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("runtime bloom-filter join pruning: filter injected on the fact side, result unchanged") {
+    // The non-partitioned sibling of q_dpp_join's evidence: when a
+    // shuffle join's build side carries a selective filter, Spark
+    // derives a bloom filter from it at runtime and semi-filters the
+    // fact side BEFORE the exchange — at 100 TB the difference
+    // between shuffling every fact row and shuffling the ~matching
+    // ones. Fixture scans are far below the production 10 GB
+    // application-side threshold, so the test scopes that knob to 0
+    // (the injection RULE is what's under test); broadcast is
+    // disabled to force the shuffle-join regime the rule targets.
+    val dir = "/root/testdata/sf0.01"
+    val appThresh =
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    val bloomOn = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+    val prevApp = spark.conf.get(appThresh)
+    val prevOn = spark.conf.get(bloomOn)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    def join() = {
+      val li = graft.core.Tables.table(spark, dir, "lineitem")
+      val dim = graft.core.Tables.table(spark, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > 400000.0)
+      li.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("q"))
+        .orderBy(col("l_returnflag"))
+    }
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(bloomOn, "true")
+      spark.conf.set(appThresh, "0")
+      val filtered = join()
+      val rows = filtered.collect()
+      assert(rows.nonEmpty)
+      val p = filtered.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"),
+        s"no runtime bloom filter injected on the fact side:\n$p")
+
+      spark.conf.set(bloomOn, "false")
+      val plain = join()
+      val p2 = plain.queryExecution.optimizedPlan.toString
+      assert(!p2.contains("might_contain"), p2)
+      assert(plain.collect().toSeq == rows.toSeq) // filter is plan-only
+    } finally {
+      spark.conf.set(appThresh, prevApp)
+      spark.conf.set(bloomOn, prevOn)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
   }
 }
