@@ -293,6 +293,40 @@ object RelationalQueries extends QueryModule {
       |  COUNT(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Semi-structured VARIANT lifecycle — the Spark-4 successor to
+    * per-path JSON string reparsing ([[qJsonExtract]]'s
+    * `get_json_object`): `parse_json` decodes each event's props
+    * ONCE into the binary VARIANT encoding, the variant column round-
+    * trips through parquet (the shredded storage layout a 100 TB
+    * event lake would keep, where string-JSON storage pays a reparse
+    * on every read), and typed path extraction (`variant_get`) plus
+    * missing-path null semantics (`try_variant_get`) run against the
+    * decoded form. Oracle: the same aggregates straight off the raw
+    * JSON strings — the variant encode → parquet → decode round trip
+    * must be value-invisible. */
+  private def qVariantExtract(implicit s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Paths.get(graft.operators.Dedup.SignatureStore.root,
+      "events_variant_" + java.lang.Integer.toHexString(dir.hashCode)).toString
+    Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        parse_json(col("props")).as("v"))
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .select(col("event_type"),
+        variant_get(col("v"), "$.k", "long").as("k"),
+        try_variant_get(col("v"), "$.absent", "long").as("miss"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        count(col("miss")).as("n_absent"))
+      .orderBy(col("event_type"))
+  }
+
+  private val qVariantExtractSql =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  COUNT(json_extract_string(props, '$.absent')) AS n_absent
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ----------------------------------------------------- hourly window
   /** Batch form of the tumbling-window event aggregation (the
     * streaming twin with watermarking lives in graft.streaming). */
@@ -748,6 +782,7 @@ object RelationalQueries extends QueryModule {
     Q("q_setops", (s, d) => qSetops(s, d), Some(qSetopsSql)),
     Q("q_distinct", (s, d) => qDistinct(s, d), Some(qDistinctSql)),
     Q("q_json_extract", (s, d) => qJsonExtract(s, d), Some(qJsonExtractSql)),
+    Q("q_variant_extract", (s, d) => qVariantExtract(s, d), Some(qVariantExtractSql)),
     Q("q_hourly_events", (s, d) => qHourlyEvents(s, d), Some(qHourlyEventsSql)),
     Q("q_case_agg", (s, d) => qCaseAgg(s, d), Some(qCaseAggSql)))
 }
