@@ -227,6 +227,17 @@ object MlQueries extends QueryModule {
       .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
       .orderBy(col("user_id"))
 
+  /** The same sessionizer on the Spark-4 `transformWithState` API
+    * ([[EventStreams.sessionizeTws]]): identical state machine in an
+    * explicit StatefulProcessor over RocksDB typed state, gated by
+    * the IDENTICAL batch oracle — API migration proven
+    * output-invisible. */
+  private def qSessionizeTws(implicit s: SparkSession, dir: String): DataFrame =
+    EventStreams.sessionizeTws(s, dir, gapMinutes = 30)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+      .orderBy(col("user_id"))
+
   private val qSessionizeSql =
     """WITH m AS (
       |  SELECT user_id, ts,
@@ -737,6 +748,7 @@ object MlQueries extends QueryModule {
     Q("q_stream_hourly", (s, d) => qStreamHourly(s, d), Some(qStreamHourlySql)),
     Q("q_stream_kmv", (s, d) => qStreamKmv(s, d), Some(qStreamKmvSql)),
     Q("q_sessionize", (s, d) => qSessionize(s, d), Some(qSessionizeSql)),
+    Q("q_sessionize_tws", (s, d) => qSessionizeTws(s, d), Some(qSessionizeSql)),
     Q("q_multimodal_features", (s, d) => qMultimodal(s, d), Some(qMultimodalSql)),
     Q("q_image_headers", (s, d) => qImageHeaders(s, d), Some(qImageHeadersSql)),
     Q("q_audio_headers", (s, d) => qAudioHeaders(s, d), Some(qAudioHeadersSql)),

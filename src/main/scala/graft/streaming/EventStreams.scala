@@ -615,4 +615,64 @@ object EventStreams {
     }
     spark.table(name)
   }
+
+  /** [[sessionize]] re-expressed on the Spark-4 `transformWithState`
+    * API (the successor of flatMapGroupsWithState): an explicit
+    * [[org.apache.spark.sql.streaming.StatefulProcessor]] whose
+    * per-user `ValueState` holds the one open session. Same state
+    * machine, same emit-closed-sessions-only contract, so the SAME
+    * batch oracle gates both — the API migration is proven
+    * output-invisible. transformWithState requires the RocksDB state
+    * store (the typed-state column families live there), which the
+    * engine already runs elsewhere ([[withStateStoreProvider]]);
+    * state stays one record per user regardless of stream length. */
+  def sessionizeTws(spark: SparkSession, dir: String,
+                    gapMinutes: Long = 30): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+    val gapMicros = gapMinutes * 60L * 1000000L
+    val evs = eventsStream(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"),
+        col("event_type"))
+      .as[Ev]
+
+    class SessionProc extends StatefulProcessor[Long, Ev, UserSession] {
+      @transient private var st: ValueState[SessionState] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        st = getHandle.getValueState[SessionState]("session",
+          org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+      override def handleInputRows(userId: Long, events: Iterator[Ev],
+                                   tv: TimerValues): Iterator[UserSession] = {
+        var out = Vector.empty[UserSession]
+        var cur = if (st.exists()) Some(st.get()) else None
+        events.toSeq.sortBy(_.tsMicros).foreach { e =>
+          cur match {
+            case Some(s) if e.tsMicros - s.last <= gapMicros =>
+              cur = Some(s.copy(last = e.tsMicros, n = s.n + 1))
+            case Some(s) =>
+              out :+= UserSession(userId, s.start, s.last, s.n)
+              cur = Some(SessionState(e.tsMicros, e.tsMicros, 1))
+            case None =>
+              cur = Some(SessionState(e.tsMicros, e.tsMicros, 1))
+          }
+        }
+        cur.foreach(st.update)
+        out.iterator
+      }
+    }
+
+    val name = s"sessions_tws_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    withStreamParallelism(spark, 4) {
+      withStateStoreProvider(spark, RocksDBProvider) {
+        val q = evs.groupByKey(_.user_id)
+          .transformWithState(new SessionProc, TimeMode.None(),
+            OutputMode.Append())
+          .writeStream.outputMode(OutputMode.Append)
+          .format("memory").queryName(name).start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
+    }
+    spark.table(name)
+  }
 }
