@@ -268,6 +268,121 @@ object LakeQueries extends QueryModule {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** [[qCorpusOverlap]] answered from SKETCHES — the theta-sketch
+    * composition of the KMV machinery (`operators/Sketches`): one
+    * k-value sketch per source, then every pairwise overlap estimated
+    * from the sketches alone. θ = min of the two sketches' k-th
+    * minima (2^60 when a sketch holds its whole set — the estimate
+    * degrades to exact); candidates below θ are a uniform sample of
+    * the union, so |A∩B| ≈ n_common·2^60/θ and Jaccard ≈
+    * n_common/n_union. Every step is integer set algebra plus one
+    * mirrored IEEE division, so the DuckDB twin hash-matches the
+    * ESTIMATES. Where the exact operator's pair cost tracks the
+    * vocabulary, this one's tracks k·sources² — at 100 TB the
+    * sketches are built in one pass (the same WindowGroupLimit
+    * partial top-k as `q_kmv_distinct`) and the overlap matrix is
+    * computed WITHOUT ever joining corpora; `LakeSpec` bounds the
+    * estimate against the exact Jaccard. */
+  private def qKmvOverlap(implicit s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    import org.apache.spark.sql.expressions.Window
+    val K = 512
+    val full = lit(1152921504606846976L) // 2^60: complete-sketch theta
+    val hv = docs.select(col("source"),
+        explode(TextFns.shinglesDistinct(col("text"), 3)).as("sh"))
+      .select(col("source"), Sketches.kmvHash(col("sh")).as("hv")).distinct()
+    val w = Window.partitionBy(col("source")).orderBy(col("hv"))
+    val sk = graft.core.Caches.track(
+      hv.withColumn("_rn", row_number().over(w)).where(col("_rn") <= K)
+        .select(col("source"), col("hv")))
+    val thetas = sk.groupBy(col("source"))
+      .agg(count(lit(1)).as("k_got"), max(col("hv")).as("kth"))
+      .select(col("source"),
+        when(col("k_got") < K, full).otherwise(col("kth")).as("theta"))
+    val pairs = thetas.select(col("source").as("src_a"), col("theta").as("th_a"))
+      .crossJoin(thetas.select(col("source").as("src_b"), col("theta").as("th_b")))
+      .where(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        least(col("th_a"), col("th_b")).as("theta"))
+    val a = sk.select(col("source").as("src_a"), col("hv"))
+    val b = sk.select(col("source").as("src_b"), col("hv"))
+    val common = a.join(b, "hv")
+      .join(pairs, Seq("src_a", "src_b"))
+      .where(col("hv") < col("theta"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_common"))
+    val union = pairs.join(a, "src_a").select(col("src_a"), col("src_b"), col("theta"), col("hv"))
+      .union(pairs.join(b, "src_b").select(col("src_a"), col("src_b"), col("theta"), col("hv")))
+      .where(col("hv") < col("theta"))
+      .dropDuplicates("src_a", "src_b", "hv")
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_union"))
+    pairs.join(union, Seq("src_a", "src_b"), "left")
+      .join(common, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("theta"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        coalesce(col("n_union"), lit(0L)).as("n_union"))
+      .select(col("src_a"), col("src_b"), col("n_common"), col("n_union"),
+        floor(col("n_common").cast("double") * lit(1152921504606846976.0)
+          / col("theta").cast("double")).cast("long").as("est_intersect"),
+        (floor(col("n_common").cast("double") / col("n_union").cast("double")
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("jaccard_est"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  private val qKmvOverlapSql = {
+    val h = graft.operators.Sketches.kmvHashSql("sh")
+    s"""WITH toks AS (
+       |  SELECT source, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       |sets AS (
+       |  SELECT source,
+       |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |      ELSE list_transform(range(1, len(t) - 1),
+       |             i -> array_to_string(list_slice(t, i, i + 2), ' ')) END AS shset
+       |  FROM toks),
+       |shx AS (SELECT DISTINCT source, unnest(shset) AS sh FROM sets),
+       |hv AS (SELECT DISTINCT source, $h AS hv FROM shx),
+       |sk AS (
+       |  SELECT source, hv FROM (
+       |    SELECT source, hv,
+       |      row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+       |    FROM hv) WHERE rn <= 512),
+       |thetas AS (
+       |  SELECT source,
+       |    CASE WHEN COUNT(*) < 512 THEN 1152921504606846976
+       |         ELSE MAX(hv) END AS theta
+       |  FROM sk GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |    least(a.theta, b.theta) AS theta
+       |  FROM thetas a CROSS JOIN thetas b WHERE a.source < b.source),
+       |common AS (
+       |  SELECT p.src_a, p.src_b, COUNT(*) AS n_common
+       |  FROM sk a JOIN sk b ON a.hv = b.hv
+       |  JOIN pairs p ON p.src_a = a.source AND p.src_b = b.source
+       |  WHERE a.hv < p.theta GROUP BY 1, 2),
+       |un AS (
+       |  SELECT src_a, src_b, COUNT(*) AS n_union FROM (
+       |    SELECT DISTINCT src_a, src_b, hv FROM (
+       |      SELECT p.src_a, p.src_b, s.hv, p.theta
+       |      FROM pairs p JOIN sk s ON s.source = p.src_a
+       |      UNION ALL
+       |      SELECT p.src_a, p.src_b, s.hv, p.theta
+       |      FROM pairs p JOIN sk s ON s.source = p.src_b)
+       |    WHERE hv < theta) GROUP BY 1, 2)
+       |SELECT p.src_a, p.src_b,
+       |  COALESCE(c.n_common, 0) AS n_common,
+       |  COALESCE(u.n_union, 0) AS n_union,
+       |  CAST(floor(CAST(COALESCE(c.n_common, 0) AS DOUBLE)
+       |    * 1152921504606846976.0 / CAST(p.theta AS DOUBLE)) AS BIGINT)
+       |    AS est_intersect,
+       |  floor(CAST(COALESCE(c.n_common, 0) AS DOUBLE)
+       |    / CAST(COALESCE(u.n_union, 0) AS DOUBLE) * 1000000.0 + 0.5)
+       |    / 1000000.0 AS jaccard_est
+       |FROM pairs p
+       |LEFT JOIN un u ON u.src_a = p.src_a AND u.src_b = p.src_b
+       |LEFT JOIN common c ON c.src_a = p.src_a AND c.src_b = p.src_b
+       |ORDER BY p.src_a, p.src_b""".stripMargin
+  }
+
   private val qCorpusOverlapSql =
     """WITH toks AS (
       |  SELECT source, string_split_regex(trim(text), '\s+') AS t FROM documents),
@@ -667,6 +782,7 @@ object LakeQueries extends QueryModule {
     Q("q_gapfill", (s, d) => qGapfill(s, d), Some(qGapfillSql)),
     Q("q_outlier_zscore", (s, d) => qOutlierZscore(s, d), Some(qOutlierZscoreSql)),
     Q("q_corpus_overlap", (s, d) => qCorpusOverlap(s, d), Some(qCorpusOverlapSql)),
+    Q("q_kmv_overlap", (s, d) => qKmvOverlap(s, d), Some(qKmvOverlapSql)),
     Q("q_cdc_apply", (s, d) => qCdcApply(s, d), Some(qCdcApplySql)),
     Q("q_dedup_canonical", (s, d) => qDedupCanonical(s, d), Some(qDedupCanonicalSql)),
     Q("q_table_stats", (s, d) => qTableStats(s, d), Some(qTableStatsSql)),

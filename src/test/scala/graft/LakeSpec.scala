@@ -125,6 +125,20 @@ class LakeSpec extends AnyFunSuite {
     assert(v1.exceptAll(applied).count() === 0)
   }
 
+  test("KMV overlap estimates track the exact pairwise Jaccard") {
+    // theta-sketch Jaccard stderr ~ 1/sqrt(k) with k=512; 0.1 is a
+    // ~2.3-sigma bound that still catches a broken estimator cold
+    val est = SparkEntry.queries("q_kmv_overlap")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    val exact = SparkEntry.queries("q_corpus_overlap")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    assert(est.keySet == exact.keySet && est.nonEmpty)
+    est.foreach { case (pair, je) =>
+      assert(math.abs(je - exact(pair)) <= 0.1,
+        s"$pair: sketch $je vs exact ${exact(pair)}")
+    }
+  }
+
   test("canonical dedup collapses formatting variants back to originals") {
     val k = graft.SparkEntry.queries("q_dedup_canonical")(spark, dir).cache()
     // no planted variant (id ≥ 2^40) can survive: its original always
