@@ -186,6 +186,34 @@ object LakeQueries extends QueryModule {
         coalesce(col("n"), lit(0L)).as("n_events"))
   }
 
+  /** [[qGapfill]]'s spine generated by a RECURSIVE CTE (the Spark-4
+    * `WITH RECURSIVE` surface) instead of `sequence()`: the anchor is
+    * each group's (min, max) hour, the recursive step advances one
+    * hour while below the group max — acyclic by construction, depth
+    * = the time-range hour count (constant across scale factors: the
+    * fixture's event WINDOW doesn't grow with corpus size, so the
+    * recursion is metadata-depth at any SF; `MAX RECURSION LEVEL`
+    * raises the guard above the 720-hour span without touching
+    * session conf). Gated by the IDENTICAL oracle as `q_gapfill` —
+    * the two spine constructions must agree row-for-row. */
+  private def qGapfillRcte(implicit s: SparkSession, dir: String): DataFrame = {
+    val v = "ev_hours_" + java.lang.Long.toHexString(
+      java.util.UUID.randomUUID.getMostSignificantBits)
+    Tables.events(s, dir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .createOrReplaceTempView(v)
+    s.sql(
+      s"""WITH RECURSIVE spine(event_type, hour, mx) MAX RECURSION LEVEL 5000 AS (
+         |  SELECT event_type, MIN(hour), MAX(hour) FROM $v GROUP BY event_type
+         |  UNION ALL
+         |  SELECT event_type, hour + INTERVAL 1 HOUR, mx FROM spine
+         |  WHERE hour < mx),
+         |c AS (SELECT event_type, hour, COUNT(*) AS n FROM $v GROUP BY 1, 2)
+         |SELECT s.event_type, s.hour, coalesce(c.n, CAST(0 AS BIGINT)) AS n_events
+         |FROM spine s LEFT JOIN c ON c.event_type = s.event_type AND c.hour = s.hour
+         |ORDER BY s.event_type, s.hour""".stripMargin)
+  }
+
   private val qGapfillSql =
     """WITH h AS (
       |  SELECT event_type, date_trunc('hour', ts) AS hour FROM events),
@@ -780,6 +808,7 @@ object LakeQueries extends QueryModule {
     Q("q_merge_upsert", (s, d) => qMergeUpsert(s, d), Some(qMergeUpsertSql)),
     Q("q_schema_evolution", (s, d) => qSchemaEvolution(s, d), Some(qSchemaEvolutionSql)),
     Q("q_gapfill", (s, d) => qGapfill(s, d), Some(qGapfillSql)),
+    Q("q_gapfill_rcte", (s, d) => qGapfillRcte(s, d), Some(qGapfillSql)),
     Q("q_outlier_zscore", (s, d) => qOutlierZscore(s, d), Some(qOutlierZscoreSql)),
     Q("q_corpus_overlap", (s, d) => qCorpusOverlap(s, d), Some(qCorpusOverlapSql)),
     Q("q_kmv_overlap", (s, d) => qKmvOverlap(s, d), Some(qKmvOverlapSql)),
