@@ -27,6 +27,12 @@ object Tables {
     "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false",
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.parquet.compression.codec" -> "snappy",
+    // The streaming memory-sink harness collects a query's emitted
+    // rows on the driver; at 300x ladder SFs the sessionizers' closed
+    // sessions exceed the 1 GB default guard while the 16-24 GB
+    // driver has ample headroom. Harness-only: a production deploy
+    // writes streams to a real sink, never through driver memory.
+    "spark.driver.maxResultSize" -> "8g",
     // The test fixtures are single small parquet files; with the 128MB
     // default every scan is ONE task and per-row-expensive pipelines
     // run single-threaded. 2MB splits restore scan parallelism at
