@@ -30,7 +30,8 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-    graft.core.Tables.SessionConfigs.foreach { case (k, v) => builder.config(k, v) }
+    (graft.core.Tables.SessionConfigs ++ graft.core.Tables.HarnessConfigs)
+      .foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -107,9 +108,39 @@ object Bench {
       }.min
       name -> dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    // MERGE into the existing artifact instead of overwriting it: a
+    // targeted recapture (SPARK_GRAFT_ONLY) must never delete
+    // suite-wide evidence (r11's last three commits each replaced the
+    // committed 189-query artifact with a single-query recapture).
+    // Semantics: a query captured THIS run replaces its prior entry
+    // (latest measurement wins — min-merging would let stale fast
+    // times hide a real regression); queries not in this run keep
+    // their prior entries; keys no longer registered are dropped; a
+    // prior artifact from a DIFFERENT sf dir is ignored wholesale.
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
+    val prior: Map[String, Double] =
+      try {
+        if (!java.nio.file.Files.exists(outPath)) Map.empty
+        else {
+          val txt = java.nio.file.Files.readString(outPath)
+          val sfOk = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt)
+            .exists(_.group(1) == sfDir)
+          if (!sfOk) Map.empty
+          else """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+            .map(_.group(1)).toSeq
+            .flatMap(body => """"([^"]+)":([-0-9.eE+]+)""".r
+              .findAllMatchIn(body)
+              .map(m => m.group(1) -> m.group(2).toDouble))
+            .toMap
+        }
+      } catch { case _: Throwable => Map.empty }
+    val registered = SparkEntry.queries.keySet
+    val merged = (prior.view.filterKeys(registered).toMap ++ results.toMap)
+      .toSeq.sortBy(_._1)
+    val qs = merged.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = merged.map(_._2).sum
     // total leads the line so a tail-truncated capture still loses only
     // per-query detail, never the headline number
     // `warmed` records which queries got the untimed codec-family
@@ -117,14 +148,12 @@ object Bench {
     // their timings raw against pre-warm-up rounds.
     val warmedJson = warmed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","load":$entryLoad%.2f,"warmed":$warmedJson,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","load":$entryLoad%.2f,"captured":${results.size},"warmed":$warmedJson,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // the full JSON also lands in a file: the driver's stdout capture
     // has truncated long lines (BENCH_r03 lost the TPC-H head)
     try {
-      val out = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
-      java.nio.file.Files.write(out,
+      java.nio.file.Files.write(outPath,
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write bench file: ${e.getMessage}")

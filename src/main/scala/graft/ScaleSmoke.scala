@@ -23,7 +23,8 @@ object ScaleSmoke {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
-    graft.core.Tables.SessionConfigs.foreach { case (k, v) => builder.config(k, v) }
+    (graft.core.Tables.SessionConfigs ++ graft.core.Tables.HarnessConfigs)
+      .foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

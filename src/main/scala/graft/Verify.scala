@@ -56,7 +56,8 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-    graft.core.Tables.SessionConfigs.foreach { case (k, v) => builder.config(k, v) }
+    (graft.core.Tables.SessionConfigs ++ graft.core.Tables.HarnessConfigs)
+      .foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the dump (local iteration);

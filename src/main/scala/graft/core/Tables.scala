@@ -27,12 +27,6 @@ object Tables {
     "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false",
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.parquet.compression.codec" -> "snappy",
-    // The streaming memory-sink harness collects a query's emitted
-    // rows on the driver; at 300x ladder SFs the sessionizers' closed
-    // sessions exceed the 1 GB default guard while the 16-24 GB
-    // driver has ample headroom. Harness-only: a production deploy
-    // writes streams to a real sink, never through driver memory.
-    "spark.driver.maxResultSize" -> "8g",
     // The test fixtures are single small parquet files; with the 128MB
     // default every scan is ONE task and per-row-expensive pipelines
     // run single-threaded. 2MB splits restore scan parallelism at
@@ -58,6 +52,19 @@ object Tables {
     // table here is a store whose reads either exploit the key or
     // are id-keyed lookups; none benefit from the heuristic.
     "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false")
+
+  /** HARNESS-only settings, applied by the local entry points
+    * (Verify/Bench/ScaleSmoke/tests) on top of [[SessionConfigs]] —
+    * deliberately NOT library defaults, so a deployment of the
+    * library keeps Spark's own guards. `maxResultSize` is a
+    * SparkContext-startup conf (a runtime `spark.conf.set` would not
+    * take effect), and only the streaming MEMORY-SINK harness needs
+    * it raised: at 300x ladder SFs the sessionizers' collected closed
+    * sessions exceed the 1 GB default while the local driver has
+    * ample headroom. A production deploy writes streams to a real
+    * sink, never through driver memory. */
+  val HarnessConfigs: Map[String, String] = Map(
+    "spark.driver.maxResultSize" -> "8g")
 
   val All: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
@@ -98,24 +105,14 @@ object Tables {
         if (Files.isDirectory(p) ||
             Files.size(p) / math.max(numRowGroups(spark, file), 1) <= 2 * maxSplit)
           file
-        else {
-          val out = Paths.get(scratchRoot, "compacted_" +
-            java.lang.Integer.toHexString(file.hashCode)).toString
+        else Scratch.buildOnce("compacted", file) { out =>
           spark.read.parquet(file)
             .write.mode("overwrite")
             .option("parquet.block.size", "1048576")
             .parquet(out)
-          out
         }
       })
     }
-
-  /** Per-user scratch root for staged artifacts (shared convention
-    * with `Dedup.SignatureStore.root`). */
-  private def scratchRoot: String = sys.env.getOrElse("GRAFT_FIXTURE_DIR",
-    java.nio.file.Paths.get(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      "graft_fixtures_" + sys.props.getOrElse("user.name", "anon")).toString)
 
   private def numRowGroups(spark: SparkSession, file: String): Int = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(

@@ -161,11 +161,17 @@ object Sketches {
     * (ascending ⇒ the last element IS the k-th smallest). */
   def kmvEstimateFromBuffer(sketch: Column, k: Int): Seq[Column] = {
     val kGot = size(sketch).cast("long")
-    val kthMin = element_at(sketch, -1)
+    // Zero-input degradation: element_at(arr, -1) on an empty sketch
+    // ERRORS under Spark 4's default ANSI mode — guard it so a query
+    // over an empty stream emits (k_got=0, kth_min=0, est=0) instead
+    // of failing. The kth_min>0 guard likewise keeps a (probability
+    // 2^-60) zero hash from dividing by zero in the estimator branch.
+    val kthMin = when(kGot > lit(0L), element_at(sketch, -1)).otherwise(lit(0L))
     Seq(kGot.as("k_got"), kthMin.as("kth_min"),
-      when(kGot < k, kGot)
-        .otherwise(floor(lit(kmvNumerator(k)) / kthMin.cast("double"))
-          .cast("long"))
+      when(kGot < k, kGot) // covers k_got = 0 → est 0 (exact branch)
+        .otherwise(when(kthMin > lit(0L),
+            floor(lit(kmvNumerator(k)) / kthMin.cast("double")).cast("long"))
+          .otherwise(lit(0L)))
         .as("est_distinct"))
   }
 }

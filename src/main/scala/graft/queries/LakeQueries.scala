@@ -200,12 +200,18 @@ object LakeQueries extends QueryModule {
     * in the query itself, no session conf. Gated by the IDENTICAL
     * oracle as `q_gapfill` — the two spine constructions must agree
     * row-for-row. */
-  private def qGapfillRcte(implicit s: SparkSession, dir: String): DataFrame = {
+  private def qGapfillRcte(implicit s: SparkSession, dir: String): DataFrame =
+    gapfillRcteOver(s, Tables.events(s, dir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hour")))
+
+  /** The recursive spine over any (event_type, hour) frame — shared
+    * with RcteDepthSpec, which drives it over a MULTI-YEAR synthetic
+    * span (depth ~1100 day-levels from a handful of input rows) to
+    * prove the iteration count tracks range/step, never row count. */
+  private[graft] def gapfillRcteOver(s: SparkSession, hours: DataFrame): DataFrame = {
     val v = "ev_hours_" + java.lang.Long.toHexString(
       java.util.UUID.randomUUID.getMostSignificantBits)
-    Tables.events(s, dir)
-      .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
-      .createOrReplaceTempView(v)
+    hours.createOrReplaceTempView(v)
     s.sql(
       s"""WITH RECURSIVE days(event_type, d, mx) MAX RECURSION LEVEL 5000 AS (
          |  SELECT event_type, MIN(hour), MAX(hour) FROM $v GROUP BY event_type
@@ -664,15 +670,15 @@ object LakeQueries extends QueryModule {
     * md5 over the id, replayed identically by DuckDB. */
   private val BloomLookupId = 42L
   private def qBloomPointLookup(implicit s: SparkSession, dir: String): DataFrame = {
-    val keyed = docs.select(md5(col("doc_id").cast("string")).as("bkey"),
-      col("doc_id"), col("lang"), col("n_chars"))
-    val out = java.nio.file.Paths.get(Dedup.SignatureStore.root,
-      "bloomkeyed_" + java.lang.Integer.toHexString(dir.hashCode)).toString
-    keyed.repartition(4).sortWithinPartitions(col("doc_id"))
-      .write.mode("overwrite")
-      .option("parquet.bloom.filter.enabled#bkey", "true")
-      .option("parquet.bloom.filter.expected.ndv#bkey", "10000")
-      .parquet(out)
+    val out = graft.core.Scratch.buildOnce("bloomkeyed", dir) { p =>
+      docs.select(md5(col("doc_id").cast("string")).as("bkey"),
+          col("doc_id"), col("lang"), col("n_chars"))
+        .repartition(4).sortWithinPartitions(col("doc_id"))
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#bkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#bkey", "10000")
+        .parquet(p)
+    }
     s.read.parquet(out)
       .where(col("bkey") === md5(lit(BloomLookupId.toString)))
       .select(col("doc_id"), col("lang"), col("n_chars"))

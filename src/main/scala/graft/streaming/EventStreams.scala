@@ -309,6 +309,39 @@ object EventStreams {
     runToCompletion(spark, deduped, name)
   }
 
+  /** Per-shuffle-partition census of a streaming dedup's STATE,
+    * read back through Spark's state data source after the query
+    * completes: runs the watermarked dropDuplicates over the event
+    * stream with an explicit checkpoint, then loads the checkpoint's
+    * state and returns (partition_id, n_keys).
+    *
+    * Why this exists: streaming state is hash-partitioned by key
+    * across `spark.sql.shuffle.partitions` exactly like any shuffle,
+    * and on a cluster those partitions live on DIFFERENT executors —
+    * so per-executor state is ~1/N of the total no matter how the
+    * corpus grows. The sf100 recovery ladder's super-linear curve is
+    * the single-JVM inverse of this (all N RocksDB instances compact
+    * in one process); this census is the measurement that backs the
+    * "bounded per-executor state" claim with numbers local mode can
+    * actually produce (StreamingSpec asserts max ≈ total/N). */
+  def dedupStatePartitionCensus(spark: SparkSession, dir: String): DataFrame = {
+    val run = java.util.UUID.randomUUID.toString.replace("-", "")
+    val ckpt = s"/tmp/graft_state_census/$run/ckpt"
+    val q = eventsStream(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"), col("ts"))
+      .dropDuplicates("user_id", "hour", "event_type")
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .format("noop")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.format("statestore").load(ckpt)
+      .groupBy(col("partition_id"))
+      .agg(count(lit(1)).as("n_keys"))
+  }
+
   /** Stream–stream inner join: clicks joined to the same user's
     * purchases within [0, 1 h] after the click. Both sides carry
     * watermarks and the join condition bounds event-time distance, so

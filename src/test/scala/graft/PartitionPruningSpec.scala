@@ -83,8 +83,7 @@ class PartitionPruningSpec extends AnyFunSuite {
     // quantitative proof: the scan visited only the qualifying year's
     // partition(s), out of all ship-year directories on disk
     val out = java.nio.file.Paths.get(
-      graft.operators.Dedup.SignatureStore.root,
-      "lineitem_by_year_" + java.lang.Integer.toHexString(TestSpark.SfDir.hashCode))
+      graft.core.Scratch.pathFor("lineitem_by_year", TestSpark.SfDir))
     val it = java.nio.file.Files.list(out).iterator()
       .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
     val yearDirs = Iterator.continually(it).takeWhile(_.hasNext)

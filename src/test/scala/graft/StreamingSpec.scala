@@ -42,6 +42,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(maxAppended.before(maxTotal))
   }
 
+  test("dedup state is hash-partitioned ~evenly across shuffle partitions") {
+    // The distributed-state bound, MEASURED: streaming state shards by
+    // key hash across spark.sql.shuffle.partitions (different executors
+    // on a cluster), so per-executor state stays ~1/N of the total as
+    // the corpus grows. This is the evidence behind reading the sf100
+    // q_stream_recovery curve as a single-JVM compaction artifact
+    // rather than a plan defect: the state itself is provably spread.
+    val census = EventStreams.dedupStatePartitionCensus(spark, TestSpark.SfDir)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(census.keySet == (0 until n).toSet,
+      s"every shuffle partition should hold state, got $census")
+    val total = census.values.sum
+    val maxPart = census.values.max
+    info(s"state keys per partition (N=$n, total=$total): " +
+      census.toSeq.sortBy(_._1).map { case (p, c) => s"p$p=$c" }.mkString(" "))
+    assert(total > 100, s"census too small to be meaningful: $total")
+    // a perfectly even shard is total/N; 1.5x tolerates hash jitter
+    // while still failing if any partition held O(total) state
+    assert(maxPart <= math.ceil(1.5 * total.toDouble / n).toLong,
+      s"partition holds $maxPart of $total keys across $n partitions")
+  }
+
   test("hourly agg is identical under the RocksDB state store") {
     val rocks = EventStreams.withStateStoreProvider(
         spark, EventStreams.RocksDBProvider) {

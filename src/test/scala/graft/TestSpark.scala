@@ -10,7 +10,8 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
-    graft.core.Tables.SessionConfigs.foreach { case (k, v) => b.config(k, v) }
+    (graft.core.Tables.SessionConfigs ++ graft.core.Tables.HarnessConfigs)
+      .foreach { case (k, v) => b.config(k, v) }
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
