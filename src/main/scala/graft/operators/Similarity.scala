@@ -437,11 +437,45 @@ object Similarity {
       .where(col("_id_a") < col("_id_b") &&
         round(cosine(col("_emb_a"), col("_emb_b")), roundTo) >= tau)
       .select(col("_id_b").as(idCol)).distinct()
+    expandKeptFlags(labeled, dropped, idCol)
+  }
+
+  /** [[semanticDedup]] with the within-cluster pair verify routed
+    * through the unary [[graft.plans.ClusterPairsNative]] node
+    * instead of the cluster-key self-join: the labeled frame is
+    * exchanged ONCE (the self-join pays two Exchanges and two sorts
+    * of the same corpus-shaped table) and each cluster's ordered
+    * pairs stream out of one clustered-sorted pass. The cosine
+    * predicate stays the identical codegen'd [[graft.plans
+    * .ArrayCosineSim]] Filter above the node, so the result is
+    * bit-identical to the composed query — same oracle, one fewer
+    * corpus Exchange. */
+  def semanticDedupNative(df: DataFrame, idCol: String, embCol: String,
+                          k: Int, iters: Int, tau: Double,
+                          roundTo: Int = 6): DataFrame = {
+    val labeled = Clustering.lloydExactAssign(df, idCol, embCol, k, iters)
+      .select(col(idCol), col(embCol), col("cluster"))
+    expandKeptFlags(labeled, nativeDropped(labeled, idCol, embCol,
+      tau, roundTo), idCol)
+  }
+
+  /** Within-cluster smaller-id-neighbor drop set via the native
+    * cluster-pairs node; shared by [[semanticDedupNative]] and the
+    * production [[semanticDedupScalable]]. */
+  private def nativeDropped(labeled: DataFrame, idCol: String,
+                            embCol: String, tau: Double,
+                            roundTo: Int): DataFrame =
+    graft.plans.ClusterPairsNative
+      .clusterPairs(labeled, "cluster", idCol, embCol)
+      .where(round(cosine(col("pay_a"), col("pay_b")), roundTo) >= tau)
+      .select(col("id_b").as(idCol)).distinct()
+
+  private def expandKeptFlags(labeled: DataFrame, dropped: DataFrame,
+                              idCol: String): DataFrame =
     labeled.select(col(idCol), col("cluster"))
       .join(dropped.withColumn("_drop", lit(1)), Seq(idCol), "left")
       .select(col(idCol), col("cluster"),
         when(col("_drop").isNull, lit(1)).otherwise(lit(0)).as("kept"))
-  }
 
   /** EXACT-COLLAPSE composition of [[semanticDedup]] — same output
     * contract (every id, its cluster, kept flag), computed over
@@ -483,14 +517,12 @@ object Similarity {
         fam, idCol, embCol, "_mult", k, iters,
         initFrom = Some(df.select(col(idCol), col(embCol))))
       .select(col(idCol), col(embCol), col("cluster"))
-    val a = labeled.select(col("cluster"), col(idCol).as("_id_a"),
-      col(embCol).as("_emb_a"))
-    val b = labeled.select(col("cluster"), col(idCol).as("_id_b"),
-      col(embCol).as("_emb_b"))
-    val droppedReps = a.join(b, Seq("cluster"))
-      .where(col("_id_a") < col("_id_b") &&
-        round(cosine(col("_emb_a"), col("_emb_b")), roundTo) >= tau)
-      .select(col("_id_b").as("_rep")).distinct()
+    // PRODUCTION verify path: the rep-level pair check runs through
+    // the unary native node (one Exchange of the labeled reps instead
+    // of the self-join's two); the cosine Filter above it is the same
+    // codegen'd expression, so the drop set is bit-identical.
+    val droppedReps = nativeDropped(labeled, idCol, embCol, tau, roundTo)
+      .select(col(idCol).as("_rep"))
     df.select(col(idCol), col(embCol))
       .join(labeled.select(col(embCol), col(idCol).as("_rep"),
         col("cluster")), Seq(embCol))

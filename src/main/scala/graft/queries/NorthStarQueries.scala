@@ -1050,8 +1050,10 @@ object NorthStarQueries extends QueryModule {
     * read-back must equal the band stage restricted to the same
     * language, value-for-value through the parquet round trip. */
   private def qCurateSink(implicit s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Paths.get(Dedup.SignatureStore.root,
-      "curated_" + java.lang.Integer.toHexString(dir.hashCode)).toString
+    // the WRITE is this query's semantics (sink → scan round trip),
+    // so it stays inside the query; only the path moved to the
+    // collision-free pid-scoped scratch root
+    val out = graft.core.Scratch.pathFor("curated_sink", dir)
     curatedBand.select(col("doc_id"), col("quality"), col("lang"))
       .write.mode("overwrite").partitionBy("lang").parquet(out)
     s.read.parquet(out)
@@ -1155,6 +1157,127 @@ object NorthStarQueries extends QueryModule {
        |  UNION ALL SELECT '2_cluster_keepers', COUNT(*) FROM curated
        |  UNION ALL SELECT '3_quality_band', COUNT(*) FROM band)
        |ORDER BY stage""".stripMargin
+
+  // --------------------------------------- incremental curation (CDC)
+  /** INCREMENTAL curation — the daily-ingest shape of the flagship
+    * pipeline: corpus v0 (doc_id % 10 ≠ 0) is curated ONCE and its
+    * per-family state persisted (exact families, banded signatures,
+    * shingle sets, near-dup pairs, scored reps); the day's delta
+    * (% 10 = 0) then flows through a DELTA-SIZED update whose output
+    * is gated EQUAL to re-curating the full corpus from scratch —
+    * the same oracle chain as [[qCurateSink]], unrestricted.
+    *
+    * Why the update is exact, stage by stage (each identity is what
+    * the from-scratch oracle checks):
+    *  - exact reps: v1's min-id rep per text = least(v0 rep, delta
+    *    min) per family — a keyed merge of the persisted family
+    *    table with the delta's per-family minima; families whose rep
+    *    id CHANGES (a smaller delta id arrived) relabel downstream
+    *    state, they never recompute it (signatures, jaccards, and
+    *    quality are functions of the TEXT, which didn't change);
+    *  - near-dup pairs: v1's pair set = relabeled v0 pairs ∪
+    *    delta-family probe pairs ([[Dedup.incrementalNearDupPairs]]:
+    *    new×store + new×new) — banding and verify depend only on
+    *    text, so old×old pairs are exactly the relabeled v0 set;
+    *  - clusters: connected components re-run over the merged EDGE
+    *    list — edge-set-sized (pairs are a vanishing fraction of the
+    *    corpus), never corpus-sized;
+    *  - band: per-language quantile thresholds must see all keepers,
+    *    so the one corpus-shaped touch is a single scan of the
+    *    persisted SCORED table (3 metadata columns) — the full DAG
+    *    (shingling, signing, banding, verification) stays
+    *    delta-sized. At 100 TB that's the difference between a daily
+    *    multi-hour re-curate and minutes of delta work plus one
+    *    columnar scan. */
+  private def qCurateIncremental(implicit s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Scratch
+    val state = Scratch.buildOnce("curate_v0_state", dir) { p =>
+      val v0 = docs.select(col("doc_id"), col("text"), col("lang"))
+        .where(col("doc_id") % 10 =!= 0)
+      val fam = graft.core.Caches.track(
+        v0.groupBy(md5(col("text")).as("digest"))
+          .agg(min(col("doc_id")).as("rep"),
+            min_by(col("lang"), col("doc_id")).as("lang"),
+            min_by(col("text"), col("doc_id")).as("text")))
+      val reps = fam.select(col("rep").as("doc_id"), col("text"), col("lang"))
+      fam.select(col("digest"), col("rep")).write.parquet(s"$p/fam")
+      Dedup.bandedSignatures(reps, "doc_id", "text", n = 3, k = MhK,
+        bands = MhBands).write.parquet(s"$p/banded")
+      Dedup.shingleSets(reps, "doc_id", "text", n = 3)
+        .write.parquet(s"$p/sets")
+      Dedup.nearDupPairs(reps.select(col("doc_id"), col("text")),
+          "doc_id", "text", n = 3, k = MhK, bands = MhBands, threshold = 0.5)
+        .select(col("id_a"), col("id_b")).write.parquet(s"$p/pairs")
+      reps.select(col("doc_id"), col("lang"),
+          TextFns.qualityScore(col("text")).as("quality"))
+        .write.parquet(s"$p/scored")
+      graft.core.Caches.releaseAll()
+    }
+    val delta = docs.select(col("doc_id"), col("text"), col("lang"))
+      .where(col("doc_id") % 10 === 0)
+    val dfam = graft.core.Caches.track(
+      delta.groupBy(md5(col("text")).as("digest"))
+        .agg(min(col("doc_id")).as("dmin"),
+          min_by(col("lang"), col("doc_id")).as("dlang"),
+          min_by(col("text"), col("doc_id")).as("dtext")))
+    val j = s.read.parquet(s"$state/fam")
+      .join(dfam, Seq("digest"), "full_outer")
+    // rep id changes (smaller delta id joined an existing family) —
+    // broadcast-sized by construction: bounded by the delta
+    val changed = graft.core.Caches.track(j
+      .where(col("rep").isNotNull && col("dmin") < col("rep"))
+      .select(col("rep").as("_old"), col("dmin").as("_new"),
+        col("dlang").as("_nlang")))
+    val newFams = graft.core.Caches.track(j.where(col("rep").isNull)
+      .select(col("dmin").as("doc_id"), col("dtext").as("text"),
+        col("dlang").as("lang")))
+
+    def relabel(df: DataFrame, c: String): DataFrame =
+      df.join(broadcast(changed.select(col("_old").as(c), col("_new"))),
+          Seq(c), "left")
+        .withColumn(c, coalesce(col("_new"), col(c))).drop("_new")
+
+    val pairs0r = relabel(relabel(s.read.parquet(s"$state/pairs"),
+        "id_a"), "id_b")
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+    val newBanded = Dedup.bandedSignatures(newFams, "doc_id", "text",
+      n = 3, k = MhK, bands = MhBands)
+    val allSets = s.read.parquet(s"$state/sets")
+      .unionByName(Dedup.shingleSets(newFams, "doc_id", "text", n = 3))
+    val incPairs = relabel(relabel(
+        Dedup.incrementalNearDupPairs(newBanded,
+            s.read.parquet(s"$state/banded"), allSets, "doc_id",
+            threshold = 0.5)
+          .select(col("id_a"), col("id_b")), "id_a"), "id_b")
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+    // disjoint by construction: v0 pairs are old×old, probe pairs
+    // touch ≥1 new family
+    val pairsAll = pairs0r.unionByName(incPairs)
+
+    val scored0r = s.read.parquet(s"$state/scored")
+      .join(broadcast(changed.select(col("_old").as("doc_id"),
+        col("_new"), col("_nlang"))), Seq("doc_id"), "left")
+      .select(coalesce(col("_new"), col("doc_id")).as("doc_id"),
+        coalesce(col("_nlang"), col("lang")).as("lang"), col("quality"))
+    val scoredNew = newFams.select(col("doc_id"), col("lang"),
+      TextFns.qualityScore(col("text")).as("quality"))
+    val comps = Dedup.connectedComponents(pairsAll, "id_a", "id_b")
+    val dropIds = comps.where(col("id") =!= col("comp"))
+      .select(col("id").as("doc_id"))
+    val curated = scored0r.unionByName(scoredNew)
+      .join(dropIds, Seq("doc_id"), "left_anti")
+    Selection.percentileBand(curated, "lang", "quality",
+        0.25, 0.75, minGroupSize = 20)
+      .select(col("doc_id"), col("lang"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qCurateIncrementalSql =
+    s"""WITH RECURSIVE $curateBandCtes
+       |SELECT doc_id, lang, quality FROM band
+       |ORDER BY doc_id""".stripMargin
 
   // --------------------------------------- curate once, derive twice
   /** Times the curation DAG actually EXECUTED for the artifact path —
@@ -1364,6 +1487,7 @@ object NorthStarQueries extends QueryModule {
     Q("q_curate_funnel", (s, d) => qCurateFunnel(s, d), Some(qCurateFunnelSql)),
     Q("q_curate_from_artifact", (s, d) => qCurateFromArtifact(s, d), Some(qCuratePipelineSql)),
     Q("q_curate_sink_artifact", (s, d) => qCurateSinkArtifact(s, d), Some(qCurateSinkSql)),
+    Q("q_curate_incremental", (s, d) => qCurateIncremental(s, d), Some(qCurateIncrementalSql)),
     Q("q_export_manifest", (s, d) => qExportManifest(s, d), Some(qExportManifestSql)),
     Q("q_dedup_minhash_lsh", (s, d) => qDedupMinhashLsh(s, d), Some(qDedupMinhashLshSql)),
     Q("q_dedup_minhash_lsh_native", (s, d) => qDedupMinhashLshNative(s, d), Some(qDedupMinhashLshSql)),
