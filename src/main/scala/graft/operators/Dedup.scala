@@ -658,6 +658,40 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** CCNet/RefinedWeb-style BOILERPLATE STRIP at sub-document
+    * granularity: split each document into consecutive `win`-token
+    * windows, census each window's distinct-document frequency, drop
+    * windows appearing in more than `maxDocs` documents (nav bars,
+    * license headers, template prose), and rebuild each document from
+    * its surviving windows in order. Returns one row per document:
+    * (idCol, n_windows, n_kept, clean_text).
+    *
+    * Scale posture: windowing is a narrow per-doc map (~n_tokens/win
+    * rows); the census is one map-side-combined grouped
+    * count-distinct; the join back keys on window content (at 100 TB
+    * key it by a 128-bit content hash — same plan, 16-byte shuffle
+    * keys); the rebuild is a per-doc sort_array over that document's
+    * own windows — no global sort, nothing all-pairs. */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                       win: Int, maxDocs: Long): DataFrame = {
+    val wins = df
+      .select(col(idCol), TextFns.tokens(col(textCol)).as("_t"))
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, CAST((size(_t) - 1) DIV $win AS INT)), " +
+          s"i -> concat_ws(' ', slice(_t, i * $win + 1, $win)))"))
+        .as(Seq("_idx", "_win")))
+    val freq = wins.groupBy(col("_win"))
+      .agg(countDistinct(col(idCol)).as("_nd"))
+    wins.join(freq, Seq("_win"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("_nd") <= maxDocs, 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          sort_array(collect_list(when(col("_nd") <= maxDocs,
+            struct(col("_idx"), col("_win"))))),
+          x => x("_win")), " ").as("clean_text"))
+  }
+
   /** SimHash fingerprint per document over shingle/token ids: each of
     * `bits` bit-positions votes ±1 per element; the sign vector packs
     * into one long. One explode + posexplode-free bit loop + one

@@ -1158,6 +1158,102 @@ object NorthStarQueries extends QueryModule {
        |  UNION ALL SELECT '3_quality_band', COUNT(*) FROM band)
        |ORDER BY stage""".stripMargin
 
+  // --------------------------------------- leakage-safe split
+  /** Train/val/test split that can NEVER leak near-duplicates across
+    * splits — the eval-integrity op a training pipeline runs before
+    * publishing a benchmark split (a doc-level hash split puts two
+    * near-identical documents on opposite sides of the train/test
+    * fence, and the model "generalizes" to its own training data).
+    * Every document maps to its duplicate FAMILY root — exact-dup
+    * families collapse to their min-id representative, near-dup reps
+    * union into connected components — and the 80/10/10 decision
+    * hashes the ROOT, not the doc, so a family lands in exactly one
+    * split by construction. Report: docs + families per split, plus
+    * a `straddling` column the oracle computes INDEPENDENTLY (families
+    * seen in >1 split — must be 0).
+    *
+    * Scale posture: the family map is the dedup tier's own machinery
+    * (one grouped min for exact families, LSH + edge-list CC for
+    * near-dups — never all-pairs); the split decision is a per-row
+    * seeded md5 over the root, shuffle-free and stable under
+    * repartitioning, exactly like `q_train_val_split`'s per-doc rule. */
+  /** The per-doc (doc_id, family, split) assignment behind
+    * [[qSplitLeakageSafe]] — exposed for TrainHygieneSpec, which
+    * asserts the leakage property directly on near-dup pairs. */
+  private[graft] def leakageSafeAssignment(spark: SparkSession,
+                                           sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    implicit val dir: String = sfDir
+    val d = docs.select(col("doc_id"), col("text"))
+    val fam = graft.core.Caches.track(
+      d.groupBy(col("text")).agg(min(col("doc_id")).as("rep")))
+    val reps = fam.select(col("rep").as("doc_id"), col("text"))
+    val pairs = Dedup.nearDupPairs(reps, "doc_id", "text",
+      n = 3, k = MhK, bands = MhBands, threshold = 0.5)
+    val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val rooted = d.join(fam, Seq("text"))
+      .join(comps.withColumnRenamed("id", "rep"), Seq("rep"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("rep")).as("family"))
+    val u = conv(substring(
+        md5(concat(lit("7:famsplit:"), col("family").cast("string"))
+          .cast("binary")), 1, 15), 16, 10)
+      .cast("long").cast("double") / lit(1152921504606846976.0)
+    rooted.select(col("doc_id"), col("family"),
+      when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
+        .as("split"))
+  }
+
+  private def qSplitLeakageSafe(implicit s: SparkSession, dir: String): DataFrame = {
+    val assigned = leakageSafeAssignment(s, dir)
+    val perSplit = assigned.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("family")).as("n_families"))
+    val straddle = assigned.select(col("family"), col("split")).distinct()
+      .groupBy(col("family")).agg(count(lit(1)).as("n_splits"))
+      .where(col("n_splits") > 1)
+      .agg(count(lit(1)).as("straddling"))
+    perSplit.crossJoin(straddle)
+      .select(col("split"), col("n_docs"), col("n_families"),
+        col("straddling"))
+      .orderBy(col("split"))
+  }
+
+  private val qSplitLeakageSafeSql = {
+    val h15 = graft.operators.Scorers.ProxyBackend
+      .h15Sql(7L, "'famsplit:' || CAST(family AS VARCHAR)")
+    s"""WITH RECURSIVE ${minhashPairCtes(
+          "reps AS (\n  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text),\n",
+          "reps")},
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst FROM pairs),
+       |reach(id, comp) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+       |lab AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id),
+       |docfam AS (
+       |  SELECT d.doc_id, coalesce(lab.comp, r.doc_id) AS family
+       |  FROM documents d JOIN reps r ON r.text = d.text
+       |  LEFT JOIN lab ON lab.id = r.doc_id),
+       |assigned AS (
+       |  SELECT doc_id, family,
+       |    CASE WHEN CAST($h15 AS DOUBLE) / 1152921504606846976.0 < 0.8 THEN 'train'
+       |         WHEN CAST($h15 AS DOUBLE) / 1152921504606846976.0 < 0.9 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM docfam),
+       |straddle AS (
+       |  SELECT COUNT(*) AS straddling FROM (
+       |    SELECT family FROM (SELECT DISTINCT family, split FROM assigned)
+       |    GROUP BY family HAVING COUNT(*) > 1))
+       |SELECT split, COUNT(*) AS n_docs,
+       |  CAST(COUNT(DISTINCT family) AS BIGINT) AS n_families,
+       |  (SELECT straddling FROM straddle) AS straddling
+       |FROM assigned GROUP BY split ORDER BY split""".stripMargin
+  }
+
   // --------------------------------------- incremental curation (CDC)
   /** INCREMENTAL curation — the daily-ingest shape of the flagship
     * pipeline: corpus v0 (doc_id % 10 ≠ 0) is curated ONCE and its
@@ -1488,6 +1584,7 @@ object NorthStarQueries extends QueryModule {
     Q("q_curate_from_artifact", (s, d) => qCurateFromArtifact(s, d), Some(qCuratePipelineSql)),
     Q("q_curate_sink_artifact", (s, d) => qCurateSinkArtifact(s, d), Some(qCurateSinkSql)),
     Q("q_curate_incremental", (s, d) => qCurateIncremental(s, d), Some(qCurateIncrementalSql)),
+    Q("q_split_leakage_safe", (s, d) => qSplitLeakageSafe(s, d), Some(qSplitLeakageSafeSql)),
     Q("q_export_manifest", (s, d) => qExportManifest(s, d), Some(qExportManifestSql)),
     Q("q_dedup_minhash_lsh", (s, d) => qDedupMinhashLsh(s, d), Some(qDedupMinhashLshSql)),
     Q("q_dedup_minhash_lsh_native", (s, d) => qDedupMinhashLshNative(s, d), Some(qDedupMinhashLshSql)),

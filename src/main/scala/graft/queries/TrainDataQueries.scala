@@ -51,6 +51,55 @@ object TrainDataQueries extends QueryModule {
        |      FROM documents)
        |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // -------------------------------------------------- boilerplate strip
+  /** CCNet/RefinedWeb-style boilerplate removal at sub-document
+    * granularity: each document splits into consecutive
+    * [[BpWin]]-token windows (the corpus's "paragraphs"), a window
+    * whose exact token sequence appears in more than [[BpMaxDocs]]
+    * distinct documents is boilerplate (nav bars, license headers,
+    * template prose — here the shared spans of the fixture's
+    * duplicate families), and every document is rebuilt from its
+    * SURVIVING windows in order. Per-doc report: window census, kept
+    * count, and the md5 of the reconstructed clean text — so the gate
+    * checks the exact reconstruction without shipping megabytes of
+    * text through the compare.
+    *
+    * Scale posture: windowing is a narrow per-doc map (~n_tokens/W
+    * rows); the census is ONE map-side-combined grouped
+    * count-distinct; the join back is on the window content (at
+    * 100 TB key it by a 128-bit content hash instead — same plan
+    * shape, 16-byte shuffle keys); the rebuild is a per-doc
+    * sort_array over that doc's own windows — no global sort, no
+    * all-pairs anything. The mid-cases are real: near-dup documents
+    * lose their shared spans and keep their divergent ones. */
+  private val BpWin = 8
+  private val BpMaxDocs = 1
+
+  private def qBoilerplateStrip(implicit s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.stripBoilerplate(
+        docs.select(col("doc_id"), col("text")), "doc_id", "text",
+        win = BpWin, maxDocs = BpMaxDocs)
+      .select(col("doc_id"), col("n_windows"), col("n_kept"),
+        md5(col("clean_text").cast("binary")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+
+  private val qBoilerplateStripSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       |wins AS (
+       |  SELECT doc_id, i AS idx,
+       |    array_to_string(list_slice(t, i * $BpWin + 1, i * $BpWin + $BpWin), ' ') AS win
+       |  FROM (SELECT doc_id, t,
+       |          unnest(generate_series(0, CAST((len(t) - 1) // $BpWin AS BIGINT))) AS i
+       |        FROM toks)),
+       |freq AS (SELECT win, COUNT(DISTINCT doc_id) AS n_docs FROM wins GROUP BY win)
+       |SELECT w.doc_id, COUNT(*) AS n_windows,
+       |  CAST(SUM(CASE WHEN f.n_docs <= $BpMaxDocs THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  md5(coalesce(string_agg(CASE WHEN f.n_docs <= $BpMaxDocs THEN w.win END,
+       |    ' ' ORDER BY w.idx), '')) AS clean_md5
+       |FROM wins w JOIN freq f ON w.win = f.win
+       |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
+
   // -------------------------------------------------- sequence packing
   /** Pretraining sequence packing, concat-and-chop: documents are
     * concatenated in (source, doc_id) order and chopped into
@@ -879,6 +928,7 @@ object TrainDataQueries extends QueryModule {
     Q("q_ntile", (s, d) => qNtile(s, d), Some(qNtileSql)),
     Q("q_quantile_bucket", (s, d) => qQuantileBucket(s, d), Some(qQuantileBucketSql)),
     Q("q_train_val_split", (s, d) => qTrainValSplit(s, d), Some(qTrainValSplitSql)),
+    Q("q_boilerplate_strip", (s, d) => qBoilerplateStrip(s, d), Some(qBoilerplateStripSql)),
     Q("q_tfidf_topk", (s, d) => qTfidfTopK(s, d), Some(qTfidfTopKSql)),
     Q("q_approx_percentile", (s, d) => qApproxPercentile(s, d), None))
 }
