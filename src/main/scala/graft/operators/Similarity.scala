@@ -464,11 +464,22 @@ object Similarity {
     * production [[semanticDedupScalable]]. */
   private def nativeDropped(labeled: DataFrame, idCol: String,
                             embCol: String, tau: Double,
-                            roundTo: Int): DataFrame =
+                            roundTo: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      Expression, GreaterThanOrEqual, Literal, Round}
+    // the cosine threshold is PUSHED INTO the node (evaluated on the
+    // reused pair row before any payload materialization); its
+    // interpreted eval is the same ArrayCosineSim/Round/>= chain the
+    // codegen'd .where form runs, so the drop set is bit-identical —
+    // which the shared oracle gates
+    val pred = (a: Expression, b: Expression) =>
+      GreaterThanOrEqual(
+        Round(graft.plans.ArrayCosineSim(a, b), Literal(roundTo)),
+        Literal(tau)): Expression
     graft.plans.ClusterPairsNative
-      .clusterPairs(labeled, "cluster", idCol, embCol)
-      .where(round(cosine(col("pay_a"), col("pay_b")), roundTo) >= tau)
+      .clusterPairs(labeled, "cluster", idCol, embCol, Some(pred))
       .select(col("id_b").as(idCol)).distinct()
+  }
 
   private def expandKeptFlags(labeled: DataFrame, dropped: DataFrame,
                               idCol: String): DataFrame =
@@ -517,12 +528,23 @@ object Similarity {
         fam, idCol, embCol, "_mult", k, iters,
         initFrom = Some(df.select(col(idCol), col(embCol))))
       .select(col(idCol), col(embCol), col("cluster"))
-    // PRODUCTION verify path: the rep-level pair check runs through
-    // the unary native node (one Exchange of the labeled reps instead
-    // of the self-join's two); the cosine Filter above it is the same
-    // codegen'd expression, so the drop set is bit-identical.
-    val droppedReps = nativeDropped(labeled, idCol, embCol, tau, roundTo)
-      .select(col(idCol).as("_rep"))
+    // PRODUCTION verify path: the composed cluster self-join. Measured
+    // against the native cluster-pairs node (ScaleSmoke
+    // cluster_{enum,verify}_* at 25 M pairs): whole-stage-codegen'd
+    // join+filter enumerates AND verifies pairs 2-4x faster than the
+    // node's per-pair virtual predicate eval, in BOTH the broadcast
+    // and the forced-SMJ regime — so the node stays the gated
+    // capability (q_dedup_semantic_native) and the plan the optimizer
+    // owns stays the production path. Memory is equivalent (both
+    // buffer one cluster's rows/values per task).
+    val a = labeled.select(col("cluster"), col(idCol).as("_id_a"),
+      col(embCol).as("_emb_a"))
+    val b = labeled.select(col("cluster"), col(idCol).as("_id_b"),
+      col(embCol).as("_emb_b"))
+    val droppedReps = a.join(b, Seq("cluster"))
+      .where(col("_id_a") < col("_id_b") &&
+        round(cosine(col("_emb_a"), col("_emb_b")), roundTo) >= tau)
+      .select(col("_id_b").as("_rep")).distinct()
     df.select(col(idCol), col(embCol))
       .join(labeled.select(col(embCol), col(idCol).as("_rep"),
         col("cluster")), Seq(embCol))

@@ -80,6 +80,47 @@ class ClusterPairsNativeSpec extends AnyFunSuite {
     assert(out.sorted == Seq((7L, 9L), (7L, 9L)))
   }
 
+  test("pushed pair predicate equals the .where form (and filters before materializing)") {
+    import org.apache.spark.sql.catalyst.expressions.{
+      Expression, GreaterThanOrEqual, Literal, Round}
+    val pred = (a: Expression, b: Expression) =>
+      GreaterThanOrEqual(
+        Round(graft.plans.ArrayCosineSim(a, b), Literal(6)),
+        Literal(0.9)): Expression
+    val pushed = ClusterPairsNative
+      .clusterPairs(labeled, "cluster", "vid", "emb", Some(pred))
+      .select($"id_a", $"id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val above = ClusterPairsNative
+      .clusterPairs(labeled, "cluster", "vid", "emb")
+      .where(round(graft.operators.Similarity
+        .cosine($"pay_a", $"pay_b"), 6) >= 0.9)
+      .select($"id_a", $"id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(pushed.nonEmpty && pushed == above)
+    // the threshold is a real boundary on this frame: some pairs drop
+    val all = ClusterPairsNative.clusterPairs(labeled, "cluster", "vid", "emb")
+    assert(pushed.size.toLong < all.count())
+  }
+
+  test("pushed predicate drops null-payload pairs exactly like .where") {
+    import org.apache.spark.sql.catalyst.expressions.{
+      Expression, GreaterThanOrEqual, Literal, Round}
+    val withNullPay = spark.createDataFrame(Seq(
+      (0, 1L, Some(Seq(1.0f, 0.0f))),
+      (0, 2L, None: Option[Seq[Float]]), // null emb: cosine null -> dropped
+      (0, 3L, Some(Seq(1.0f, 0.0f)))
+    )).toDF("cluster", "vid", "emb")
+    val pred = (a: Expression, b: Expression) =>
+      GreaterThanOrEqual(
+        Round(graft.plans.ArrayCosineSim(a, b), Literal(6)),
+        Literal(0.5)): Expression
+    val out = ClusterPairsNative
+      .clusterPairs(withNullPay, "cluster", "vid", "emb", Some(pred))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 3L)))
+  }
+
   test("semanticDedupNative is row-identical to semanticDedup on real embeddings") {
     val embs = graft.core.Tables.embeddings(spark, TestSpark.SfDir)
     def canon(df: org.apache.spark.sql.DataFrame) =
