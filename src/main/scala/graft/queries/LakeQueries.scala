@@ -96,8 +96,7 @@ object LakeQueries extends QueryModule {
   private def qMergeUpsert(implicit s: SparkSession, dir: String): DataFrame = {
     val delta = snapV1.where(col("doc_id") % 11 === 0 || col("doc_id") % 13 === 0)
     val merged = Merge.keyedUpsert(snapV0, delta, "doc_id")
-    val out = java.nio.file.Paths.get(Dedup.SignatureStore.root,
-      "merged_" + java.lang.Integer.toHexString(dir.hashCode)).toString
+    val out = graft.core.Scratch.pathFor("merged", dir)
     merged.write.mode("overwrite").parquet(out)
     s.read.parquet(out)
       .groupBy(col("lang"))
@@ -131,8 +130,7 @@ object LakeQueries extends QueryModule {
     * table. */
   private def qSchemaEvolution(implicit s: SparkSession, dir: String): DataFrame = {
     val base = docs.select(col("doc_id"), col("lang"), col("text"))
-    val root = java.nio.file.Paths.get(Dedup.SignatureStore.root,
-      "evolved_" + java.lang.Integer.toHexString(dir.hashCode)).toString
+    val root = graft.core.Scratch.pathFor("evolved", dir)
     base.where(col("doc_id") % 2 === 0)
       .write.mode("overwrite").parquet(s"$root/day0")
     base.where(col("doc_id") % 2 =!= 0)
@@ -463,8 +461,7 @@ object LakeQueries extends QueryModule {
       length(col("text")).cast("long").as("chars"))
     def view(df: DataFrame) = measures(df).groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("chars")).as("chars_total"))
-    val out = java.nio.file.Paths.get(Dedup.SignatureStore.root,
-      "cdcview_" + java.lang.Integer.toHexString(dir.hashCode)).toString
+    val out = graft.core.Scratch.pathFor("cdcview", dir)
     view(snapV0).write.mode("overwrite").parquet(out)
     val stored = s.read.parquet(out)
     val changed = Merge.snapshotDiff(snapV0, snapV1, "doc_id", "text")
@@ -513,8 +510,7 @@ object LakeQueries extends QueryModule {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(30,4)")).as("value_sum"))
     val ev = Tables.events(s, dir)
-    val out = java.nio.file.Paths.get(Dedup.SignatureStore.root,
-      "rollup_" + java.lang.Integer.toHexString(dir.hashCode)).toString
+    val out = graft.core.Scratch.pathFor("rollup", dir)
     rollup(ev.where(col("ts") < cutoff)).write.mode("overwrite").parquet(out)
     val stored = s.read.parquet(out)
     val delta = rollup(ev.where(col("ts") >= cutoff))

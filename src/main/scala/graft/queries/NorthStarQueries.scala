@@ -1454,8 +1454,7 @@ object NorthStarQueries extends QueryModule {
     * "curate once, derive twice", and the spec asserts the DAG
     * executed exactly once for both derivations combined. */
   private def qCurateSinkArtifact(implicit s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Paths.get(Dedup.SignatureStore.root,
-      "curated_from_artifact_" + java.lang.Integer.toHexString(dir.hashCode)).toString
+    val out = graft.core.Scratch.pathFor("curated_from_artifact", dir)
     s.read.parquet(curatedArtifact)
       .select(col("doc_id"), col("quality"), col("lang"))
       .write.mode("overwrite").partitionBy("lang").parquet(out)

@@ -18,6 +18,19 @@ class KmvSpec extends AnyFunSuite {
   private def ids(lo: Int, hi: Int, parts: Int = 4) =
     (lo until hi).map(i => s"item$i").toDF("item").repartition(parts)
 
+  test("empty sketch degrades to (k_got=0, kth_min=0, est=0) — no ANSI error") {
+    // zero input rows: element_at(sketch, -1) would ERROR under the
+    // default ANSI mode without the guard (r11 ADVICE); the streaming
+    // query must degrade, not fail
+    val empty = Seq.empty[Long].toDF("hv")
+      .agg(Sketches.kmvAggCol(col("hv"), K).as("sketch"))
+      .select(Sketches.kmvEstimateFromBuffer(col("sketch"), K): _*)
+      .collect()
+    assert(empty.length == 1)
+    val r = empty.head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L && r.getLong(2) == 0L)
+  }
+
   test("merge identity: kmv(A union B) == k-smallest(kmv(A) union kmv(B)), bit-equal") {
     val a = ids(0, 3000)
     val b = ids(2000, 7000) // overlapping halves
