@@ -1185,13 +1185,21 @@ object NorthStarQueries extends QueryModule {
     implicit val s: SparkSession = spark
     implicit val dir: String = sfDir
     val d = docs.select(col("doc_id"), col("text"))
+    // exact families keyed by md5 digest for the doc→rep join: the
+    // grouping itself must shuffle full text once (it IS the key),
+    // but the join back shuffles 16-byte digests instead of paying a
+    // second full-text shuffle — the same digest-family convention as
+    // q_curate_incremental (collision odds 2^-128, and the oracle
+    // would catch one)
     val fam = graft.core.Caches.track(
-      d.groupBy(col("text")).agg(min(col("doc_id")).as("rep")))
+      d.groupBy(col("text")).agg(min(col("doc_id")).as("rep"))
+        .select(md5(col("text")).as("_dig"), col("rep"), col("text")))
     val reps = fam.select(col("rep").as("doc_id"), col("text"))
     val pairs = Dedup.nearDupPairs(reps, "doc_id", "text",
       n = 3, k = MhK, bands = MhBands, threshold = 0.5)
     val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
-    val rooted = d.join(fam, Seq("text"))
+    val rooted = d.select(col("doc_id"), md5(col("text")).as("_dig"))
+      .join(fam.select(col("_dig"), col("rep")), Seq("_dig"))
       .join(comps.withColumnRenamed("id", "rep"), Seq("rep"), "left")
       .select(col("doc_id"),
         coalesce(col("comp"), col("rep")).as("family"))
