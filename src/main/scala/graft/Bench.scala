@@ -117,8 +117,16 @@ object Bench {
     // times hide a real regression); queries not in this run keep
     // their prior entries; keys no longer registered are dropped; a
     // prior artifact from a DIFFERENT sf dir is ignored wholesale.
+    // Default artifact is the UNTRACKED BENCH_RUN.json (gitignored):
+    // the committed idle evidence is BENCH_LOCAL.json, written only
+    // when a capture explicitly targets it via SPARK_GRAFT_BENCH_OUT
+    // (verify skill step 8). This keeps a contended driver/CI run from
+    // silently replacing the curated capture at the round-end commit
+    // (r11: the driver's load-6.4 capture overwrote the committed
+    // idle artifact) while the stdout JSON line the driver records is
+    // unchanged.
     val outPath = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_RUN.json"))
     val prior: Map[String, Double] =
       try {
         if (!java.nio.file.Files.exists(outPath)) Map.empty
