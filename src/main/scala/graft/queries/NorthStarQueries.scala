@@ -702,7 +702,11 @@ object NorthStarQueries extends QueryModule {
     graft.operators.TextIndex.bm25TopK(docs, "doc_id", "text",
       Bm25Terms, Bm25K1, Bm25B, topK = 10)
 
-  private val qBm25TopKSql = {
+  private val qBm25TopKSql = bm25Sql(topK = 10)
+
+  /** DuckDB BM25 twin, parameterized by topK — shared by
+    * `q_bm25_topk` (10) and the hybrid-RRF sparse leg (20). */
+  private def bm25Sql(topK: Int): String = {
     val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
     s"""WITH w AS (
        |  SELECT doc_id AS doc, unnest(string_split_regex(trim(text), '\\s+')) AS word
@@ -725,8 +729,125 @@ object NorthStarQueries extends QueryModule {
        |    6) AS c
        |  FROM m JOIN df USING (word) JOIN dl ON dl.doc = m.doc CROSS JOIN stats)
        |SELECT doc, round(CAST(SUM(CAST(c AS DECIMAL(28,6))) AS DOUBLE), 6) AS score
-       |FROM c GROUP BY doc ORDER BY score DESC, doc LIMIT 10""".stripMargin
+       |FROM c GROUP BY doc ORDER BY score DESC, doc LIMIT $topK""".stripMargin
   }
+
+  // ------------------------------------------------ hybrid retrieval (RRF)
+  /** Hybrid retrieval: the sparse (BM25 top-20) and dense (brute-force
+    * cosine top-20 for probe vector 0) result lists fused by
+    * reciprocal-rank fusion, rrf(d) = Σ_lists 1/(60 + rank_d) —
+    * the standard fusion rule (Cormack et al., SIGIR'09) and the shape
+    * every RAG stack runs when a corpus carries both an inverted index
+    * and an embedding index. Ranks are INTEGERS from the two top-k
+    * operators (each deterministic by (score DESC, id)), so the fusion
+    * arithmetic is two exact divisions and one add — bit-identical
+    * across engines with no rounding recipe needed (rounded to 9 dp
+    * only to fix the output format).
+    *
+    * Scale posture: each leg is an already-scale-audited operator
+    * (BM25: term-filtered postings + broadcast stats; dense: broadcast
+    * probe); the fusion itself joins two ≤k-row lists — the window
+    * ranking the sparse leg runs is over the ALREADY-SELECTED top-k
+    * frame, never the corpus. */
+  private val RrfC = 60
+  private val RrfFuseK = 20
+
+  private def qHybridRrf(implicit s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sparse = graft.operators.TextIndex.bm25TopK(docs, "doc_id", "text",
+      Bm25Terms, Bm25K1, Bm25B, topK = RrfFuseK)
+    // global window over the ≤20-row top-k frame only
+    val sw = Window.orderBy(col("score").desc, col("doc"))
+    val sRank = sparse.select(col("doc").as("id"),
+      row_number().over(sw).as("rank_sparse"))
+    val dense = Similarity.bruteForceTopK(
+        embs.where(col("vec_id") === 0), embs,
+        "vec_id", "vec_id", "embedding", RrfFuseK)
+      .select(col("vec_id").as("id"), col("rk").as("rank_dense"))
+    sRank.join(dense, Seq("id"), "full_outer")
+      .select(col("id"), col("rank_sparse"), col("rank_dense"),
+        round(
+          coalesce(lit(1.0) / (lit(RrfC) + col("rank_sparse")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfC) + col("rank_dense")), lit(0.0)),
+          9).as("rrf"))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(15)
+  }
+
+  private val qHybridRrfSql =
+    s"""WITH bm AS (${bm25Sql(topK = RrfFuseK).replace("\n", "\n  ")}),
+       |sparse AS (
+       |  SELECT doc AS id, CAST(row_number() OVER (
+       |    ORDER BY score DESC, doc) AS INTEGER) AS rank_sparse FROM bm),
+       |scored AS (
+       |  SELECT c.vec_id AS id,
+       |    $cosineSqlExpr AS sim
+       |  FROM (SELECT * FROM embeddings WHERE vec_id = 0) q
+       |  CROSS JOIN embeddings c WHERE q.vec_id <> c.vec_id),
+       |dense AS (
+       |  SELECT id, rank_dense FROM (
+       |    SELECT id, CAST(row_number() OVER (
+       |      ORDER BY sim DESC, id) AS INTEGER) AS rank_dense FROM scored)
+       |  WHERE rank_dense <= $RrfFuseK)
+       |SELECT coalesce(s.id, d.id) AS id, rank_sparse, rank_dense,
+       |  round(coalesce(1.0 / ($RrfC + rank_sparse), 0.0)
+       |      + coalesce(1.0 / ($RrfC + rank_dense), 0.0), 9) AS rrf
+       |FROM sparse s FULL JOIN dense d ON s.id = d.id
+       |ORDER BY rrf DESC, id LIMIT 15""".stripMargin
+
+  // ------------------------------------------------ n-gram novelty score
+  /** Per-document n-gram NOVELTY: the fraction of a document's
+    * distinct 3-shingles that occur in exactly one duplicate FAMILY
+    * corpus-wide — the "how much of this text exists nowhere else"
+    * quality signal (the inverse of boilerplate), scored per document
+    * for filtering or mixture weighting.
+    *
+    * Family-collapsed by construction: shingling and the census run
+    * over DISTINCT texts (exact-duplicate families), so a K×-replicated
+    * corpus pays the shingle work once per family, never per copy —
+    * the same collapse-first posture as the `_scalable` dedups — and
+    * every member of a family inherits its family's novelty via a
+    * 16-byte digest join (never a second full-text shuffle). Shingle
+    * ids are the md5-h15 scheme: no vocabulary, bit-replayable. */
+  private def qNgramNovelty(implicit s: SparkSession, dir: String): DataFrame = {
+    val fam = graft.core.Caches.track(
+      docs.groupBy(col("text")).agg(min(col("doc_id")).as("fam_id"))
+        .select(md5(col("text")).as("_dig"), col("fam_id"), col("text")))
+    val famWids = docWids(
+        fam.select(col("fam_id").as("doc_id"),
+          TextFns.shinglesDistinct(col("text"), 3).as("shset")))
+      .distinct() // wid collisions inside one family fold to one row
+    val census = famWids.groupBy(col("wid"))
+      .agg(count(lit(1)).as("nf"))
+    val perFam = famWids.join(census, Seq("wid"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("nf") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id").as("fam_id"), col("n_shingles"), col("n_novel"))
+    docs.select(col("doc_id"), md5(col("text")).as("_dig"))
+      .join(fam.select(col("_dig"), col("fam_id")), Seq("_dig"))
+      .join(perFam, Seq("fam_id"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel") / col("n_shingles"), 6).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qNgramNoveltySql =
+    s"""WITH fam AS (
+       |  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text),
+       |${shingleCtesFrom("fam")},
+       |dw AS (SELECT DISTINCT doc_id, wid FROM docw),
+       |census AS (SELECT wid, COUNT(*) AS nf FROM dw GROUP BY 1),
+       |perfam AS (
+       |  SELECT dw.doc_id AS fam_id, COUNT(*) AS n_shingles,
+       |    CAST(SUM(CASE WHEN c.nf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+       |  FROM dw JOIN census c USING (wid) GROUP BY 1)
+       |SELECT d.doc_id, p.n_shingles, p.n_novel,
+       |  round(p.n_novel / p.n_shingles, 6) AS novelty
+       |FROM documents d
+       |JOIN fam f ON f.text = d.text
+       |JOIN perfam p ON p.fam_id = f.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   // ------------------------------------------------ count-min sketch
   /** Count–min frequency sketch over corpus words, d=3 rows × w=16
@@ -1619,6 +1740,8 @@ object NorthStarQueries extends QueryModule {
     Q("q_wordcount_topk", (s, d) => qWordcountTopk(s, d), Some(qWordcountTopkSql)),
     Q("q_index_inverted", (s, d) => qIndexInverted(s, d), Some(qIndexInvertedSql)),
     Q("q_bm25_topk", (s, d) => qBm25TopK(s, d), Some(qBm25TopKSql)),
+    Q("q_hybrid_rrf", (s, d) => qHybridRrf(s, d), Some(qHybridRrfSql)),
+    Q("q_ngram_novelty", (s, d) => qNgramNovelty(s, d), Some(qNgramNoveltySql)),
     Q("q_textrank", (s, d) => qTextRank(s, d), Some(qTextRankSql)),
     Q("q_sketch_cms", (s, d) => qSketchCms(s, d), Some(qSketchCmsSql)),
     Q("q_heavy_hitters", (s, d) => qHeavyHitters(s, d), Some(qHeavyHittersSql)),

@@ -912,7 +912,64 @@ object TrainDataQueries extends QueryModule {
        |  MAX(CASE WHEN p = 0.95 THEN est END) AS p95_est
        |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------- DSIR importance selection
+  /** DSIR data selection ([[graft.operators.Dsir]], Xie et al. 2023):
+    * treat `src0` documents as the TARGET corpus, everything else as
+    * the raw pool, fit 512-bucket hashed-unigram models on each, and
+    * keep the 100 raw documents with the highest log-likelihood
+    * ratio — the "make the pool look like the target" selection step
+    * a pretraining pipeline runs between dedup and tokenization.
+    *
+    * Determinism: the one transcendental (ln) runs once per BUCKET
+    * (512 values), each rounded to 6 dp before the per-document
+    * DECIMAL sum — the suite's standard round-then-decimal-sum
+    * recipe (see `q_quality_classifier` for the precedent). Scale:
+    * the model is 512 cells per pool; weights broadcast; the only
+    * corpus-sized shuffle is the doc-id score combine; top-k is
+    * TakeOrdered. */
+  private val DsirB = 512
+  private val DsirTopK = 100
+
+  private def qDsirSelect(implicit s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dsir
+    val toks = docs.select(col("doc_id"), col("source"),
+      explode(TextFns.tokens(col("text"))).as("word"))
+    val target = toks.where(col("source") === "src0")
+    val raw = toks.where(col("source") =!= "src0")
+    val w = Dsir.importanceWeights(target, raw, "word", DsirB)
+    Dsir.scoreDocuments(raw, "doc_id", "word", w, DsirB)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(DsirTopK)
+  }
+
+  private val qDsirSelectSql = {
+    val bkt = graft.operators.Dsir.bucketSql("word", DsirB)
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |    unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |  FROM documents),
+       |tb AS (SELECT $bkt AS bkt, COUNT(*) AS ct
+       |  FROM toks WHERE source = 'src0' GROUP BY 1),
+       |rb AS (SELECT $bkt AS bkt, COUNT(*) AS cr
+       |  FROM toks WHERE source <> 'src0' GROUP BY 1),
+       |tot AS (SELECT (SELECT CAST(SUM(ct) AS BIGINT) FROM tb) AS t_tok,
+       |               (SELECT CAST(SUM(cr) AS BIGINT) FROM rb) AS r_tok),
+       |w AS (
+       |  SELECT coalesce(tb.bkt, rb.bkt) AS bkt,
+       |    CAST(round(ln(
+       |      ((coalesce(ct, 0) + 1.0) / CAST(t_tok + $DsirB AS DOUBLE)) /
+       |      ((coalesce(cr, 0) + 1.0) / CAST(r_tok + $DsirB AS DOUBLE))), 6)
+       |      AS DECIMAL(18,6)) AS w
+       |  FROM tb FULL JOIN rb ON tb.bkt = rb.bkt CROSS JOIN tot)
+       |SELECT doc_id,
+       |  round(CAST(SUM(CAST(w.w AS DECIMAL(38,6))) AS DOUBLE), 6) AS score
+       |FROM toks JOIN w ON w.bkt = $bkt
+       |WHERE source <> 'src0'
+       |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT $DsirTopK""".stripMargin
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q_dsir_select", (s, d) => qDsirSelect(s, d), Some(qDsirSelectSql)),
     Q("q_approx_percentile_hist",
       (s, d) => qApproxPercentileHist(s, d), Some(qApproxPercentileHistSql)),
     Q("q_quality_classifier", (s, d) => qQualityClassifier(s, d), Some(qQualityClassifierSql)),

@@ -54,8 +54,7 @@ class PartitionPruningSpec extends AnyFunSuite {
     // the sink really is directory-partitioned: one lang=<v> dir per
     // language that survived the band
     val out = java.nio.file.Paths.get(
-      graft.operators.Dedup.SignatureStore.root,
-      "curated_" + java.lang.Integer.toHexString(TestSpark.SfDir.hashCode))
+      graft.core.Scratch.pathFor("curated_sink", TestSpark.SfDir))
     val langDirs = java.nio.file.Files.list(out).iterator()
       .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
     val names = Iterator.continually(langDirs)
