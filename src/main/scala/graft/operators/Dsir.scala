@@ -74,6 +74,27 @@ object Dsir {
           .cast(DecimalType(18, 6)).as("w"))
   }
 
+  /** [[importanceWeights]] when both pools live in ONE table, told
+    * apart by a boolean column: a single corpus scan fits both
+    * models (one grouped conditional count onto B cells) instead of
+    * one scan per pool. Identical weights to the two-pool form —
+    * ct/cr and the totals are the same integers. */
+  def importanceWeightsSplit(toks: DataFrame, isTarget: Column,
+                             wordCol: String, b: Int): DataFrame = {
+    val counts = graft.core.Caches.track(
+      toks.select(bucket(col(wordCol), b).as("bkt"), isTarget.as("is_t"))
+        .groupBy(col("bkt")).agg(
+          sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+          sum(when(!col("is_t"), 1L).otherwise(0L)).as("cr")))
+    val tot = counts.agg(sum(col("ct")).as("t_tok"), sum(col("cr")).as("r_tok"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("bkt"),
+        round(log(
+          ((col("ct") + lit(1.0)) / (col("t_tok") + lit(b.toLong)).cast("double")) /
+          ((col("cr") + lit(1.0)) / (col("r_tok") + lit(b.toLong)).cast("double"))), 6)
+          .cast(DecimalType(18, 6)).as("w"))
+  }
+
   /** Per-document importance score: one broadcast join of the token
     * stream against the B-row weight table, one map-side-combined
     * DECIMAL sum per document. */

@@ -51,6 +51,28 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
   }
 
+  /** SINGLE-probe top-k: same scoring as [[bruteForceTopK]], but the
+    * selection is orderBy+limit — TakeOrdered, a bounded heap per
+    * partition — instead of a per-query window. With one probe the
+    * window form funnels EVERY scored corpus row into one window
+    * partition (a single-task sort of the whole corpus: measured 6×
+    * superlinear on the sf30 ladder); this form never materializes
+    * more than k rows per partition. The rank window that remains
+    * runs over the already-selected k-row frame. */
+  def bruteForceTopKSingle(probe: DataFrame, corpus: DataFrame,
+                           qId: String, cId: String, embCol: String,
+                           k: Int): DataFrame = {
+    val scored = corpus.alias("c")
+      .join(broadcast(probe.alias("q")))
+      .withColumn("sim", round(cosine(col(s"q.$embCol"), col(s"c.$embCol")), 6))
+      .select(col(s"q.$qId").as("query_id"), col(s"c.$cId").as("vec_id"),
+        col("sim"))
+      .where(col("query_id") =!= col("vec_id"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(k)
+    val w = Window.orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+  }
+
   /** IVF-style probe: coarse cells given by `cellCol` (precomputed
     * cluster labels or KMeans output); rank cells by centroid
     * similarity, brute-force only within the top `probes` cells.

@@ -760,7 +760,7 @@ object NorthStarQueries extends QueryModule {
     val sw = Window.orderBy(col("score").desc, col("doc"))
     val sRank = sparse.select(col("doc").as("id"),
       row_number().over(sw).as("rank_sparse"))
-    val dense = Similarity.bruteForceTopK(
+    val dense = Similarity.bruteForceTopKSingle(
         embs.where(col("vec_id") === 0), embs,
         "vec_id", "vec_id", "embedding", RrfFuseK)
       .select(col("vec_id").as("id"), col("rk").as("rank_dense"))

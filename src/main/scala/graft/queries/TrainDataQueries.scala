@@ -934,10 +934,12 @@ object TrainDataQueries extends QueryModule {
     import graft.operators.Dsir
     val toks = docs.select(col("doc_id"), col("source"),
       explode(TextFns.tokens(col("text"))).as("word"))
-    val target = toks.where(col("source") === "src0")
-    val raw = toks.where(col("source") =!= "src0")
-    val w = Dsir.importanceWeights(target, raw, "word", DsirB)
-    Dsir.scoreDocuments(raw, "doc_id", "word", w, DsirB)
+    // both pools live in the one documents table: fit both models in
+    // a single scan (importanceWeightsSplit), score in a second
+    val w = Dsir.importanceWeightsSplit(toks, col("source") === "src0",
+      "word", DsirB)
+    Dsir.scoreDocuments(toks.where(col("source") =!= "src0"),
+        "doc_id", "word", w, DsirB)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(DsirTopK)
   }

@@ -37,6 +37,19 @@ class SelectionFusionSpec extends AnyFunSuite {
       s"log-ratio signs wrong: $scores")
   }
 
+  test("DSIR: one-scan split weights equal the two-pool weights") {
+    val toks = Seq((true, "alpha"), (true, "beta"), (true, "alpha"),
+        (false, "zeta"), (false, "alpha"), (false, "eta"), (false, "eta"))
+      .toDF("is_t", "word")
+    val two = Dsir.importanceWeights(
+        toks.where($"is_t"), toks.where(!$"is_t"), "word", 64)
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    val one = Dsir.importanceWeightsSplit(toks, $"is_t", "word", 64)
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    assert(two == one, s"two-pool $two != split $one")
+    assert(two.nonEmpty)
+  }
+
   test("DSIR: bucket hash is stable and in range") {
     val b = 64
     val words = Seq("alpha", "beta", "zeta", "", "hash me").toDF("w")
