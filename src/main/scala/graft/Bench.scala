@@ -143,6 +143,24 @@ object Bench {
             .toMap
         }
       } catch { case _: Throwable => Map.empty }
+    // Provenance note: a merge-recapture must not silently drop the
+    // artifact's recorded capture protocol. SPARK_GRAFT_BENCH_NOTE
+    // sets/replaces it; otherwise the prior artifact's note carries
+    // forward with a marker that a partial merge happened since.
+    val priorNote: Option[String] =
+      try {
+        if (!java.nio.file.Files.exists(outPath)) None
+        else """"capture":"([^"]*)"""".r
+          .findFirstMatchIn(java.nio.file.Files.readString(outPath))
+          .map(_.group(1))
+      } catch { case _: Throwable => None }
+    val note = sys.env.get("SPARK_GRAFT_BENCH_NOTE").orElse(
+      prior match {
+        case p if p.nonEmpty =>
+          priorNote.map(n =>
+            if (n.endsWith("; +partial merges")) n else n + "; +partial merges")
+        case _ => priorNote
+      })
     val registered = SparkEntry.queries.keySet
     val merged = (prior.view.filterKeys(registered).toMap ++ results.toMap)
       .toSeq.sortBy(_._1)
@@ -155,8 +173,9 @@ object Bench {
     // warm-up pass (since r10), so cross-round comparisons don't read
     // their timings raw against pre-warm-up rounds.
     val warmedJson = warmed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val noteJson = note.map(n => s""""capture":"$n",""").getOrElse("")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","load":$entryLoad%.2f,"captured":${results.size},"warmed":$warmedJson,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","load":$entryLoad%.2f,"captured":${results.size},$noteJson"warmed":$warmedJson,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // the full JSON also lands in a file: the driver's stdout capture
     // has truncated long lines (BENCH_r03 lost the TPC-H head)
