@@ -692,6 +692,137 @@ object Dedup {
           x => x("_win")), " ").as("clean_text"))
   }
 
+  /** Duplicated-SPAN census — the exact-substring dedup statistic of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better", arXiv:2107.06499 §3.1 ExactSubstr): how many of
+    * each document's token positions are covered by some length-`win`
+    * token window that occurs MORE THAN ONCE in the corpus (in another
+    * document or repeated within the same one). Unlike
+    * [[stripBoilerplate]]'s disjoint stride-`win` windows, these are
+    * stride-1 windows — the true substring-duplication semantic: a
+    * copied span is detected at every alignment, not only when it
+    * lands on a window boundary.
+    *
+    * Plan: (1) stride-1 windows per doc (narrow map, ~n_tokens rows);
+    * (2) window ids via [[md5Wid]] (seeded; no vocabulary, 8-byte
+    * shuffle keys — the corpus never ships window TEXT through a
+    * shuffle); (3) ONE map-side-combined census `count(*) per wid`;
+    * (4) duplicated window starts join back (wid-keyed); (5) per-doc
+    * interval union via two windows PARTITIONED BY doc (running max
+    * of span ends → island ids → island extents), summing
+    * max(s)−min(s)+win per island. Every per-doc stage is narrow or
+    * doc-partitioned; the census and the start-join are the only
+    * corpus-sized shuffles. Suffix arrays give the same statistic for
+    * UNBOUNDED match length; the fixed-`win` census is the standard
+    * distributed form (a span duplicated at length ≥ win is exactly a
+    * span all of whose win-windows are duplicated).
+    *
+    * Hash-collision note: two DIFFERENT windows sharing an md5-h15 id
+    * (p ≈ n²/2⁶⁰) would overcount one doc's coverage — detectable, and
+    * the oracle replays the same ids so the gate stays exact.
+    *
+    * Returns (id, n_tokens, dup_tokens, dup_frac) for EVERY input doc
+    * (docs shorter than `win` report 0 coverage). */
+  def dupSpanCensus(df: DataFrame, idCol: String, textCol: String,
+                    win: Int, seed: Long): DataFrame = {
+    require(win >= 2, s"dupSpanCensus window must be >= 2, got $win")
+    val base = graft.core.Caches.track(
+      df.select(col(idCol), TextFns.tokens(col(textCol)).as("_t"))
+        .withColumn("n_tokens", size(col("_t")).cast("long")))
+    val wins = base
+      .where(col("n_tokens") >= win)
+      .select(col(idCol), col("n_tokens"), posexplode(expr(
+        s"transform(sequence(1, CAST(size(_t) - ${win - 1} AS INT)), " +
+          s"i -> concat_ws(' ', slice(_t, i, $win)))"))
+        .as(Seq("_i0", "_win")))
+      // posexplode pos is 0-based; s = 1-based start position
+      .select(col(idCol), (col("_i0") + 1).as("s"),
+        md5Wid(col("_win"), seed).as("_wid"))
+    val census = wins.groupBy(col("_wid")).agg(count(lit(1)).as("_occ"))
+    val dupStarts = wins.join(census.where(col("_occ") > 1L), Seq("_wid"))
+      .select(col(idCol), col("s"))
+    // interval union per doc: spans are [s, s+win-1]; a start opens a
+    // new island iff it exceeds the running max end of all prior
+    // spans (adjacent islands need no merge — coverage adds either way)
+    val wPrev = Window.partitionBy(col(idCol)).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col(idCol)).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val covered = dupStarts
+      .withColumn("_new", when(
+        col("s") > coalesce(max(col("s") + lit(win - 1)).over(wPrev), lit(-1L)),
+        1L).otherwise(0L))
+      .withColumn("_isl", sum(col("_new")).over(wRun))
+      .groupBy(col(idCol), col("_isl"))
+      .agg((max(col("s")) - min(col("s")) + lit(win.toLong)).as("_len"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_len")).as("dup_tokens"))
+    base.select(col(idCol), col("n_tokens"))
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("n_tokens"), 6).as("dup_frac"))
+  }
+
+  /** The TRANSFORM companion of [[dupSpanCensus]] — Lee et al.'s
+    * ExactSubstr-cut (arXiv:2107.06499 §4.2): rebuild every document
+    * with its duplicated spans REMOVED, keeping only token positions
+    * no duplicated window covers. Same census and interval-union
+    * plan; the additional work is expanding islands to covered
+    * positions (Σ island lengths ≤ n_tokens rows per doc — bounded by
+    * the doc itself), an anti-join of the doc's positions against
+    * them, and an order-preserving per-doc rebuild (sort_array over
+    * the doc's own kept tokens, as [[stripBoilerplate]]).
+    *
+    * Returns (id, n_tokens, n_kept, clean_text) for every input doc —
+    * a fully-duplicated doc keeps 0 tokens and an empty clean_text. */
+  def stripDupSpans(df: DataFrame, idCol: String, textCol: String,
+                    win: Int, seed: Long): DataFrame = {
+    require(win >= 2, s"stripDupSpans window must be >= 2, got $win")
+    val base = graft.core.Caches.track(
+      df.select(col(idCol), TextFns.tokens(col(textCol)).as("_t"))
+        .withColumn("n_tokens", size(col("_t")).cast("long")))
+    val wins = base
+      .where(col("n_tokens") >= win)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(1, CAST(size(_t) - ${win - 1} AS INT)), " +
+          s"i -> concat_ws(' ', slice(_t, i, $win)))"))
+        .as(Seq("_i0", "_win")))
+      .select(col(idCol), (col("_i0") + 1).as("s"),
+        md5Wid(col("_win"), seed).as("_wid"))
+    val census = wins.groupBy(col("_wid")).agg(count(lit(1)).as("_occ"))
+    val dupStarts = wins.join(census.where(col("_occ") > 1L), Seq("_wid"))
+      .select(col(idCol), col("s"))
+    val wPrev = Window.partitionBy(col(idCol)).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col(idCol)).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val covered = dupStarts
+      .withColumn("_new", when(
+        col("s") > coalesce(max(col("s") + lit(win - 1)).over(wPrev), lit(-1L)),
+        1L).otherwise(0L))
+      .withColumn("_isl", sum(col("_new")).over(wRun))
+      .groupBy(col(idCol), col("_isl"))
+      .agg(min(col("s")).as("_s0"),
+        (max(col("s")) + lit(win.toLong - 1)).as("_e0"))
+      .select(col(idCol), explode(sequence(col("_s0"), col("_e0"))).as("p"))
+    val kept = base
+      .select(col(idCol), posexplode(col("_t")).as(Seq("_p0", "_tok")))
+      .select(col(idCol), (col("_p0") + 1).cast("long").as("p"), col("_tok"))
+      .join(covered, Seq(idCol, "p"), "left_anti")
+    base.select(col(idCol), col("n_tokens"))
+      .join(kept.groupBy(col(idCol))
+          .agg(count(lit(1)).as("n_kept"),
+            array_join(transform(
+              sort_array(collect_list(struct(col("p"), col("_tok")))),
+              x => x("_tok")), " ").as("clean_text")),
+        Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** SimHash fingerprint per document over shingle/token ids: each of
     * `bits` bit-positions votes ±1 per element; the sign vector packs
     * into one long. One explode + posexplode-free bit loop + one

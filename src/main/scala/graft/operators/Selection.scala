@@ -311,4 +311,59 @@ object Selection {
       .where(col("cum_tokens") <= lit(budget))
       .drop("_tb_bucket", "_tb_prefix")
   }
+
+  /** Dense-rank-free row_number over a SMALL already-selected frame
+    * (a top-k result, a histogram, a probe set) without a global
+    * window: rank = 1 + |rows sorting strictly before| under the
+    * total order (`scoreCol` DESC, `idCol` ASC), computed as a
+    * broadcast theta self-join + count — k² comparisons of a k-row
+    * frame, constant work, no empty-partition Window (the engine-wide
+    * plan sweep forbids those unconditionally; see PlanShapeSpec).
+    * `(scoreCol, idCol)` must be a total order and rows unique. */
+  def rankSmallFrameDesc(df: DataFrame, scoreCol: String, idCol: String,
+                         rankName: String): DataFrame = {
+    val before = df.select(col(scoreCol).as("_rb_s"), col(idCol).as("_rb_i"))
+    df.join(broadcast(before),
+        col("_rb_s") > col(scoreCol) ||
+          (col("_rb_s") === col(scoreCol) && col("_rb_i") < col(idCol)),
+        "left")
+      .groupBy(df.columns.map(col).toSeq: _*)
+      .agg((count(col("_rb_i")) + lit(1)).cast("int").as(rankName))
+  }
+
+  /** Exact top-N rows per group under a total order, skew-safe: the
+    * RefinedWeb-style per-domain document cap, where one hot domain
+    * can hold billions of rows while the cap is a few thousand.
+    *
+    * The naive plan — `row_number() OVER (PARTITION BY group ORDER BY
+    * …)` — funnels every row of a group through ONE task; a
+    * pathological domain makes that task the job. This plan is the
+    * standard two-phase refinement, exact by a pigeonhole argument:
+    * every row of the true global top-N is also in the top-N of
+    * whichever salt shard it hashes to (a shard is a subset — ranks
+    * can only shrink), so phase 1 (per-(group, salt) top-N over
+    * `salts`-way-split partitions) keeps a superset of the answer,
+    * and phase 2 ranks only the ≤ N·salts survivors per group.
+    *
+    * `orderCols` must be a TOTAL order (include a unique id as the
+    * last key) — ties across a non-total order would make "top N"
+    * ill-defined in both phases and across engines. `saltBy` must be
+    * deterministic per row (typically the unique id): the hash-derived
+    * salt then splits every group uniformly, and determinism keeps the
+    * two-phase plan replayable. */
+  def topNPerGroupScalable(df: DataFrame, groupCol: String,
+                           orderCols: Seq[Column], saltBy: Column, n: Int,
+                           salts: Int = 16): DataFrame = {
+    require(n >= 1 && salts >= 1, s"bad topN args: n=$n salts=$salts")
+    val salted = df.withColumn("_tn_salt", pmod(hash(saltBy), lit(salts)))
+    val w1 = Window.partitionBy(col(groupCol), col("_tn_salt"))
+      .orderBy(orderCols: _*)
+    val survivors = salted
+      .withColumn("_tn_r1", row_number().over(w1))
+      .where(col("_tn_r1") <= n)
+      .drop("_tn_salt", "_tn_r1")
+    val w2 = Window.partitionBy(col(groupCol)).orderBy(orderCols: _*)
+    survivors.withColumn("rn", row_number().over(w2))
+      .where(col("rn") <= n)
+  }
 }

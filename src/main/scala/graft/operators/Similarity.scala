@@ -57,8 +57,12 @@ object Similarity {
     * window form funnels EVERY scored corpus row into one window
     * partition (a single-task sort of the whole corpus: measured 6×
     * superlinear on the sf30 ladder); this form never materializes
-    * more than k rows per partition. The rank window that remains
-    * runs over the already-selected k-row frame. */
+    * more than k rows per partition. Ranks over the selected k-row
+    * frame come from a k×k rank-by-count self-join (≤ k² comparisons
+    * of a k-row frame — constant work), NOT a global window: the
+    * engine-wide plan sweep forbids empty-partition windows
+    * unconditionally, and an exception for "bounded" frames would rot
+    * (PlanShapeSpec sweep). */
   def bruteForceTopKSingle(probe: DataFrame, corpus: DataFrame,
                            qId: String, cId: String, embCol: String,
                            k: Int): DataFrame = {
@@ -69,8 +73,7 @@ object Similarity {
         col("sim"))
       .where(col("query_id") =!= col("vec_id"))
       .orderBy(col("sim").desc, col("vec_id")).limit(k)
-    val w = Window.orderBy(col("sim").desc, col("vec_id"))
-    scored.withColumn("rk", row_number().over(w))
+    Selection.rankSmallFrameDesc(scored, "sim", "vec_id", "rk")
   }
 
   /** IVF-style probe: coarse cells given by `cellCol` (precomputed

@@ -554,6 +554,103 @@ object EngineSurfaceQueries extends QueryModule {
       .limit(50)
   }
 
+  // ------------------------------------- embedding decontamination
+  /** EMBEDDING-space benchmark decontamination — the semantic sibling
+    * of `q_decontaminate`'s n-gram overlap: drop every corpus vector
+    * whose cosine against ANY eval-set vector reaches
+    * [[DecontamEmbTau]] (near-paraphrases of benchmark items that
+    * share no n-grams). Label 0 plays the benchmark; labels 1–9 the
+    * corpus.
+    *
+    * Plan (collapse → cross-LSH → verify → expand): both sides
+    * collapse to distinct-vector families first (the corpus side is
+    * what's replicated at scale); candidates come from
+    * [[graft.operators.Similarity.lshCandidates]] with the EVAL side
+    * broadcast — the benchmark suite is small by construction, so the
+    * corpus-sided table never shuffles for the probe; only candidates
+    * pay the exact cosine; the drop decision made per FAMILY then
+    * expands to members through the family map. Output is 9 per-label
+    * (n_vecs, n_dropped) rows at every SF.
+    *
+    * LSH recall contract as everywhere in this family: a candidate
+    * must share a bucket in ≥1 of 12 tables — the oracle replays the
+    * same planes, so the gate is exact over the same candidate set;
+    * recall on PLANTED near-dups is SimilaritySpec's job. τ = 0.35 is
+    * fixture-calibrated (cross-label cosines top out near 0.49) so
+    * the decision column is exercised in both directions. */
+  private val DecontamEmbTau = 0.35
+
+  private def qDecontamEmbed(implicit s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val evalReps = graft.core.Caches.track(
+      e.where(col("label") === 0)
+        .groupBy(col("embedding")).agg(min(col("vec_id")).as("vec_id")))
+    val corpusFams = graft.core.Caches.track(
+      e.where(col("label") =!= 0)
+        .groupBy(col("embedding")).agg(min(col("vec_id")).as("rep")))
+    val cands = graft.operators.Similarity.lshCandidates(
+      evalReps, corpusFams.select(col("rep").as("vec_id"), col("embedding")),
+      qId = "vec_id", cId = "vec_id", embCol = "embedding",
+      planes = EmbLshPlanes, tables = EmbLshTables)
+    val contaminated = cands
+      .join(evalReps.select(col("vec_id").as("query_id"),
+        col("embedding").as("_qe")), "query_id")
+      .join(corpusFams.select(col("rep").as("vec_id"),
+        col("embedding").as("_ce")), "vec_id")
+      .where(round(graft.operators.Similarity.cosine(col("_ce"), col("_qe")), 6)
+        >= DecontamEmbTau)
+      .select(col("vec_id").as("rep")).distinct()
+      .withColumn("_hit", lit(1L))
+    e.where(col("label") =!= 0)
+      .join(corpusFams, Seq("embedding"))
+      .join(contaminated, Seq("rep"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_dropped"))
+      .orderBy(col("label"))
+  }
+
+  private val qDecontamEmbedSql = {
+    def bkt(src: String) =
+      s"""CAST(list_aggregate(list_transform(range(0, $EmbLshPlanes), p ->
+         |  CASE WHEN list_aggregate(list_transform($src.embedding,
+         |      (x, j) -> CAST(x AS DOUBLE) * CAST((j * (2 * (t.tbl * $EmbLshPlanes + p) + 3)) % 17 - 8 AS DOUBLE)), 'sum') > 0
+         |    THEN (1::BIGINT << p) ELSE 0::BIGINT END), 'sum') AS BIGINT)""".stripMargin
+    val cosine =
+      """list_aggregate(list_transform(list_zip(co.embedding, ev.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(co.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))
+        |       * sqrt(list_aggregate(list_transform(ev.embedding, x -> CAST(x AS DOUBLE) * x), 'sum')))""".stripMargin
+    s"""WITH ev AS (
+       |  SELECT MIN(vec_id) AS vec_id, embedding FROM embeddings
+       |  WHERE label = 0 GROUP BY embedding),
+       |co AS (
+       |  SELECT MIN(vec_id) AS rep, embedding FROM embeddings
+       |  WHERE label <> 0 GROUP BY embedding),
+       |be AS (
+       |  SELECT ev.vec_id, t.tbl, ${bkt("ev")} AS bkt
+       |  FROM ev CROSS JOIN (SELECT unnest(range(0, $EmbLshTables)) AS tbl) t),
+       |bc AS (
+       |  SELECT co.rep, t.tbl, ${bkt("co")} AS bkt
+       |  FROM co CROSS JOIN (SELECT unnest(range(0, $EmbLshTables)) AS tbl) t),
+       |cands AS (
+       |  SELECT DISTINCT bc.rep, be.vec_id
+       |  FROM bc JOIN be ON bc.tbl = be.tbl AND bc.bkt = be.bkt
+       |  WHERE bc.rep <> be.vec_id),
+       |contaminated AS (
+       |  SELECT DISTINCT c.rep FROM cands c
+       |  JOIN ev ON ev.vec_id = c.vec_id
+       |  JOIN co ON co.rep = c.rep
+       |  WHERE round($cosine, 6) >= $DecontamEmbTau)
+       |SELECT e.label, COUNT(*) AS n_vecs,
+       |  CAST(SUM(CASE WHEN co.rep IN (SELECT rep FROM contaminated)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+       |FROM embeddings e JOIN co ON e.embedding = co.embedding
+       |WHERE e.label <> 0
+       |GROUP BY e.label ORDER BY e.label""".stripMargin
+  }
+
   private def embLshSql(planes: Int): String = embLshSqlFrom(planes, "embeddings")
 
   /** SQL twin of [[qDedupEmbedLshAuto]]: derives the plane count from
@@ -656,5 +753,6 @@ object EngineSurfaceQueries extends QueryModule {
     Q("q_dedup_embed_lsh", (s, d) => qDedupEmbedLsh(s, d), Some(embLshSql(EmbLshPlanes))),
     Q("q_dedup_embed_lsh_wide", (s, d) => qDedupEmbedLshWide(s, d), Some(embLshWideSql)),
     Q("q_dedup_embed_lsh_auto", (s, d) => qDedupEmbedLshAuto(s, d), Some(embLshAutoSql)),
-    Q("q_dedup_embed_scalable", (s, d) => qDedupEmbedScalable(s, d), Some(qDedupEmbedScalableSql)))
+    Q("q_dedup_embed_scalable", (s, d) => qDedupEmbedScalable(s, d), Some(qDedupEmbedScalableSql)),
+    Q("q_decontam_embed", (s, d) => qDecontamEmbed(s, d), Some(qDecontamEmbedSql)))
 }

@@ -753,13 +753,14 @@ object NorthStarQueries extends QueryModule {
   private val RrfFuseK = 20
 
   private def qHybridRrf(implicit s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sparse = graft.operators.TextIndex.bm25TopK(docs, "doc_id", "text",
       Bm25Terms, Bm25K1, Bm25B, topK = RrfFuseK)
-    // global window over the ≤20-row top-k frame only
-    val sw = Window.orderBy(col("score").desc, col("doc"))
-    val sRank = sparse.select(col("doc").as("id"),
-      row_number().over(sw).as("rank_sparse"))
+    // rank over the ≤20-row top-k frame via the window-free small-
+    // frame ranker (no empty-partition Window anywhere in the engine)
+    val sRank = graft.operators.Selection
+      .rankSmallFrameDesc(sparse.select(col("doc"), col("score")),
+        "score", "doc", "rank_sparse")
+      .select(col("doc").as("id"), col("rank_sparse"))
     val dense = Similarity.bruteForceTopKSingle(
         embs.where(col("vec_id") === 0), embs,
         "vec_id", "vec_id", "embedding", RrfFuseK)

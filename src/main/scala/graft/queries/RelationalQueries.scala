@@ -170,6 +170,39 @@ object RelationalQueries extends QueryModule {
       |WHERE rk <= 3
       |ORDER BY o_custkey, rk""".stripMargin
 
+  // -------------------------------------------------- lateral subquery
+  /** LATERAL correlated subquery (SQL:1999 lateral derived table,
+    * Spark ≥3.2 `LATERAL`): for each nation, the top-2 customers by
+    * account balance — the "per-row subquery" surface, distinct from
+    * the window-function formulation of `q_window_topk`. Catalyst
+    * DECORRELATES the lateral subquery into a ranked join
+    * (DecorrelateInnerQuery), so the executed plan is the same
+    * shuffle-partitioned window + join shape that scales — no
+    * per-outer-row re-execution survives optimization; LateralSpec
+    * asserts the decorrelated plan has no per-row loop. Projection
+    * only — doubles pass through untouched, so parity is structural. */
+  private def qLateralTopk(implicit s: SparkSession, dir: String): DataFrame = {
+    t("nation").createOrReplaceTempView("nation_lat")
+    t("customer").createOrReplaceTempView("customer_lat")
+    s.sql("""
+      SELECT n.n_name, tc.c_custkey, tc.c_name, tc.c_acctbal
+      FROM nation_lat n,
+      LATERAL (SELECT c_custkey, c_name, c_acctbal
+               FROM customer_lat c
+               WHERE c.c_nationkey = n.n_nationkey
+               ORDER BY c_acctbal DESC, c_custkey LIMIT 2) tc
+      ORDER BY n.n_name, tc.c_acctbal DESC, tc.c_custkey""")
+  }
+
+  private val qLateralTopkSql =
+    """SELECT n.n_name, tc.c_custkey, tc.c_name, tc.c_acctbal
+      |FROM nation n,
+      |LATERAL (SELECT c_custkey, c_name, c_acctbal
+      |         FROM customer c
+      |         WHERE c.c_nationkey = n.n_nationkey
+      |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) tc
+      |ORDER BY n.n_name, tc.c_acctbal DESC, tc.c_custkey""".stripMargin
+
   // --------------------------------------------------- running window
   /** Analytic frame: per-supplier running quantity by ship date —
     * exercises rowsBetween frames (reference has only ranking use). */
@@ -781,6 +814,7 @@ object RelationalQueries extends QueryModule {
     Q("q3_shipping_priority", (s, d) => q3(s, d), Some(q3Sql)),
     Q("q5_local_supplier", (s, d) => q5(s, d), Some(q5Sql)),
     Q("q_window_topk", (s, d) => qWindowTopk(s, d), Some(qWindowTopkSql)),
+    Q("q_lateral_topk", (s, d) => qLateralTopk(s, d), Some(qLateralTopkSql)),
     Q("q_window_running", (s, d) => qWindowRunning(s, d), Some(qWindowRunningSql)),
     Q("q_window_range", (s, d) => qWindowRange(s, d), Some(qWindowRangeSql)),
     Q("q_rollup", (s, d) => qRollup(s, d), Some(qRollupSql)),

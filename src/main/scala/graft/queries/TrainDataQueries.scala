@@ -970,7 +970,200 @@ object TrainDataQueries extends QueryModule {
        |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT $DsirTopK""".stripMargin
   }
 
+  // --------------------------------------------- corpus drift monitor
+  /** Per-source KL divergence against the corpus-wide token
+    * distribution ([[graft.operators.Drift]]) — the ingest-monitoring
+    * op: a new shard whose language mix drifted shows a KL spike
+    * before it joins the training mixture. Reuses DSIR's 512-cell
+    * hashed-unigram models, so the whole monitor is ONE corpus scan
+    * into |sources|×512 counter cells; every divergence term is
+    * decimal-summed (bit-exact across engines). */
+  private def qCorpusDriftKl(implicit s: SparkSession, dir: String): DataFrame = {
+    val toks = docs.select(col("source"),
+      explode(TextFns.tokens(col("text"))).as("word"))
+    graft.operators.Drift.klPerGroup(toks, "source", "word", DsirB)
+      .orderBy(col("source"))
+  }
+
+  private val qCorpusDriftKlSql = {
+    val bkt = graft.operators.Dsir.bucketSql("word", DsirB)
+    s"""WITH toks AS (
+       |  SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |  FROM documents),
+       |cells AS (SELECT source, $bkt AS bkt, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+       |grp AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t_grp FROM cells GROUP BY 1),
+       |corpus AS (SELECT bkt, CAST(SUM(c) AS BIGINT) AS cq FROM cells GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(cq) AS BIGINT) AS t_all FROM corpus),
+       |grid AS (
+       |  SELECT g.source, g.t_grp, r.bkt, coalesce(cl.c, 0) AS c
+       |  FROM grp g CROSS JOIN (SELECT unnest(range(0, $DsirB)) AS bkt) r
+       |  LEFT JOIN cells cl ON cl.source = g.source AND cl.bkt = r.bkt),
+       |terms AS (
+       |  SELECT source, t_grp,
+       |    CAST(c + 1 AS DECIMAL(20,0)) * CAST(round(ln(
+       |      ((c + 1.0) / CAST(t_grp + $DsirB AS DOUBLE)) /
+       |      ((coalesce(cq, 0) + 1.0) / CAST(t_all + $DsirB AS DOUBLE))), 6)
+       |      AS DECIMAL(18,6)) AS term
+       |  FROM grid LEFT JOIN corpus USING (bkt) CROSS JOIN tot)
+       |SELECT source, CAST(MAX(t_grp) AS BIGINT) AS n_tokens,
+       |  round(CAST(SUM(term) AS DOUBLE) /
+       |    CAST(MAX(t_grp) + $DsirB AS DOUBLE), 9) AS kl_vs_corpus
+       |FROM terms GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // ------------------------------------------------------- domain cap
+  /** RefinedWeb-style per-domain document cap (Penedo et al. 2023,
+    * arXiv:2306.01116 §3.3 — a handful of domains dominate a web
+    * crawl; cap each at N docs, chosen uniformly at random): keep the
+    * [[DomainCapN]] docs per source with the smallest seeded md5 rank
+    * hash — a deterministic uniform permutation, so "random cap" is
+    * bit-replayable. Runs through the salted two-phase
+    * [[graft.operators.Selection.topNPerGroupScalable]] plan: the
+    * oracle's plain `ROW_NUMBER OVER (PARTITION BY source)` is the
+    * semantic; the engine plan is the skew-safe refinement that
+    * survives a domain holding billions of rows (no group ever
+    * funnels through one task). Output is N×|domains| rows — bounded
+    * at every scale factor. */
+  private val DomainCapN = 40
+  private val DomainCapSeed = 3301L
+
+  private def qDomainCap(implicit s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, Selection}
+    val ranked = Selection.topNPerGroupScalable(
+      docs.select(col("doc_id"), col("source")),
+      "source",
+      Seq(Dedup.md5Wid(col("doc_id").cast("string"), DomainCapSeed).asc,
+        col("doc_id").asc),
+      saltBy = col("doc_id"), n = DomainCapN, salts = 8)
+    ranked.select(col("doc_id"), col("source"), col("rn").cast("long").as("rn"))
+      .orderBy(col("source"), col("rn"))
+  }
+
+  private val qDomainCapSql = {
+    val wid = graft.operators.Dedup.widSql("CAST(doc_id AS VARCHAR)", DomainCapSeed)
+    s"""SELECT doc_id, source, rn FROM (
+       |  SELECT doc_id, source,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY $wid, doc_id) AS BIGINT) AS rn
+       |  FROM documents)
+       |WHERE rn <= $DomainCapN ORDER BY source, rn""".stripMargin
+  }
+
+  // --------------------------------------------- duplicated-span census
+  /** Stride-1 duplicated-substring census
+    * ([[graft.operators.Dedup.dupSpanCensus]], Lee et al.
+    * arXiv:2107.06499 ExactSubstr): per document, how many token
+    * positions sit inside a [[DupSpanWin]]-token window that occurs
+    * more than once in the corpus. The sub-document complement of
+    * `q_boilerplate_strip`'s disjoint windows — stride-1 detects a
+    * copied span at EVERY alignment. Output is one row per doc
+    * (n_tokens, dup_tokens, dup_frac), with the near-dup families'
+    * shared spans partially covered and exact-dup members fully
+    * covered. */
+  private val DupSpanWin = 5
+  private val DupSpanSeed = 3011L
+
+  private def qDupSpanCensus(implicit s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.dupSpanCensus(
+        docs.select(col("doc_id"), col("text")), "doc_id", "text",
+        win = DupSpanWin, seed = DupSpanSeed)
+      .orderBy(col("doc_id"))
+
+  private val qDupSpanCensusSql = {
+    val w = DupSpanWin
+    val wid = graft.operators.Dedup.widSql(
+      s"array_to_string(list_slice(t, CAST(i AS BIGINT), CAST(i + ${w - 1} AS BIGINT)), ' ')",
+      DupSpanSeed)
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       |docs_n AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM base),
+       |wins AS (
+       |  SELECT doc_id, i AS s, $wid AS wid
+       |  FROM (SELECT doc_id, t,
+       |          unnest(generate_series(1, CAST(len(t) - ${w - 1} AS BIGINT))) AS i
+       |        FROM base WHERE len(t) >= $w)),
+       |census AS (SELECT wid, COUNT(*) AS occ FROM wins GROUP BY 1),
+       |dup AS (SELECT wi.doc_id, wi.s FROM wins wi
+       |        JOIN census c USING (wid) WHERE c.occ > 1),
+       |isl AS (
+       |  SELECT doc_id, s,
+       |    CASE WHEN s > coalesce(MAX(s + ${w - 1}) OVER (PARTITION BY doc_id
+       |      ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |      THEN 1 ELSE 0 END AS new_isl
+       |  FROM dup),
+       |isl2 AS (SELECT doc_id, s,
+       |    SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY s) AS isl FROM isl),
+       |cov AS (SELECT doc_id, CAST(SUM(ln) AS BIGINT) AS dup_tokens FROM (
+       |  SELECT doc_id, isl, MAX(s) - MIN(s) + $w AS ln FROM isl2 GROUP BY 1, 2)
+       |  GROUP BY 1)
+       |SELECT d.doc_id, d.n_tokens,
+       |  CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       |  round(CAST(coalesce(c.dup_tokens, 0) AS DOUBLE) / d.n_tokens, 6) AS dup_frac
+       |FROM docs_n d LEFT JOIN cov c USING (doc_id) ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** The TRANSFORM companion of `q_dup_span_census`
+    * ([[graft.operators.Dedup.stripDupSpans]], ExactSubstr-cut):
+    * every document rebuilt WITHOUT its duplicated spans; the gate
+    * compares the md5 of the rebuilt text (exact reconstruction
+    * without shipping text through the compare, as
+    * `q_boilerplate_strip`). Near-dup families lose their shared
+    * spans and keep divergent ones; exact-dup members strip to
+    * empty. */
+  private def qDupSpanStrip(implicit s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.stripDupSpans(
+        docs.select(col("doc_id"), col("text")), "doc_id", "text",
+        win = DupSpanWin, seed = DupSpanSeed)
+      .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+        md5(col("clean_text").cast("binary")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+
+  private val qDupSpanStripSql = {
+    val w = DupSpanWin
+    val wid = graft.operators.Dedup.widSql(
+      s"array_to_string(list_slice(t, CAST(i AS BIGINT), CAST(i + ${w - 1} AS BIGINT)), ' ')",
+      DupSpanSeed)
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       |wins AS (
+       |  SELECT doc_id, i AS s, $wid AS wid
+       |  FROM (SELECT doc_id, t,
+       |          unnest(generate_series(1, CAST(len(t) - ${w - 1} AS BIGINT))) AS i
+       |        FROM base WHERE len(t) >= $w)),
+       |census AS (SELECT wid, COUNT(*) AS occ FROM wins GROUP BY 1),
+       |dup AS (SELECT wi.doc_id, wi.s FROM wins wi
+       |        JOIN census c USING (wid) WHERE c.occ > 1),
+       |isl AS (
+       |  SELECT doc_id, s,
+       |    CASE WHEN s > coalesce(MAX(s + ${w - 1}) OVER (PARTITION BY doc_id
+       |      ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |      THEN 1 ELSE 0 END AS new_isl
+       |  FROM dup),
+       |isl2 AS (SELECT doc_id, s,
+       |    SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY s) AS isl FROM isl),
+       |islands AS (SELECT doc_id, isl, MIN(s) AS s0, MAX(s) + ${w - 1} AS e0
+       |            FROM isl2 GROUP BY 1, 2),
+       |covered AS (SELECT DISTINCT doc_id, unnest(generate_series(s0, e0)) AS p
+       |            FROM islands),
+       |pos AS (SELECT doc_id, i AS p, t[i] AS tok
+       |        FROM (SELECT doc_id, t,
+       |                unnest(generate_series(1, CAST(len(t) AS BIGINT))) AS i
+       |              FROM base)),
+       |kept AS (SELECT po.doc_id, po.p, po.tok FROM pos po
+       |         LEFT JOIN covered c ON c.doc_id = po.doc_id AND c.p = po.p
+       |         WHERE c.p IS NULL)
+       |SELECT b.doc_id, CAST(len(b.t) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(COUNT(k.p), 0) AS BIGINT) AS n_kept,
+       |  md5(coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '')) AS clean_md5
+       |FROM base b LEFT JOIN kept k USING (doc_id)
+       |GROUP BY b.doc_id, b.t ORDER BY b.doc_id""".stripMargin
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q_corpus_drift_kl", (s, d) => qCorpusDriftKl(s, d), Some(qCorpusDriftKlSql)),
+    Q("q_dup_span_strip", (s, d) => qDupSpanStrip(s, d), Some(qDupSpanStripSql)),
+    Q("q_domain_cap", (s, d) => qDomainCap(s, d), Some(qDomainCapSql)),
+    Q("q_dup_span_census", (s, d) => qDupSpanCensus(s, d), Some(qDupSpanCensusSql)),
     Q("q_dsir_select", (s, d) => qDsirSelect(s, d), Some(qDsirSelectSql)),
     Q("q_approx_percentile_hist",
       (s, d) => qApproxPercentileHist(s, d), Some(qApproxPercentileHistSql)),

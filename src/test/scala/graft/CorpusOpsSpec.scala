@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Drift, Selection}
+
+/** Round-12 additions: salted two-phase top-N-per-group (domain cap),
+  * stride-1 duplicated-span census, corpus-drift KL, and the LATERAL
+  * subquery surface. Each op's defining property on constructed
+  * inputs, plus exact equivalence to its naive formulation. */
+class CorpusOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ----------------------------------------------- topNPerGroupScalable
+  test("topNPerGroupScalable equals the plain window on a skewed frame") {
+    // group g0 is hot (300 rows), g1 tiny (3), g2 has duplicate scores
+    // (tie-break through the id must decide identically in both plans)
+    val rows = (1 to 300).map(i => ("g0", i.toLong, (i * 37 % 101).toDouble)) ++
+      Seq(("g1", 1000L, 5.0), ("g1", 1001L, 7.0), ("g1", 1002L, 7.0)) ++
+      (1 to 40).map(i => ("g2", 2000L + i, 1.0))
+    val df = rows.toDF("grp", "id", "score")
+    val order = Seq(col("score").desc, col("id").asc)
+    val fast = Selection.topNPerGroupScalable(
+        df, "grp", order, saltBy = col("id"), n = 7, salts = 4)
+      .select($"grp", $"id", $"rn")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val w = Window.partitionBy($"grp").orderBy(order: _*)
+    val naive = df.withColumn("rn", row_number().over(w))
+      .where($"rn" <= 7).select($"grp", $"id", $"rn")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(fast == naive, s"two-phase != window:\n${fast.diff(naive)}\n${naive.diff(fast)}")
+    assert(naive.count(_._1 == "g0") == 7 && naive.count(_._1 == "g1") == 3)
+  }
+
+  // --------------------------------------------------- dupSpanCensus
+  private def census(docs: Seq[(Long, String)]): Map[Long, (Long, Long)] =
+    Dedup.dupSpanCensus(docs.toDF("doc_id", "text"), "doc_id", "text",
+        win = 5, seed = 3011L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("dupSpanCensus: shared span covered at every alignment, unique text untouched") {
+    // docs 1 and 2 share exactly tokens s1..s7 (7 tokens); their other
+    // tokens are from disjoint alphabets. A 7-token shared span has
+    // three 5-token alignments in each doc -> one merged island of 7.
+    val shared = (1 to 7).map("s" + _).mkString(" ")
+    val d1 = s"a1 a2 $shared a3 a4"      // 11 tokens, dup 7
+    val d2 = s"b1 $shared b2 b3 b4"      // 11 tokens, dup 7
+    val d3 = (1 to 9).map("u" + _).mkString(" ") // unique, dup 0
+    val r = census(Seq((1L, d1), (2L, d2), (3L, d3)))
+    assert(r(1L) == (11L, 7L), s"doc1: ${r(1L)}")
+    assert(r(2L) == (11L, 7L), s"doc2: ${r(2L)}")
+    assert(r(3L) == (9L, 0L), s"doc3: ${r(3L)}")
+  }
+
+  test("dupSpanCensus: intra-doc repetition counts, short docs report zero") {
+    // doc 10 repeats a 5-gram inside itself (positions 1-5 and 6-10):
+    // both occurrences are duplicated windows -> full coverage 10.
+    val rep = "p q r s t p q r s t"
+    val r = census(Seq((10L, rep), (11L, "one two")))
+    assert(r(10L) == (10L, 10L), s"intra-doc: ${r(10L)}")
+    assert(r(11L) == (2L, 0L), s"short doc: ${r(11L)}")
+  }
+
+  test("dupSpanCensus: disjoint dup spans stay separate islands, coverage adds") {
+    // doc 20 shares span1 (tokens 1-5) with doc 21 and span2 (tokens
+    // 9-13) with doc 22; tokens 6-8 are unique -> coverage 5 + 5 = 10
+    // of 13, two islands that must NOT merge across the gap.
+    val s1 = (1 to 5).map("x" + _).mkString(" ")
+    val s2 = (1 to 5).map("y" + _).mkString(" ")
+    val r = census(Seq(
+      (20L, s"$s1 g1 g2 g3 $s2"),
+      (21L, s"h1 h2 $s1 h3 h4"),
+      (22L, s"k1 k2 $s2 k3 k4")))
+    assert(r(20L) == (13L, 10L), s"two islands: ${r(20L)}")
+  }
+
+  test("stripDupSpans rebuilds exactly the uncovered tokens in order") {
+    val shared = (1 to 7).map("s" + _).mkString(" ")
+    val strip = Dedup.stripDupSpans(
+        Seq((1L, s"a1 a2 $shared a3 a4"), (2L, s"b1 $shared b2 b3 b4"),
+          (3L, "u1 u2 u3 u4 u5 u6"), (4L, "p q r s t p q r s t"))
+          .toDF("doc_id", "text"), "doc_id", "text", win = 5, seed = 3011L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(strip(1L) == (4L, "a1 a2 a3 a4"), s"doc1: ${strip(1L)}")
+    assert(strip(2L) == (4L, "b1 b2 b3 b4"), s"doc2: ${strip(2L)}")
+    assert(strip(3L) == (6L, "u1 u2 u3 u4 u5 u6"), s"unique doc: ${strip(3L)}")
+    assert(strip(4L) == (0L, ""), s"fully-duplicated doc: ${strip(4L)}")
+  }
+
+  // ------------------------------------------------------- drift KL
+  test("drift KL: identical mixes score equal, a drifted shard scores higher") {
+    // shards A and B draw the corpus mix; shard C speaks another
+    // vocabulary entirely. KL is computed vs the pooled corpus.
+    val mix = Seq("alpha", "beta", "gamma", "alpha")
+    val toks = mix.map(("A", _)) ++ mix.map(("B", _)) ++
+      Seq.fill(4)("omega").map(("C", _))
+    val r = Drift.klPerGroup(toks.toDF("src", "word"), "src", "word", 64)
+      .collect().map(x => x.getString(0) -> x.getDouble(2)).toMap
+    assert(r("A") == r("B"), s"identical shards differ: $r")
+    assert(r("C") > r("A"), s"drifted shard not above baseline: $r")
+    // smoothed KL against a pooled baseline is near zero for an
+    // in-distribution shard and bounded below by the smoothing floor
+    assert(r.values.forall(_ > -1e-9), s"negative KL: $r")
+  }
+
+  // ------------------------------------------------- lateral subquery
+  test("LATERAL top-2 equals the window formulation and decorrelates") {
+    val cust = Seq((1L, "c1", 10.0, 1L), (2L, "c2", 30.0, 1L),
+        (3L, "c3", 20.0, 1L), (4L, "c4", 5.0, 2L), (5L, "c5", 5.0, 2L))
+      .toDF("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val nat = Seq((1L, "FR"), (2L, "DE"), (3L, "EMPTY"))
+      .toDF("n_nationkey", "n_name")
+    cust.createOrReplaceTempView("cust_lat_spec")
+    nat.createOrReplaceTempView("nat_lat_spec")
+    val lateral = spark.sql("""
+      SELECT n.n_name, tc.c_custkey
+      FROM nat_lat_spec n,
+      LATERAL (SELECT c_custkey FROM cust_lat_spec c
+               WHERE c.c_nationkey = n.n_nationkey
+               ORDER BY c_acctbal DESC, c_custkey LIMIT 2) tc""")
+    val got = lateral.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // window equivalent (inner lateral = per-nation top-2)
+    val w = Window.partitionBy($"c_nationkey")
+      .orderBy($"c_acctbal".desc, $"c_custkey")
+    val expect = cust.withColumn("rk", row_number().over(w))
+      .where($"rk" <= 2)
+      .join(nat, $"c_nationkey" === $"n_nationkey")
+      .select($"n_name", $"c_custkey")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == expect, s"lateral $got != window $expect")
+    assert(!got.exists(_._1 == "EMPTY"), "inner join semantics: empty nation must vanish")
+    // decorrelation: no per-outer-row re-execution shape survives —
+    // the executed plan must be join+window, not a cartesian loop
+    val plan = lateral.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"lateral did not decorrelate:\n$plan")
+  }
+}
