@@ -765,6 +765,66 @@ object Dedup {
           col("n_tokens"), 6).as("dup_frac"))
   }
 
+  /** Collapse-first [[dupSpanCensus]] — the 100 TB path, same answer
+    * by construction: window occurrence counts are computed over
+    * distinct-text FAMILIES weighted by family size (a window at
+    * alignment s of a text replicated sz times occurs sz times
+    * corpus-wide — exactly the straight census's count), coverage is
+    * resolved once per family, and every member inherits its family's
+    * statistics through a 16-byte md5(text) digest join — the corpus
+    * never ships window text per COPY, only per distinct text. Under
+    * K× duplication the window/census/island work shrinks by K; the
+    * corpus-sized stages are one digest shuffle and the stats
+    * join-back. The same weighting makes [[stripDupSpans]] collapse
+    * the same way (clean_text is a function of the family text and
+    * the global census) — this census variant is the gated
+    * demonstration. */
+  def dupSpanCensusScalable(df: DataFrame, idCol: String, textCol: String,
+                            win: Int, seed: Long): DataFrame = {
+    require(win >= 2, s"dupSpanCensusScalable window must be >= 2, got $win")
+    val fams = graft.core.Caches.track(
+      df.groupBy(col(textCol))
+        .agg(count(lit(1)).as("_sz"))
+        .select(md5(col(textCol).cast("binary")).as("_dg"),
+          TextFns.tokens(col(textCol)).as("_t"), col("_sz"))
+        .withColumn("n_tokens", size(col("_t")).cast("long")))
+    val wins = fams
+      .where(col("n_tokens") >= win)
+      .select(col("_dg"), col("_sz"), posexplode(expr(
+        s"transform(sequence(1, CAST(size(_t) - ${win - 1} AS INT)), " +
+          s"i -> concat_ws(' ', slice(_t, i, $win)))"))
+        .as(Seq("_i0", "_win")))
+      .select(col("_dg"), col("_sz"), (col("_i0") + 1).as("s"),
+        md5Wid(col("_win"), seed).as("_wid"))
+    // member-weighted census: Σ family sizes per window id — equal to
+    // the straight corpus-wide count(*)
+    val census = wins.groupBy(col("_wid")).agg(sum(col("_sz")).as("_occ"))
+    val dupStarts = wins.join(census.where(col("_occ") > 1L), Seq("_wid"))
+      .select(col("_dg"), col("s"))
+    val wPrev = Window.partitionBy(col("_dg")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("_dg")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val covered = dupStarts
+      .withColumn("_new", when(
+        col("s") > coalesce(max(col("s") + lit(win - 1)).over(wPrev), lit(-1L)),
+        1L).otherwise(0L))
+      .withColumn("_isl", sum(col("_new")).over(wRun))
+      .groupBy(col("_dg"), col("_isl"))
+      .agg((max(col("s")) - min(col("s")) + lit(win.toLong)).as("_len"))
+      .groupBy(col("_dg"))
+      .agg(sum(col("_len")).as("dup_tokens"))
+    val famStats = fams.select(col("_dg"), col("n_tokens"))
+      .join(covered, Seq("_dg"), "left")
+      .select(col("_dg"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("n_tokens"), 6).as("dup_frac"))
+    df.select(col(idCol), md5(col(textCol).cast("binary")).as("_dg"))
+      .join(famStats, Seq("_dg"))
+      .select(col(idCol), col("n_tokens"), col("dup_tokens"), col("dup_frac"))
+  }
+
   /** The TRANSFORM companion of [[dupSpanCensus]] — Lee et al.'s
     * ExactSubstr-cut (arXiv:2107.06499 §4.2): rebuild every document
     * with its duplicated spans REMOVED, keeping only token positions

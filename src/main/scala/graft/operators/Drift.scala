@@ -27,10 +27,14 @@ import org.apache.spark.sql.types.DecimalType
   * Σ_b (c_b+1)·w_b, where (c_b+1) is an exact integer and w_b the
   * 6-dp DECIMAL weight — the inner sum is exact decimal arithmetic
   * (the [[Dsir]] recipe), and the single closing division runs once
-  * per GROUP on bit-identical operands. (A per-term p·w double cast
-  * to decimal is NOT parity-safe: Spark casts through the shortest
-  * decimal repr of the double, DuckDB rounds the binary expansion —
-  * measured divergent at the 10th decimal.)
+  * per GROUP on bit-identical operands. The reported divergence is
+  * the FLOOR-pinned integer floor(kl·10⁹) (`kl_e9`, the
+  * q_mixture_target `rate_e6` recipe): floor of identical doubles is
+  * pure IEEE arithmetic in both engines, while round-to-9-dp
+  * disagrees on exact half-boundaries (Spark rounds the shortest
+  * decimal repr, DuckDB the binary expansion — measured 1-ulp
+  * divergent on the streaming twin), and a per-term p·w double cast
+  * to decimal diverges at the 10th decimal.
   *
   * Scale posture: the only corpus-sized operation is the grouped
   * count onto (group, bucket) cells — map-side combined, state
@@ -69,7 +73,8 @@ object Drift {
         ((col("c") + lit(1L)).cast(DecimalType(20, 0)) * w).as("term"))
       .groupBy(col(groupCol))
       .agg(max(col("t_grp")).cast("long").as("n_tokens"),
-        round(sum(col("term")).cast("double") /
-          (max(col("t_grp")) + bb).cast("double"), 9).as("kl_vs_corpus"))
+        floor(sum(col("term")).cast("double") /
+          (max(col("t_grp")) + bb).cast("double") * lit(1e9))
+          .cast("long").as("kl_e9"))
   }
 }

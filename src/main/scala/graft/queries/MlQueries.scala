@@ -193,6 +193,38 @@ object MlQueries extends QueryModule {
       |  CAST(ROUND(SUM(CAST(value AS DECIMAL(30,4))), 2) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  /** Streaming drift monitor — [[EventStreams.streamingDrift]]: the
+    * per-hour event-type distribution streamed through a tumbling
+    * window, scored as smoothed KL divergence against the broadcast
+    * at-rest baseline. The oracle replays the windowed counts AND the
+    * divergence arithmetic from the same rows (`graft.operators.Drift`
+    * decimal recipe), so the gate proves streamed state accumulation
+    * plus the drift math end-to-end. */
+  private def qStreamDrift(implicit s: SparkSession, dir: String): DataFrame =
+    EventStreams.streamingDrift(s, dir).orderBy(col("hour"))
+
+  private val qStreamDriftSql =
+    """WITH streamed AS (
+      |  SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |base AS (SELECT event_type, COUNT(*) AS cq FROM events GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(cq) AS BIGINT) AS t_all, COUNT(*) AS n_a FROM base),
+      |hours AS (SELECT hour, CAST(SUM(c) AS BIGINT) AS t_grp FROM streamed GROUP BY 1),
+      |grid AS (
+      |  SELECT h.hour, h.t_grp, b.event_type, b.cq, coalesce(s.c, 0) AS c
+      |  FROM hours h CROSS JOIN base b
+      |  LEFT JOIN streamed s ON s.hour = h.hour AND s.event_type = b.event_type),
+      |terms AS (
+      |  SELECT hour, t_grp, n_a,
+      |    CAST(c + 1 AS DECIMAL(20,0)) * CAST(round(ln(
+      |      ((c + 1.0) / CAST(t_grp + n_a AS DOUBLE)) /
+      |      ((cq + 1.0) / CAST(t_all + n_a AS DOUBLE))), 6) AS DECIMAL(18,6)) AS term
+      |  FROM grid CROSS JOIN tot)
+      |SELECT hour, CAST(MAX(t_grp) AS BIGINT) AS n_events,
+      |  CAST(floor(CAST(SUM(term) AS DOUBLE)
+      |    / CAST(MAX(t_grp) + MAX(n_a) AS DOUBLE) * 1e9) AS BIGINT) AS kl_e9
+      |FROM terms GROUP BY hour ORDER BY hour""".stripMargin
+
   /** Streaming KMV distinct-user sketch — see
     * [[EventStreams.streamingKmv]]; the oracle is the BATCH sketch
     * replay (distinct seeded hashes, k smallest, same estimate
@@ -759,6 +791,7 @@ object MlQueries extends QueryModule {
     Q("q_pca_energy", (s, d) => qPca(s, d), None),
     Q("q_pca_exact", (s, d) => qPcaExact(s, d), Some(qPcaExactSql)),
     Q("q_stream_hourly", (s, d) => qStreamHourly(s, d), Some(qStreamHourlySql)),
+    Q("q_stream_drift", (s, d) => qStreamDrift(s, d), Some(qStreamDriftSql)),
     Q("q_stream_kmv", (s, d) => qStreamKmv(s, d), Some(qStreamKmvSql)),
     Q("q_sessionize", (s, d) => qSessionize(s, d), Some(qSessionizeSql)),
     Q("q_sessionize_tws", (s, d) => qSessionizeTws(s, d), Some(qSessionizeSql)),

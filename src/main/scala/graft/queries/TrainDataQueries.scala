@@ -1006,8 +1006,8 @@ object TrainDataQueries extends QueryModule {
        |      AS DECIMAL(18,6)) AS term
        |  FROM grid LEFT JOIN corpus USING (bkt) CROSS JOIN tot)
        |SELECT source, CAST(MAX(t_grp) AS BIGINT) AS n_tokens,
-       |  round(CAST(SUM(term) AS DOUBLE) /
-       |    CAST(MAX(t_grp) + $DsirB AS DOUBLE), 9) AS kl_vs_corpus
+       |  CAST(floor(CAST(SUM(term) AS DOUBLE) /
+       |    CAST(MAX(t_grp) + $DsirB AS DOUBLE) * 1e9) AS BIGINT) AS kl_e9
        |FROM terms GROUP BY source ORDER BY source""".stripMargin
   }
 
@@ -1047,6 +1047,108 @@ object TrainDataQueries extends QueryModule {
        |      ORDER BY $wid, doc_id) AS BIGINT) AS rn
        |  FROM documents)
        |WHERE rn <= $DomainCapN ORDER BY source, rn""".stripMargin
+  }
+
+  // ------------------------------------- temperature-scaled mixture
+  /** Temperature/α-smoothed source mixture (Conneau & Lample 2019
+    * §3.1, mT5/XLM-R convention): raw source shares p_s are flattened
+    * to q_s ∝ p_s^α (α = [[MixAlpha]]) so head domains shrink and tail
+    * domains grow; the per-source keep rate r_s ∝ q_s/p_s = p_s^(α−1),
+    * normalized so the most-downweighted source keeps rate 1 — the
+    * standard "sample tail languages up" schedule. Selection is the
+    * suite's deterministic md5-h15 Bernoulli; output reports per
+    * source (n_total, n_kept, rate_e6).
+    *
+    * Determinism: the one pow() per SOURCE is rounded to 6 dp (the
+    * round-the-transcendental recipe); the max-normalizing division
+    * and the Bernoulli threshold compare identical doubles; the
+    * reported rate is floor-pinned (`rate_e6`). Scale: one grouped
+    * count, 20-row broadcast rate table, one hash compare per row. */
+  private val MixAlpha = 0.3
+  private val MixTempSeed = 78L
+
+  private def qMixtureTemperature(implicit s: SparkSession, dir: String): DataFrame = {
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("nn"))
+    val w = counts.crossJoin(broadcast(tot))
+      .withColumn("w",
+        round(pow(col("n").cast("double") / col("nn").cast("double"),
+          MixAlpha - 1.0), 6))
+    val mx = w.agg(max(col("w")).as("wmax"))
+    val rates = w.crossJoin(broadcast(mx))
+      .select(col("source"), (col("w") / col("wmax")).as("rate"))
+    val u = conv(substring(
+        md5(concat(lit(s"$MixTempSeed:"), col("doc_id").cast("string"))
+          .cast("binary")), 1, 15), 16, 10)
+      .cast("long").cast("double") / lit(1152921504606846976.0)
+    docs.select(col("source"), col("doc_id"))
+      .join(broadcast(rates), "source")
+      .select(col("source"), (u < col("rate")).cast("int").as("kept"), col("rate"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"), sum(col("kept")).as("n_kept"),
+        floor(max(col("rate")) * lit(1e6)).cast("long").as("rate_e6"))
+      .orderBy(col("source"))
+  }
+
+  private val qMixtureTemperatureSql = {
+    val h15 = graft.operators.Scorers.ProxyBackend
+      .h15Sql(MixTempSeed, "CAST(doc_id AS VARCHAR)")
+    s"""WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM counts),
+       |w AS (SELECT source, n,
+       |        round(pow(CAST(n AS DOUBLE) / nn, ${MixAlpha - 1.0}), 6) AS w
+       |      FROM counts, tot),
+       |mx AS (SELECT MAX(w) AS wmax FROM w),
+       |rates AS (SELECT source, w / wmax AS rate FROM w, mx),
+       |kept AS (
+       |  SELECT d.source,
+       |    CASE WHEN CAST($h15 AS DOUBLE) / 1152921504606846976.0 < r.rate
+       |      THEN 1 ELSE 0 END AS kept, r.rate
+       |  FROM documents d JOIN rates r USING (source))
+       |SELECT source, COUNT(*) AS n_total, CAST(SUM(kept) AS BIGINT) AS n_kept,
+       |  CAST(floor(MAX(rate) * 1e6) AS BIGINT) AS rate_e6
+       |FROM kept GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // --------------------------------------- per-domain token budget
+  /** Token-budget sibling of `q_domain_cap`: each source keeps docs in
+    * deterministic md5-rank order while its cumulative token count
+    * fits [[DomainTokBudget]] — the per-DOMAIN token cap (The
+    * Pile/RefinedWeb balance caps are token-, not doc-, denominated).
+    * Output is budget-bounded per source at every SF (the cap itself
+    * bounds it), so the ladder checks a shrinking selection over a
+    * growing corpus. The per-source running sum is a window
+    * partitioned by source (the `q_pack_sequences` shape); a
+    * pathological domain would take the [[graft.operators.Selection
+    * .tokenBudgetSelect]] histogram decomposition per group. */
+  private val DomainTokBudget = 4000L
+  private val DomainTokSeed = 3307L
+
+  private def qDomainCapTokens(implicit s: SparkSession, dir: String): DataFrame = {
+    val rank = graft.operators.Dedup.md5Wid(
+      col("doc_id").cast("string"), DomainTokSeed)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(rank.asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    docs.select(col("doc_id"), col("source"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") <= DomainTokBudget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("source"), col("cum_tokens"))
+  }
+
+  private val qDomainCapTokensSql = {
+    val wid = graft.operators.Dedup.widSql("CAST(doc_id AS VARCHAR)", DomainTokSeed)
+    s"""SELECT doc_id, source, n_tokens, cum_tokens FROM (
+       |  SELECT doc_id, source, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY source
+       |      ORDER BY $wid, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |  FROM (SELECT doc_id, source,
+       |          CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+       |        FROM documents))
+       |WHERE cum_tokens <= $DomainTokBudget
+       |ORDER BY source, cum_tokens""".stripMargin
   }
 
   // --------------------------------------------- duplicated-span census
@@ -1100,6 +1202,58 @@ object TrainDataQueries extends QueryModule {
        |  CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
        |  round(CAST(coalesce(c.dup_tokens, 0) AS DOUBLE) / d.n_tokens, 6) AS dup_frac
        |FROM docs_n d LEFT JOIN cov c USING (doc_id) ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Collapse-first sibling of `q_dup_span_census`
+    * ([[graft.operators.Dedup.dupSpanCensusScalable]]): the census
+    * runs over distinct-text families weighted by family size, and
+    * members inherit through a digest join — the production path under
+    * heavy duplication, gated EQUAL output. The oracle replays the
+    * SAME collapse (families are invariant under replication), which
+    * is also what keeps the DuckDB twin feasible at the 1000× rung —
+    * the straight twin explodes stride-1 windows per COPY. */
+  private def qDupSpanScalable(implicit s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.dupSpanCensusScalable(
+        docs.select(col("doc_id"), col("text")), "doc_id", "text",
+        win = DupSpanWin, seed = DupSpanSeed)
+      .orderBy(col("doc_id"))
+
+  private val qDupSpanScalableSql = {
+    val w = DupSpanWin
+    val wid = graft.operators.Dedup.widSql(
+      s"array_to_string(list_slice(t, CAST(i AS BIGINT), CAST(i + ${w - 1} AS BIGINT)), ' ')",
+      DupSpanSeed)
+    s"""WITH fam AS (
+       |  SELECT text, COUNT(*) AS sz FROM documents GROUP BY text),
+       |base AS (
+       |  SELECT text, sz, string_split_regex(trim(text), '\\s+') AS t FROM fam),
+       |wins AS (
+       |  SELECT text, sz, i AS s, $wid AS wid
+       |  FROM (SELECT text, sz, t,
+       |          unnest(generate_series(1, CAST(len(t) - ${w - 1} AS BIGINT))) AS i
+       |        FROM base WHERE len(t) >= $w)),
+       |census AS (SELECT wid, CAST(SUM(sz) AS BIGINT) AS occ FROM wins GROUP BY 1),
+       |dup AS (SELECT wi.text, wi.s FROM wins wi
+       |        JOIN census c USING (wid) WHERE c.occ > 1),
+       |isl AS (
+       |  SELECT text, s,
+       |    CASE WHEN s > coalesce(MAX(s + ${w - 1}) OVER (PARTITION BY text
+       |      ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |      THEN 1 ELSE 0 END AS new_isl
+       |  FROM dup),
+       |isl2 AS (SELECT text, s,
+       |    SUM(new_isl) OVER (PARTITION BY text ORDER BY s) AS isl FROM isl),
+       |cov AS (SELECT text, CAST(SUM(ln) AS BIGINT) AS dup_tokens FROM (
+       |  SELECT text, isl, MAX(s) - MIN(s) + $w AS ln FROM isl2 GROUP BY 1, 2)
+       |  GROUP BY 1),
+       |stats AS (
+       |  SELECT b.text, CAST(len(b.t) AS BIGINT) AS n_tokens,
+       |    CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       |    round(CAST(coalesce(c.dup_tokens, 0) AS DOUBLE) / len(b.t), 6) AS dup_frac
+       |  FROM base b LEFT JOIN cov c USING (text))
+       |SELECT d.doc_id, st.n_tokens, st.dup_tokens, st.dup_frac
+       |FROM documents d JOIN stats st USING (text)
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   /** The TRANSFORM companion of `q_dup_span_census`
@@ -1163,7 +1317,10 @@ object TrainDataQueries extends QueryModule {
     Q("q_corpus_drift_kl", (s, d) => qCorpusDriftKl(s, d), Some(qCorpusDriftKlSql)),
     Q("q_dup_span_strip", (s, d) => qDupSpanStrip(s, d), Some(qDupSpanStripSql)),
     Q("q_domain_cap", (s, d) => qDomainCap(s, d), Some(qDomainCapSql)),
+    Q("q_domain_cap_tokens", (s, d) => qDomainCapTokens(s, d), Some(qDomainCapTokensSql)),
+    Q("q_mixture_temperature", (s, d) => qMixtureTemperature(s, d), Some(qMixtureTemperatureSql)),
     Q("q_dup_span_census", (s, d) => qDupSpanCensus(s, d), Some(qDupSpanCensusSql)),
+    Q("q_dup_span_scalable", (s, d) => qDupSpanScalable(s, d), Some(qDupSpanScalableSql)),
     Q("q_dsir_select", (s, d) => qDsirSelect(s, d), Some(qDsirSelectSql)),
     Q("q_approx_percentile_hist",
       (s, d) => qApproxPercentileHist(s, d), Some(qApproxPercentileHistSql)),

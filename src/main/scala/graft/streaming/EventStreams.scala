@@ -256,6 +256,62 @@ object EventStreams {
       .select(Sketches.kmvEstimateFromBuffer(col("sketch"), k): _*)
   }
 
+  /** STREAMING drift monitor — the real-time shape of
+    * [[graft.operators.Drift]]: a static day-0 baseline (the
+    * event-type distribution of the at-rest table, alphabet-sized and
+    * broadcast) against per-hour streamed distributions, reported as
+    * smoothed KL divergence per hour. The STREAM side is exactly the
+    * tumbling-window grouped count (bounded state: open windows ×
+    * alphabet); all divergence arithmetic runs AFTER the stream
+    * completes, over the tiny (hours × types) result — so state never
+    * holds a float, and the oracle replays stream + math from the
+    * same at-rest rows.
+    *
+    * Determinism: the [[graft.operators.Drift]] recipe — exact counts,
+    * one 6-dp-rounded ln per (hour, type) cell, Σ(c+1)·w in DECIMAL,
+    * one closing double division per hour. The smoothing alphabet is
+    * the OBSERVED type set (every type appears corpus-wide by
+    * construction of the baseline). */
+  def streamingDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val name = s"stream_drift_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val sunk = runToCompletion(spark,
+      eventsStream(spark, dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("window.start").as("hour"), col("event_type"), col("c")),
+      name)
+    // the memory-sink View (MemoryPlan) is not multi-instance: joining
+    // an aggregate of it back against it fails attribute dedup. Rebase
+    // onto an RDD-backed plan (distributed, no driver materialization)
+    // which DeduplicateRelations can re-instance.
+    val streamed = spark.createDataFrame(sunk.rdd, sunk.schema)
+    // day-0 baseline from the at-rest table: per-type counts + totals
+    val base = graft.core.Tables.events(spark, dir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("cq"))
+    val tot = base.agg(sum(col("cq")).as("t_all"),
+      count(lit(1)).as("n_a"))
+    // complete (hour × alphabet) grid: an hour missing a type still
+    // contributes that type's smoothed mass
+    val hours = streamed.groupBy(col("hour")).agg(sum(col("c")).as("t_grp"))
+    val grid = hours
+      .crossJoin(broadcast(base))
+      .join(streamed, Seq("hour", "event_type"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .crossJoin(broadcast(tot))
+    val p = (col("c") + lit(1.0)) / (col("t_grp") + col("n_a")).cast("double")
+    val q = (col("cq") + lit(1.0)) / (col("t_all") + col("n_a")).cast("double")
+    val w = round(log(p / q), 6).cast(DecimalType(18, 6))
+    grid.select(col("hour"), col("t_grp"), col("n_a"),
+        ((col("c") + lit(1L)).cast(DecimalType(20, 0)) * w).as("term"))
+      .groupBy(col("hour"))
+      .agg(max(col("t_grp")).cast("long").as("n_events"),
+        floor(sum(col("term")).cast("double") /
+          (max(col("t_grp")) + max(col("n_a"))).cast("double") * lit(1e9))
+          .cast("long").as("kl_e9"))
+  }
+
   /** Hopping (sliding) 1-hour window advancing every 30 minutes —
     * each event lands in two overlapping windows; state is two open
     * windows per key instead of one. */
