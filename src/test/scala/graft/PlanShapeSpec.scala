@@ -163,6 +163,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"global windows in: $offenders")
   }
 
+  test("q_decontam_embed: the eval side broadcasts; the corpus side never exchanges for the probe") {
+    val p = planOf("q_decontam_embed")
+    // the LSH candidate join must broadcast the (small) eval-bucket
+    // side — a shuffled probe would exchange the corpus-sized banded
+    // table at 100 TB
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast probe in:\n$p")
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("q_domain_cap: both phase windows are salt/group-partitioned (no global window)") {
+    val p = planOf("q_domain_cap")
+    // phase 1 partitions by (source, salt); phase 2 by source alone —
+    // two window operators, each with a non-empty partition spec
+    assert("hashpartitioning\\(source#\\d+, _tn_salt".r.findFirstIn(p).isDefined,
+      s"missing salted phase-1 exchange in:\n$p")
+    assert("hashpartitioning\\(source#\\d+, \\d+\\)".r.findFirstIn(p).isDefined,
+      s"missing group-only phase-2 exchange in:\n$p")
+    assert("RunningWindowFunction|Window".r.findFirstIn(p).isDefined, p)
+  }
+
   test("q_asof_join_native: exchanges and sorts come from declared requirements") {
     val p = planOf("q_asof_join_native")
     assert(p.contains("AsofJoin"), p)
