@@ -1704,7 +1704,126 @@ object NorthStarQueries extends QueryModule {
        |WHERE cum_tokens <= 8000 ORDER BY doc_id""".stripMargin
   }
 
+  // ----------------------------------------- web-pipeline curation v2
+  /** The FineWeb/RefinedWeb-style WEB pipeline as one DAG — the
+    * modern-ordering sibling of `q_curate_pipeline`, composing five
+    * proven stages: (1) EXACT dedup (text families, min-id reps);
+    * (2) ExactSubstr boilerplate strip over the deduped reps
+    * ([[graft.operators.Dedup.stripDupSpans]] — after dedup, window
+    * occurrence counts mean "distinct documents sharing this span",
+    * which is the pipeline-meaningful census AND makes every stage
+    * replication-invariant: the whole chain runs over family reps, so
+    * the sf ladder must return the IDENTICAL selection at every
+    * rung); (3) quality filter on the CLEANED text (≥ 0.5, docs with
+    * < 3 surviving tokens drop); (4) per-domain cap (top
+    * [[WebCapN]]/source by quality through the salted two-phase
+    * top-N); (5) global token budget ([[graft.operators.Selection
+    * .tokenBudgetSelect]], greedy by quality). Output: the selected
+    * doc set with clean token counts and running budget — bounded by
+    * the budget at every SF.
+    *
+    * 100 TB posture: stage 1 is the one corpus-sized shuffle;
+    * everything after operates on distinct-text reps (bounded by
+    * content diversity, not corpus size); the cap and budget stages
+    * are output-bounded. */
+  private val WebCapN = 40
+  private val WebMinKept = 3
+  private val WebQualityMin = 0.5
+  private val WebTokenBudget = 8000L
+
+  private def qCurateWeb(implicit s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, Selection}
+    val fam = docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+    val reps = graft.core.Caches.track(
+      fam.join(docs.select(col("doc_id"), col("source")), Seq("doc_id")))
+    val stripped = Dedup.stripDupSpans(
+      reps.select(col("doc_id"), col("text")), "doc_id", "text",
+      win = 5, seed = 3011L)
+    val cleaned = stripped.where(col("n_kept") >= WebMinKept)
+      .join(reps.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .withColumn("quality", TextFns.qualityScore(col("clean_text")))
+      .where(col("quality") >= WebQualityMin)
+      .select(col("doc_id"), col("source"), col("n_kept"), col("quality"))
+    val capped = Selection.topNPerGroupScalable(
+        cleaned, "source",
+        Seq(col("quality").desc, col("doc_id").asc),
+        saltBy = col("doc_id"), n = WebCapN, salts = 8)
+      .drop("rn")
+    Selection.tokenBudgetSelect(capped, "doc_id", "quality", "n_kept",
+        budget = WebTokenBudget)
+      .select(col("doc_id"), col("source"), col("n_kept").as("n_tokens"),
+        col("quality"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qCurateWebSql = {
+    val w = 5
+    val wid = graft.operators.Dedup.widSql(
+      s"array_to_string(list_slice(t, CAST(i AS BIGINT), CAST(i + ${w - 1} AS BIGINT)), ' ')",
+      3011L)
+    val (_, _, quality) = qualitySqlBits
+    s"""WITH fam AS (
+       |  SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+       |reps AS (
+       |  SELECT f.doc_id, d.source, f.text
+       |  FROM fam f JOIN documents d ON d.doc_id = f.doc_id),
+       |base AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM reps),
+       |wins AS (
+       |  SELECT doc_id, i AS s, $wid AS wid
+       |  FROM (SELECT doc_id, t,
+       |          unnest(generate_series(1, CAST(len(t) - ${w - 1} AS BIGINT))) AS i
+       |        FROM base WHERE len(t) >= $w)),
+       |census AS (SELECT wid, COUNT(*) AS occ FROM wins GROUP BY 1),
+       |dup AS (SELECT wi.doc_id, wi.s FROM wins wi
+       |        JOIN census c USING (wid) WHERE c.occ > 1),
+       |isl AS (
+       |  SELECT doc_id, s,
+       |    CASE WHEN s > coalesce(MAX(s + ${w - 1}) OVER (PARTITION BY doc_id
+       |      ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |      THEN 1 ELSE 0 END AS new_isl
+       |  FROM dup),
+       |isl2 AS (SELECT doc_id, s,
+       |    SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY s) AS isl FROM isl),
+       |islands AS (SELECT doc_id, isl, MIN(s) AS s0, MAX(s) + ${w - 1} AS e0
+       |            FROM isl2 GROUP BY 1, 2),
+       |covered AS (SELECT DISTINCT doc_id, unnest(generate_series(s0, e0)) AS p
+       |            FROM islands),
+       |pos AS (SELECT doc_id, i AS p, t[i] AS tok
+       |        FROM (SELECT doc_id, t,
+       |                unnest(generate_series(1, CAST(len(t) AS BIGINT))) AS i
+       |              FROM base)),
+       |kept AS (SELECT po.doc_id, po.p, po.tok FROM pos po
+       |         LEFT JOIN covered c ON c.doc_id = po.doc_id AND c.p = po.p
+       |         WHERE c.p IS NULL),
+       |clean AS (
+       |  SELECT b.doc_id, CAST(coalesce(COUNT(k.p), 0) AS BIGINT) AS n_kept,
+       |    coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '') AS text
+       |  FROM base b LEFT JOIN kept k USING (doc_id)
+       |  GROUP BY b.doc_id),
+       |clean2 AS (SELECT doc_id, n_kept, text FROM clean),
+       |scored AS (
+       |  SELECT c.doc_id, r.source, c.n_kept, $quality AS quality
+       |  FROM clean2 c JOIN (SELECT doc_id, source FROM reps) r USING (doc_id)
+       |  WHERE c.n_kept >= $WebMinKept),
+       |qual AS (SELECT * FROM scored WHERE quality >= $WebQualityMin),
+       |capped AS (
+       |  SELECT doc_id, source, n_kept, quality FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY quality DESC, doc_id) AS rn FROM qual)
+       |  WHERE rn <= $WebCapN),
+       |sel AS (
+       |  SELECT doc_id, source, n_kept, quality,
+       |    CAST(SUM(n_kept) OVER (ORDER BY quality DESC, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |  FROM capped)
+       |SELECT doc_id, source, CAST(n_kept AS BIGINT) AS n_tokens, quality, cum_tokens
+       |FROM sel WHERE cum_tokens <= $WebTokenBudget
+       |ORDER BY doc_id""".stripMargin
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q_curate_web", (s, d) => qCurateWeb(s, d), Some(qCurateWebSql)),
     Q("q_token_budget", (s, d) => qTokenBudget(s, d), Some(qTokenBudgetSql)),
     Q("q_dedup_exact", (s, d) => qDedupExact(s, d), Some(qDedupExactSql)),
     Q("q_curate_pipeline", (s, d) => qCuratePipeline(s, d), Some(qCuratePipelineSql)),
