@@ -459,6 +459,31 @@ object ScaleSmoke {
           .tokenBudgetSelect(scored, "doc_id", "quality", "n_tokens", 8000L)
           .count()
       }
+      // Per-group top-N under domain skew: one domain holds ~90% of
+      // the corpus. The naive ROW_NUMBER window funnels the hot
+      // domain through ONE task's sort; the salted two-phase plan
+      // (Selection.topNPerGroupScalable) splits it `salts` ways and
+      // final-ranks only the ≤ N·salts survivors. Same answer
+      // (spec-asserted); this measures the skew gap at data scale.
+      locally {
+        val skewed = docs.withColumn("source",
+            when(pmod(col("doc_id"), lit(10L)) < 9, lit("hot"))
+              .otherwise(col("source")))
+          .select(col("doc_id"), col("source"),
+            col("n_chars").cast("long").as("sz"))
+        val order = Seq(col("sz").desc, col("doc_id").asc)
+        time("topn_window_hot") {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("source")).orderBy(order: _*)
+          skewed.withColumn("rn", row_number().over(w))
+            .where(col("rn") <= 40).count()
+        }
+        time("topn_salted_hot") {
+          graft.operators.Selection.topNPerGroupScalable(
+            skewed, "source", order, saltBy = col("doc_id"),
+            n = 40, salts = 16).count()
+        }
+      }
       docs.unpersist()
     }
     spark.stop()

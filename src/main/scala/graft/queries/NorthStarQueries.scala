@@ -1716,8 +1716,9 @@ object NorthStarQueries extends QueryModule {
     * the sf ladder must return the IDENTICAL selection at every
     * rung); (3) quality filter on the CLEANED text (≥ 0.5, docs with
     * < 3 surviving tokens drop); (4) per-domain cap (top
-    * [[WebCapN]]/source by quality through the salted two-phase
-    * top-N); (5) global token budget ([[graft.operators.Selection
+    * [[WebCapN]]/source by quality — plain ranking window, which
+    * Spark's WindowGroupLimit two-phases map-side, see
+    * `q_domain_cap`); (5) global token budget ([[graft.operators.Selection
     * .tokenBudgetSelect]], greedy by quality). Output: the selected
     * doc set with clean token counts and running budget — bounded by
     * the budget at every SF.
@@ -1744,10 +1745,12 @@ object NorthStarQueries extends QueryModule {
       .withColumn("quality", TextFns.qualityScore(col("clean_text")))
       .where(col("quality") >= WebQualityMin)
       .select(col("doc_id"), col("source"), col("n_kept"), col("quality"))
-    val capped = Selection.topNPerGroupScalable(
-        cleaned, "source",
-        Seq(col("quality").desc, col("doc_id").asc),
-        saltBy = col("doc_id"), n = WebCapN, salts = 8)
+    val wCap = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    val capped = cleaned
+      .withColumn("rn", row_number().over(wCap))
+      .where(col("rn") <= WebCapN)
       .drop("rn")
     Selection.tokenBudgetSelect(capped, "doc_id", "quality", "n_kept",
         budget = WebTokenBudget)

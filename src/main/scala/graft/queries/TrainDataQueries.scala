@@ -1017,25 +1017,33 @@ object TrainDataQueries extends QueryModule {
     * crawl; cap each at N docs, chosen uniformly at random): keep the
     * [[DomainCapN]] docs per source with the smallest seeded md5 rank
     * hash — a deterministic uniform permutation, so "random cap" is
-    * bit-replayable. Runs through the salted two-phase
-    * [[graft.operators.Selection.topNPerGroupScalable]] plan: the
-    * oracle's plain `ROW_NUMBER OVER (PARTITION BY source)` is the
-    * semantic; the engine plan is the skew-safe refinement that
-    * survives a domain holding billions of rows (no group ever
-    * funnels through one task). Output is N×|domains| rows — bounded
-    * at every scale factor. */
+    * bit-replayable.
+    *
+    * Plan: the PLAIN ranking window — deliberately. Spark ≥3.5
+    * rewrites `row_number() ≤ k` into a map-side `WindowGroupLimit`
+    * (each input partition keeps only its local top-k per group
+    * BEFORE the exchange), which IS the two-phase skew refinement:
+    * a hot domain never funnels its full row count through one
+    * task's sort. Measured against the hand-salted two-phase
+    * ([[graft.operators.Selection.topNPerGroupScalable]], ScaleSmoke
+    * `topn_{window,salted}_hot`): 0.46 s vs 1.04 s at 10 M rows with
+    * 90% of the corpus in one domain — the builtin wins because the
+    * salted plan pays a second full exchange for a refinement
+    * WindowGroupLimit already did map-side. PlanShapeSpec pins the
+    * WindowGroupLimit node so a regression to the funnel shape
+    * fails loudly. Output is N×|domains| rows — bounded at every
+    * scale factor. */
   private val DomainCapN = 40
   private val DomainCapSeed = 3301L
 
   private def qDomainCap(implicit s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.{Dedup, Selection}
-    val ranked = Selection.topNPerGroupScalable(
-      docs.select(col("doc_id"), col("source")),
-      "source",
-      Seq(Dedup.md5Wid(col("doc_id").cast("string"), DomainCapSeed).asc,
-        col("doc_id").asc),
-      saltBy = col("doc_id"), n = DomainCapN, salts = 8)
-    ranked.select(col("doc_id"), col("source"), col("rn").cast("long").as("rn"))
+    import graft.operators.Dedup
+    val w = Window.partitionBy(col("source"))
+      .orderBy(Dedup.md5Wid(col("doc_id").cast("string"), DomainCapSeed).asc,
+        col("doc_id").asc)
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= DomainCapN)
       .orderBy(col("source"), col("rn"))
   }
 
