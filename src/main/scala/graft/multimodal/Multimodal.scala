@@ -205,6 +205,73 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** Average-hash (aHash) of a color PNG from the REAL decode: the
+    * image divides into a grid×grid cell lattice (cell of pixel x =
+    * x·grid/w — the standard downsample), each cell's bit is set iff
+    * its mean brightness (r+g+b, exact integer sums) exceeds the
+    * image mean. The comparison cross-multiplies (cellSum·totalPx >
+    * totalSum·cellPx) so no division ever happens — the hash is pure
+    * integer arithmetic over decoded bytes, which is what lets the
+    * DuckDB oracle replay it from the analytic pixel recipe.
+    * Returns None for non-PNG/undecodable/grayscale payloads. */
+  def decodePngAHash(b: Array[Byte], grid: Int): Option[(Int, Int, Long)] = {
+    val (fmt, _, _, channels) = ImageCodec.parseHeader(b)
+    if (fmt != "png" || channels != 3) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      catch { case _: Exception => null }
+    if (img == null) return None
+    val w = img.getWidth; val h = img.getHeight
+    val cells = grid * grid
+    val cellSum = new Array[Long](cells)
+    val cellN = new Array[Long](cells)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      val cy = y * grid / h
+      var x = 0
+      while (x < w) {
+        val cx = x * grid / w
+        val rgb = img.getRGB(x, y)
+        val br = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        val c = cy * grid + cx
+        cellSum(c) += br; cellN(c) += 1; total += br
+        x += 1
+      }
+      y += 1
+    }
+    val npx = w.toLong * h
+    var hash = 0L
+    var c = 0
+    while (c < cells) {
+      if (cellSum(c) * npx > total * cellN(c)) hash |= (1L << c)
+      c += 1
+    }
+    Some((w, h, hash))
+  }
+
+  /** aHash features over image payloads: (media_id, width, height,
+    * ahash) from the real decode; non-color/undecodable rows yield
+    * null. grid=8 → a 64-bit fingerprint. */
+  def decodeAHash(media: DataFrame, grid: Int = 8): DataFrame = {
+    require(grid >= 2 && grid * grid <= 64, s"grid² must fit 64 bits, got $grid")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("ahash", LongType)))
+    val idI = media.schema.fieldIndex("media_id")
+    val pI  = media.schema.fieldIndex("payload")
+    media.mapPartitions { it =>
+      it.map { r =>
+        decodePngAHash(r.getAs[Array[Byte]](pI), grid) match {
+          case Some((w, h, a)) => Row(r.getLong(idI), w, h, a)
+          case None            => Row(r.getLong(idI), -1, -1, null)
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Real audio bytes + header parsing, pure JVM — the WAV/RIFF
     * mirror of [[ImageCodec]].
     *

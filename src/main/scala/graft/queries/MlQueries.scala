@@ -454,6 +454,89 @@ object MlQueries extends QueryModule {
       |    list_transform(range(h), y -> (x * 31 + y * 17) % 256))), 'sum') AS BIGINT) AS sum_b
       |FROM img ORDER BY media_id""".stripMargin
 
+  /** IMAGE near-dup dedup over REAL decoded pixels — the multimodal
+    * member of the dedup family: every color PNG is aHashed
+    * ([[graft.multimodal.Multimodal.decodeAHash]] — 8×8 cell lattice
+    * over the ImageIO decode, bit = cell brightness above image mean,
+    * all exact integer arithmetic), identical hashes collapse to
+    * families (crop-replicas of the shared analytic pattern make real
+    * families), and near-dup FAMILY pairs come from the same
+    * pigeonhole segment blocking as text SimHash
+    * ([[graft.operators.Dedup.simhashPairs]], 64 bits / 4 segments,
+    * full recall for Hamming ≤ 3). Collapse-first keeps the pair
+    * stage bounded by the distinct-hash count at every SF.
+    *
+    * The oracle replays decode-free: PNG is lossless and the fixture
+    * pixels are the analytic fill `(x·31+y·17) & 0xffffff`, so cell
+    * sums, the hash, the blocking, and the Hamming filter all rerun
+    * as integer SQL — per distinct (w,h) CLASS, not per image
+    * (the hash is a function of geometry alone here). */
+  private val AHashMaxHamming = 3
+
+  private def qImageDedup(implicit s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.imageMedia(
+      Tables.documents(s, dir).where(col("doc_id") % 3 === 0 &&
+        col("doc_id") % 2 === 0 && col("doc_id") % 5 =!= 0), "doc_id")
+    val ah = Multimodal.decodeAHash(media, grid = 8)
+      .where(col("ahash").isNotNull)
+    val fams = graft.core.Caches.track(
+      ah.groupBy(col("ahash")).agg(min(col("media_id")).as("rep"),
+        count(lit(1)).as("sz")))
+    val pairs = graft.operators.Dedup.simhashPairs(
+      fams.select(col("rep"), col("ahash").as("simhash")),
+      "rep", maxHamming = AHashMaxHamming, bits = 64, segments = 4)
+    pairs
+      .join(fams.select(col("rep").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(fams.select(col("rep").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"),
+        col("sz_a"), col("sz_b"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val qImageDedupSql =
+    s"""WITH img AS (
+       |  SELECT doc_id, CAST(16 + doc_id % 17 AS BIGINT) AS w,
+       |    CAST(12 + doc_id % 13 AS BIGINT) AS h
+       |  FROM documents
+       |  WHERE doc_id % 3 = 0 AND doc_id % 2 = 0 AND doc_id % 5 <> 0),
+       |cls AS (SELECT DISTINCT w, h FROM img),
+       |px AS (
+       |  SELECT w, h, ux.x, uy.y,
+       |    ((ux.x * 31 + uy.y * 17) // 65536 % 256)
+       |      + ((ux.x * 31 + uy.y * 17) // 256 % 256)
+       |      + ((ux.x * 31 + uy.y * 17) % 256) AS br,
+       |    (uy.y * 8 // h) * 8 + (ux.x * 8 // w) AS c
+       |  FROM cls, unnest(range(w)) AS ux(x), unnest(range(h)) AS uy(y)),
+       |cellsums AS (
+       |  SELECT w, h, c, CAST(SUM(br) AS BIGINT) AS cs, COUNT(*) AS cn
+       |  FROM px GROUP BY 1, 2, 3),
+       |tot AS (SELECT w, h, CAST(SUM(cs) AS BIGINT) AS ts,
+       |          CAST(SUM(cn) AS BIGINT) AS tn
+       |        FROM cellsums GROUP BY 1, 2),
+       |ah AS (
+       |  SELECT w, h, CAST(SUM(CASE WHEN cs * tn > ts * cn THEN
+       |      CASE WHEN c = 63 THEN -9223372036854775808 ELSE (1::BIGINT << CAST(c AS INTEGER)) END
+       |    ELSE 0 END) AS BIGINT) AS ahash
+       |  FROM cellsums JOIN tot USING (w, h) GROUP BY w, h),
+       |ids AS (SELECT i.doc_id, a.ahash FROM img i JOIN ah a USING (w, h)),
+       |fams AS (SELECT ahash, MIN(doc_id) AS rep, COUNT(*) AS sz
+       |         FROM ids GROUP BY ahash),
+       |segs AS (
+       |  SELECT rep, ahash, u.s, (ahash >> CAST(u.s * 16 AS INTEGER)) & 65535 AS segval
+       |  FROM fams, unnest(range(4)) AS u(s)),
+       |cand AS (
+       |  SELECT DISTINCT x.rep AS id_a, y.rep AS id_b
+       |  FROM segs x JOIN segs y ON x.s = y.s AND x.segval = y.segval
+       |    AND x.rep < y.rep)
+       |SELECT c.id_a, c.id_b,
+       |  CAST(bit_count(xor(fa.ahash, fb.ahash)) AS INTEGER) AS hamming,
+       |  fa.sz AS sz_a, fb.sz AS sz_b
+       |FROM cand c
+       |JOIN fams fa ON fa.rep = c.id_a
+       |JOIN fams fb ON fb.rep = c.id_b
+       |WHERE bit_count(xor(fa.ahash, fb.ahash)) <= $AHashMaxHamming
+       |ORDER BY c.id_a, c.id_b""".stripMargin
+
   /** Per-row REAL-video-container gate, the AVI third of the codec
     * trio: every payload is a valid RIFF/AVI skeleton written by
     * [[Multimodal.VideoCodec]], and the nested chunk walk (RIFF →
@@ -801,6 +884,7 @@ object MlQueries extends QueryModule {
     Q("q_video_headers", (s, d) => qVideoHeaders(s, d), Some(qVideoHeadersSql)),
     Q("q_audio_energy", (s, d) => qAudioEnergy(s, d), Some(qAudioEnergySql)),
     Q("q_image_pixels", (s, d) => qImagePixels(s, d), Some(qImagePixelsSql)),
+    Q("q_image_dedup", (s, d) => qImageDedup(s, d), Some(qImageDedupSql)),
     Q("q_video_frame_sample", (s, d) => qVideoFrameSample(s, d), Some(qVideoFrameSampleSql)),
     Q("q_video_frames_real", (s, d) => qVideoFramesReal(s, d), Some(qVideoFramesRealSql)),
     Q("q_media_features_real", (s, d) => qMediaFeaturesReal(s, d), Some(qMediaFeaturesRealSql)),

@@ -129,6 +129,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r.values.forall(_ >= -1L), s"negative KL: $r")
   }
 
+  // ------------------------------------------------- image aHash
+  test("decodeAHash: geometry-classes hash identically, distinct classes differ") {
+    import graft.multimodal.Multimodal
+    // ids 6 and 6+221·6 share (w,h) = (16+id%17, 12+id%13) — identical
+    // analytic pixel pattern → identical aHash from the REAL decode;
+    // id 12 is a different geometry class
+    val media = Multimodal.imageMedia(
+      Seq(6L, 1332L, 12L).toDF("doc_id"), "doc_id")
+    val r = Multimodal.decodeAHash(media, grid = 8)
+      .collect().map(x => x.getLong(0) -> x.getLong(3)).toMap
+    assert(r(6L) == r(1332L), s"same-class hashes differ: $r")
+    assert(r(6L) != r(12L), s"distinct classes collide: $r")
+  }
+
   // ------------------------------------------------- lateral subquery
   test("LATERAL top-2 equals the window formulation and decorrelates") {
     val cust = Seq((1L, "c1", 10.0, 1L), (2L, "c2", 30.0, 1L),
