@@ -825,6 +825,172 @@ object Dedup {
       .select(col(idCol), col("n_tokens"), col("dup_tokens"), col("dup_frac"))
   }
 
+  /** Persisted duplicated-span census with DELTA-sized day-2 update —
+    * the daily-ingest lifecycle of [[dupSpanCensusScalable]], the
+    * same persist→probe shape as [[SignatureStore]]. Day 1 persists
+    * three collapse-first frames: per-family stats (digest, sz,
+    * n_tokens, dup_tokens), family windows (digest, s, wid), and the
+    * member-weighted census (wid, occ). Day 2 absorbs a delta with
+    * work bounded by the delta and the families it TOUCHES, exact by
+    * monotonicity: in an append-only corpus occ only grows, so a
+    * family's dup set (its wids with occ > 1) changes iff one of its
+    * wids CROSSES the 1→≥2 threshold. The update therefore:
+    * (1) computes Δocc from the delta alone (new-family windows +
+    * stored windows of re-ingested families × their copy delta);
+    * (2) finds crossing wids (occ ≤ 1, occ′ ≥ 2); (3) recomputes
+    * coverage ONLY for families containing a crossing wid, plus new
+    * families — everyone else reads their stored stats; (4) expands
+    * to members through the md5-digest join. Gated EQUAL to the
+    * from-scratch census over v0 ∪ delta (`q_dup_span_day2` runs the
+    * IDENTICAL oracle as `q_dup_span_scalable`). */
+  object SpanStore {
+    def root: String = SignatureStore.root
+    def famsTable(tag: String): String   = s"graft_span_fams_$tag"
+    def winsTable(tag: String): String   = s"graft_span_wins_$tag"
+    def censusTable(tag: String): String = s"graft_span_census_$tag"
+
+    private def famFrames(df: DataFrame, idCol: String, textCol: String,
+                          win: Int, seed: Long): (DataFrame, DataFrame) = {
+      val fams = graft.core.Caches.track(
+        df.groupBy(col(textCol))
+          .agg(count(lit(1)).as("sz"))
+          .select(md5(col(textCol).cast("binary")).as("dg"),
+            TextFns.tokens(col(textCol)).as("_t"), col("sz"))
+          .withColumn("n_tokens", size(col("_t")).cast("long")))
+      val wins = fams
+        .where(col("n_tokens") >= win)
+        .select(col("dg"), posexplode(expr(
+          s"transform(sequence(1, CAST(size(_t) - ${win - 1} AS INT)), " +
+            s"i -> concat_ws(' ', slice(_t, i, $win)))"))
+          .as(Seq("_i0", "_win")))
+        .select(col("dg"), (col("_i0") + 1).as("s"),
+          md5Wid(col("_win"), seed).as("wid"))
+      (fams.select(col("dg"), col("sz"), col("n_tokens")), wins)
+    }
+
+    /** Coverage stats (dg, n_tokens, dup_tokens) for `fams` given
+      * their windows and the duplicated-wid set. */
+    private def coverage(fams: DataFrame, wins: DataFrame,
+                         dupWids: DataFrame, win: Int): DataFrame = {
+      val dupStarts = wins.join(dupWids, Seq("wid"))
+        .select(col("dg"), col("s"))
+      val wPrev = Window.partitionBy(col("dg")).orderBy(col("s"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy(col("dg")).orderBy(col("s"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val covered = dupStarts
+        .withColumn("_new", when(
+          col("s") > coalesce(max(col("s") + lit(win - 1)).over(wPrev), lit(-1L)),
+          1L).otherwise(0L))
+        .withColumn("_isl", sum(col("_new")).over(wRun))
+        .groupBy(col("dg"), col("_isl"))
+        .agg((max(col("s")) - min(col("s")) + lit(win.toLong)).as("_len"))
+        .groupBy(col("dg"))
+        .agg(sum(col("_len")).as("dup_tokens"))
+      fams.select(col("dg"), col("n_tokens"))
+        .join(covered, Seq("dg"), "left")
+        .select(col("dg"), col("n_tokens"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+    }
+
+    def write(spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
+              idCol: String, textCol: String, win: Int, seed: Long,
+              tag: String, buckets: Int = 8): Unit = {
+      val base = java.nio.file.Paths.get(root, s"span_store_$tag")
+      java.nio.file.Files.createDirectories(base)
+      Seq(famsTable(tag), winsTable(tag), censusTable(tag))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      val (fams, wins) = famFrames(corpus, idCol, textCol, win, seed)
+      val winsT = graft.core.Caches.track(wins)
+      val census = winsT.join(fams.select(col("dg"), col("sz")), Seq("dg"))
+        .groupBy(col("wid")).agg(sum(col("sz")).as("occ"))
+      val stats = coverage(fams, winsT,
+        census.where(col("occ") > 1L).select(col("wid")), win)
+      fams.join(stats.select(col("dg"), col("dup_tokens")), Seq("dg"))
+        .write.mode("overwrite")
+        .option("path", base.resolve("fams").toString)
+        .bucketBy(buckets, "dg").sortBy("dg")
+        .saveAsTable(famsTable(tag))
+      winsT.write.mode("overwrite")
+        .option("path", base.resolve("wins").toString)
+        .bucketBy(buckets, "dg").sortBy("dg")
+        .saveAsTable(winsTable(tag))
+      census.write.mode("overwrite")
+        .option("path", base.resolve("census").toString)
+        .bucketBy(buckets, "wid").sortBy("wid")
+        .saveAsTable(censusTable(tag))
+    }
+
+    private val written = scala.collection.mutable.Set[String]()
+    def writeOnce(spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
+                  idCol: String, textCol: String, win: Int, seed: Long,
+                  tag: String): Unit = synchronized {
+      if (!written.contains(tag)) {
+        write(spark, corpus, idCol, textCol, win, seed, tag)
+        written += tag
+      }
+    }
+
+    /** Day-2 probe: per-member span stats over v0 ∪ delta, computed
+      * from the persisted store plus delta-sized work. `members` must
+      * be the FULL day-2 corpus (v0 ∪ delta rows); `delta` its new
+      * rows. */
+    def day2Stats(spark: org.apache.spark.sql.SparkSession,
+                  members: DataFrame, delta: DataFrame,
+                  idCol: String, textCol: String, win: Int, seed: Long,
+                  tag: String): DataFrame = {
+      val storeFams = spark.table(famsTable(tag))
+      val storeWins = spark.table(winsTable(tag))
+      val storeCensus = spark.table(censusTable(tag))
+      // delta families: copy-count per digest; split new vs re-ingested
+      val (dFams0, dWins0) = famFrames(delta, idCol, textCol, win, seed)
+      val dFams = graft.core.Caches.track(dFams0
+        .join(storeFams.select(col("dg"), lit(1).as("_in_store")),
+          Seq("dg"), "left"))
+      val newFams = dFams.where(col("_in_store").isNull)
+        .select(col("dg"), col("sz"), col("n_tokens"))
+      val dWins = graft.core.Caches.track(dWins0)
+      val newWins = dWins.join(newFams.select(col("dg")), Seq("dg"))
+      // Δocc: new-family windows × their sz + stored windows of
+      // re-ingested families × copy delta (both delta-bounded)
+      val reSz = dFams.where(col("_in_store").isNotNull)
+        .select(col("dg"), col("sz").as("_dsz"))
+      val dOcc = newWins.join(newFams.select(col("dg"), col("sz")), Seq("dg"))
+        .select(col("wid"), col("sz").as("_c"))
+        .unionByName(storeWins.join(reSz, Seq("dg"))
+          .select(col("wid"), col("_dsz").as("_c")))
+        .groupBy(col("wid")).agg(sum(col("_c")).as("docc"))
+      val censusNew = graft.core.Caches.track(
+        storeCensus.join(dOcc, Seq("wid"), "full_outer")
+          .select(col("wid"),
+            (coalesce(col("occ"), lit(0L)) + coalesce(col("docc"), lit(0L)))
+              .as("occ2"),
+            coalesce(col("occ"), lit(0L)).as("occ0")))
+      val crossing = censusNew
+        .where(col("occ0") <= 1L && col("occ2") > 1L).select(col("wid"))
+      // affected = families holding a crossing wid (store or new) + new
+      val allWins = storeWins.unionByName(newWins)
+      val affectedDgs = graft.core.Caches.track(
+        allWins.join(crossing, Seq("wid")).select(col("dg")).distinct()
+          .unionByName(newFams.select(col("dg"))).distinct())
+      val allFams = storeFams.select(col("dg"), col("n_tokens"))
+        .unionByName(newFams.select(col("dg"), col("n_tokens")))
+      val recomputed = coverage(
+        allFams.join(affectedDgs, Seq("dg")),
+        allWins.join(affectedDgs, Seq("dg")),
+        censusNew.where(col("occ2") > 1L).select(col("wid")), win)
+      val untouched = storeFams
+        .join(affectedDgs, Seq("dg"), "left_anti")
+        .select(col("dg"), col("n_tokens"), col("dup_tokens"))
+      val stats = recomputed.unionByName(untouched)
+      members.select(col(idCol), md5(col(textCol).cast("binary")).as("dg"))
+        .join(stats, Seq("dg"))
+        .select(col(idCol), col("n_tokens"), col("dup_tokens"),
+          round(col("dup_tokens").cast("double") / col("n_tokens"), 6)
+            .as("dup_frac"))
+    }
+  }
+
   /** The TRANSFORM companion of [[dupSpanCensus]] — Lee et al.'s
     * ExactSubstr-cut (arXiv:2107.06499 §4.2): rebuild every document
     * with its duplicated spans REMOVED, keeping only token positions

@@ -1264,6 +1264,30 @@ object TrainDataQueries extends QueryModule {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Day-2 incremental span census
+    * ([[graft.operators.Dedup.SpanStore]]): corpus v0 (doc_id % 10 ≠
+    * 0) persists its collapse-first census/window/stats store once;
+    * the day's delta (% 10 = 0) then updates with DELTA-bounded work —
+    * new-family windows, Δocc on touched wids, coverage recomputed
+    * only for families holding a 1→≥2 threshold-crossing wid (occ is
+    * monotone in an append-only corpus, so nothing else can change).
+    * Gated EQUAL to the from-scratch collapse-first census over
+    * v0 ∪ delta: the oracle IS `q_dup_span_scalable`'s SQL. The
+    * full-path-derived store tag avoids the 32-bit dir.hashCode
+    * collision class. */
+  private def qDupSpanDay2(implicit s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val all = docs.select(col("doc_id"), col("text"))
+    val v0 = all.where(col("doc_id") % 10 =!= 0)
+    val delta = all.where(col("doc_id") % 10 === 0)
+    val tag = "spanday2_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    Dedup.SpanStore.writeOnce(s, v0, "doc_id", "text",
+      win = DupSpanWin, seed = DupSpanSeed, tag = tag)
+    Dedup.SpanStore.day2Stats(s, all, delta, "doc_id", "text",
+        win = DupSpanWin, seed = DupSpanSeed, tag = tag)
+      .orderBy(col("doc_id"))
+  }
+
   /** The TRANSFORM companion of `q_dup_span_census`
     * ([[graft.operators.Dedup.stripDupSpans]], ExactSubstr-cut):
     * every document rebuilt WITHOUT its duplicated spans; the gate
@@ -1329,6 +1353,7 @@ object TrainDataQueries extends QueryModule {
     Q("q_mixture_temperature", (s, d) => qMixtureTemperature(s, d), Some(qMixtureTemperatureSql)),
     Q("q_dup_span_census", (s, d) => qDupSpanCensus(s, d), Some(qDupSpanCensusSql)),
     Q("q_dup_span_scalable", (s, d) => qDupSpanScalable(s, d), Some(qDupSpanScalableSql)),
+    Q("q_dup_span_day2", (s, d) => qDupSpanDay2(s, d), Some(qDupSpanScalableSql)),
     Q("q_dsir_select", (s, d) => qDsirSelect(s, d), Some(qDsirSelectSql)),
     Q("q_approx_percentile_hist",
       (s, d) => qApproxPercentileHist(s, d), Some(qApproxPercentileHistSql)),

@@ -99,6 +99,43 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(straight.contains((32L, 7L, 0L)), s"unique doc: $straight")
   }
 
+  test("SpanStore day-2 equals from-scratch, incl. threshold crossings and re-ingest") {
+    // v0: A unique; B=C an exact-dup family (fully covered); D holds
+    // span s1..s5 that is UNIQUE on day 1. delta: E shares D's span
+    // (crossing 1->2 - D must be recomputed from its STORED windows),
+    // F re-ingests A's text (family sz 1->2 - all of A's windows
+    // cross), G is new and unique. B/C are untouched and must come
+    // from the store.
+    val span = (1 to 5).map("s" + _).mkString(" ")
+    val v0 = Seq(
+      (1L, (1 to 10).map("a" + _).mkString(" ")),
+      (2L, (1 to 8).map("b" + _).mkString(" ")),
+      (3L, (1 to 8).map("b" + _).mkString(" ")),
+      (4L, s"d1 d2 $span d3"))
+    val delta = Seq(
+      (10L, s"e1 e2 $span e3"),
+      (20L, (1 to 10).map("a" + _).mkString(" ")),
+      (30L, (1 to 7).map("g" + _).mkString(" ")))
+    val all = (v0 ++ delta).toDF("doc_id", "text")
+    val tag = "spanday2_spec_" + System.nanoTime()
+    Dedup.SpanStore.write(spark, v0.toDF("doc_id", "text"),
+      "doc_id", "text", win = 5, seed = 3011L, tag = tag)
+    val got = Dedup.SpanStore.day2Stats(spark, all,
+        delta.toDF("doc_id", "text"), "doc_id", "text",
+        win = 5, seed = 3011L, tag = tag)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val scratch = Dedup.dupSpanCensusScalable(all, "doc_id", "text",
+        win = 5, seed = 3011L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == scratch,
+      s"day2 ${got.diff(scratch)} != scratch ${scratch.diff(got)}")
+    assert(got.contains((1L, 10L, 10L)) && got.contains((20L, 10L, 10L)),
+      s"re-ingested family must be fully covered: $got")
+    assert(got.contains((4L, 8L, 5L)) && got.contains((10L, 8L, 5L)),
+      s"crossing span must cover 5 tokens in both holders: $got")
+    assert(got.contains((30L, 7L, 0L)), s"unique new doc: $got")
+  }
+
   test("stripDupSpans rebuilds exactly the uncovered tokens in order") {
     val shared = (1 to 7).map("s" + _).mkString(" ")
     val strip = Dedup.stripDupSpans(
