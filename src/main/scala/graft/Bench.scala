@@ -146,24 +146,42 @@ object Bench {
     // Provenance note: a merge-recapture must not silently drop the
     // artifact's recorded capture protocol. SPARK_GRAFT_BENCH_NOTE
     // sets/replaces it; otherwise the prior artifact's note carries
-    // forward with a marker that a partial merge happened since.
-    val priorNote: Option[String] =
+    // forward, marked "+partial merges" ONLY when a prior entry this
+    // run did NOT recapture survives into the merged map (a full
+    // recapture is not a partial merge). The prior `warmed` list
+    // carries forward the same way: surviving prior entries keep
+    // their warmed provenance, so a targeted recapture can't strip
+    // the codec-family warm-up marker from timings it didn't touch.
+    val priorText: Option[String] =
       try {
         if (!java.nio.file.Files.exists(outPath)) None
-        else """"capture":"([^"]*)"""".r
-          .findFirstMatchIn(java.nio.file.Files.readString(outPath))
-          .map(_.group(1))
+        else Some(java.nio.file.Files.readString(outPath))
       } catch { case _: Throwable => None }
-    val note = sys.env.get("SPARK_GRAFT_BENCH_NOTE").orElse(
-      prior match {
-        case p if p.nonEmpty =>
-          priorNote.map(n =>
-            if (n.endsWith("; +partial merges")) n else n + "; +partial merges")
-        case _ => priorNote
-      })
+    def unescape(s: String): String =
+      s.replace("\\\"", "\"").replace("\\\\", "\\")
+    val priorNote: Option[String] = priorText.flatMap(txt =>
+      """"capture":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(txt)
+        .map(m => unescape(m.group(1))))
+    val priorWarmed: Seq[String] = priorText.toSeq.flatMap(txt =>
+      """"warmed":\[([^\]]*)\]""".r.findFirstMatchIn(txt).toSeq
+        .flatMap(m => """"([^"]+)"""".r.findAllMatchIn(m.group(1))
+          .map(_.group(1))))
     val registered = SparkEntry.queries.keySet
     val merged = (prior.view.filterKeys(registered).toMap ++ results.toMap)
       .toSeq.sortBy(_._1)
+    val mergedKeys = merged.map(_._1).toSet
+    val survivors = prior.keySet.intersect(registered)
+      .diff(results.map(_._1).toSet)
+    val note = sys.env.get("SPARK_GRAFT_BENCH_NOTE").orElse(
+      if (survivors.nonEmpty)
+        priorNote.map(n =>
+          if (n.endsWith("; +partial merges")) n else n + "; +partial merges")
+      else priorNote)
+    // union of prior∪current warmed names, restricted to merged keys:
+    // a prior warmed timing that survived keeps its marker; a warmed
+    // name whose query was dropped from the registry drops with it
+    val warmedOut = (priorWarmed ++ warmed).distinct
+      .filter(mergedKeys).sorted
     val qs = merged.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = merged.map(_._2).sum
@@ -172,8 +190,13 @@ object Bench {
     // `warmed` records which queries got the untimed codec-family
     // warm-up pass (since r10), so cross-round comparisons don't read
     // their timings raw against pre-warm-up rounds.
-    val warmedJson = warmed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val noteJson = note.map(n => s""""capture":"$n",""").getOrElse("")
+    val warmedJson = warmedOut.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // escape \ and " so a note containing either still yields a valid
+    // JSON artifact (the next run's prior-parse would otherwise
+    // silently discard the whole file)
+    def jsonEsc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val noteJson = note.map(n => s""""capture":"${jsonEsc(n)}",""").getOrElse("")
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","load":$entryLoad%.2f,"captured":${results.size},$noteJson"warmed":$warmedJson,"queries":$qs,"sf":"$sfDir"}"""
     println(json)

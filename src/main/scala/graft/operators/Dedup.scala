@@ -69,6 +69,23 @@ object Dedup {
   def widSql(expr: String, seed: Long = WidSeed): String =
     s"(${Scorers.ProxyBackend.h15Sql(seed, expr)} % $P)"
 
+  /** UN-reduced 60-bit window id for the SPAN-census family: the same
+    * seeded md5-h15 hash WITHOUT the mod-[[P]] reduction. The mod-P
+    * exists only for the minhash universal-hash arithmetic (a·x+b
+    * mod P must stay inside BIGINT); span censuses merely group/join
+    * on the id, so reducing the keyspace to P ≈ 2³⁰ would raise
+    * expected birthday collisions from n²/2⁶¹ to n²/2P — tens of
+    * thousands at sf100's millions of distinct stride-1 windows,
+    * silently inflating dup_tokens in a way the oracle (which
+    * replays the identical ids) cannot detect. */
+  def md5Wid60(sh: Column, seed: Long = WidSeed): Column =
+    conv(substring(md5(concat(lit(s"$seed:"), sh)), 1, 15), 16, 10)
+      .cast("long")
+
+  /** DuckDB twin of [[md5Wid60]] for oracle SQL. */
+  def widSql60(expr: String, seed: Long = WidSeed): String =
+    Scorers.ProxyBackend.h15Sql(seed, expr)
+
   /** MinHash signature per document from shingle ids: k universal-hash
     * permutations h_i(x) = (a_i·x + b_i) mod P, one grouped min each.
     * One explode + one aggregation — no per-permutation pass. */
@@ -704,7 +721,7 @@ object Dedup {
     * lands on a window boundary.
     *
     * Plan: (1) stride-1 windows per doc (narrow map, ~n_tokens rows);
-    * (2) window ids via [[md5Wid]] (seeded; no vocabulary, 8-byte
+    * (2) window ids via [[md5Wid60]] (seeded; no vocabulary, 8-byte
     * shuffle keys — the corpus never ships window TEXT through a
     * shuffle); (3) ONE map-side-combined census `count(*) per wid`;
     * (4) duplicated window starts join back (wid-keyed); (5) per-doc
@@ -717,9 +734,15 @@ object Dedup {
     * distributed form (a span duplicated at length ≥ win is exactly a
     * span all of whose win-windows are duplicated).
     *
-    * Hash-collision note: two DIFFERENT windows sharing an md5-h15 id
-    * (p ≈ n²/2⁶⁰) would overcount one doc's coverage — detectable, and
-    * the oracle replays the same ids so the gate stays exact.
+    * Hash-collision note: window ids are the UN-reduced 60-bit h15
+    * ([[md5Wid60]] — no mod-P, which exists only for the minhash
+    * universal-hash arithmetic), so two DIFFERENT windows share an id
+    * with p ≈ n²/2⁶¹ — negligible even at sf100's millions of
+    * distinct windows (a mod-P id would make that n²/2P, tens of
+    * thousands of expected collisions, silently inflating
+    * dup_tokens). The oracle replays the same ids so the gate stays
+    * exact either way; the 60-bit id keeps the STATISTIC itself
+    * faithful to ExactSubstr.
     *
     * Returns (id, n_tokens, dup_tokens, dup_frac) for EVERY input doc
     * (docs shorter than `win` report 0 coverage). */
@@ -737,7 +760,7 @@ object Dedup {
         .as(Seq("_i0", "_win")))
       // posexplode pos is 0-based; s = 1-based start position
       .select(col(idCol), (col("_i0") + 1).as("s"),
-        md5Wid(col("_win"), seed).as("_wid"))
+        md5Wid60(col("_win"), seed).as("_wid"))
     val census = wins.groupBy(col("_wid")).agg(count(lit(1)).as("_occ"))
     val dupStarts = wins.join(census.where(col("_occ") > 1L), Seq("_wid"))
       .select(col(idCol), col("s"))
@@ -795,7 +818,7 @@ object Dedup {
           s"i -> concat_ws(' ', slice(_t, i, $win)))"))
         .as(Seq("_i0", "_win")))
       .select(col("_dg"), col("_sz"), (col("_i0") + 1).as("s"),
-        md5Wid(col("_win"), seed).as("_wid"))
+        md5Wid60(col("_win"), seed).as("_wid"))
     // member-weighted census: Σ family sizes per window id — equal to
     // the straight corpus-wide count(*)
     val census = wins.groupBy(col("_wid")).agg(sum(col("_sz")).as("_occ"))
@@ -864,7 +887,7 @@ object Dedup {
             s"i -> concat_ws(' ', slice(_t, i, $win)))"))
           .as(Seq("_i0", "_win")))
         .select(col("dg"), (col("_i0") + 1).as("s"),
-          md5Wid(col("_win"), seed).as("wid"))
+          md5Wid60(col("_win"), seed).as("wid"))
       (fams.select(col("dg"), col("sz"), col("n_tokens")), wins)
     }
 
@@ -1016,7 +1039,7 @@ object Dedup {
           s"i -> concat_ws(' ', slice(_t, i, $win)))"))
         .as(Seq("_i0", "_win")))
       .select(col(idCol), (col("_i0") + 1).as("s"),
-        md5Wid(col("_win"), seed).as("_wid"))
+        md5Wid60(col("_win"), seed).as("_wid"))
     val census = wins.groupBy(col("_wid")).agg(count(lit(1)).as("_occ"))
     val dupStarts = wins.join(census.where(col("_occ") > 1L), Seq("_wid"))
       .select(col(idCol), col("s"))

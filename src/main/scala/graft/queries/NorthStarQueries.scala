@@ -1761,7 +1761,7 @@ object NorthStarQueries extends QueryModule {
 
   private val qCurateWebSql = {
     val w = 5
-    val wid = graft.operators.Dedup.widSql(
+    val wid = graft.operators.Dedup.widSql60(
       s"array_to_string(list_slice(t, CAST(i AS BIGINT), CAST(i + ${w - 1} AS BIGINT)), ' ')",
       3011L)
     val (_, _, quality) = qualitySqlBits

@@ -1181,7 +1181,7 @@ object TrainDataQueries extends QueryModule {
 
   private val qDupSpanCensusSql = {
     val w = DupSpanWin
-    val wid = graft.operators.Dedup.widSql(
+    val wid = graft.operators.Dedup.widSql60(
       s"array_to_string(list_slice(t, CAST(i AS BIGINT), CAST(i + ${w - 1} AS BIGINT)), ' ')",
       DupSpanSeed)
     s"""WITH base AS (
@@ -1228,7 +1228,7 @@ object TrainDataQueries extends QueryModule {
 
   private val qDupSpanScalableSql = {
     val w = DupSpanWin
-    val wid = graft.operators.Dedup.widSql(
+    val wid = graft.operators.Dedup.widSql60(
       s"array_to_string(list_slice(t, CAST(i AS BIGINT), CAST(i + ${w - 1} AS BIGINT)), ' ')",
       DupSpanSeed)
     s"""WITH fam AS (
@@ -1306,7 +1306,7 @@ object TrainDataQueries extends QueryModule {
 
   private val qDupSpanStripSql = {
     val w = DupSpanWin
-    val wid = graft.operators.Dedup.widSql(
+    val wid = graft.operators.Dedup.widSql60(
       s"array_to_string(list_slice(t, CAST(i AS BIGINT), CAST(i + ${w - 1} AS BIGINT)), ' ')",
       DupSpanSeed)
     s"""WITH base AS (
