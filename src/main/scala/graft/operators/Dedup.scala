@@ -954,14 +954,17 @@ object Dedup {
       }
     }
 
-    /** Day-2 probe: per-member span stats over v0 ∪ delta, computed
-      * from the persisted store plus delta-sized work. `members` must
-      * be the FULL day-2 corpus (v0 ∪ delta rows); `delta` its new
-      * rows. */
-    def day2Stats(spark: org.apache.spark.sql.SparkSession,
-                  members: DataFrame, delta: DataFrame,
-                  idCol: String, textCol: String, win: Int, seed: Long,
-                  tag: String): DataFrame = {
+    /** The shared delta-merge analysis behind [[day2Stats]] (read-only
+      * probe) and [[absorb]] (generation-N+1 re-persist): merged
+      * per-family stats (dg, sz, n_tokens, dup_tokens), merged
+      * windows, and the merged census, all exact by occ-monotonicity
+      * (append-only ⇒ a family's dup set changes iff one of its wids
+      * crosses the 1→≥2 threshold). Work is bounded by the delta and
+      * the families it touches, plus one read of each store frame. */
+    private def deltaMerge(spark: org.apache.spark.sql.SparkSession,
+                           delta: DataFrame, idCol: String, textCol: String,
+                           win: Int, seed: Long, tag: String)
+        : (DataFrame, DataFrame, DataFrame) = {
       val storeFams = spark.table(famsTable(tag))
       val storeWins = spark.table(winsTable(tag))
       val storeCensus = spark.table(censusTable(tag))
@@ -1006,12 +1009,120 @@ object Dedup {
         .join(affectedDgs, Seq("dg"), "left_anti")
         .select(col("dg"), col("n_tokens"), col("dup_tokens"))
       val stats = recomputed.unionByName(untouched)
+      // merged copy counts: store + delta (a re-ingest ADDS copies in
+      // an append-only corpus; new families contribute theirs)
+      val szMerged = storeFams.select(col("dg"), col("sz"))
+        .join(dFams.select(col("dg"), col("sz").as("_dsz2")), Seq("dg"),
+          "full_outer")
+        .select(col("dg"),
+          (coalesce(col("sz"), lit(0L)) + coalesce(col("_dsz2"), lit(0L)))
+            .as("sz"))
+      val famsMerged = szMerged.join(stats, Seq("dg"))
+        .select(col("dg"), col("sz"), col("n_tokens"), col("dup_tokens"))
+      val censusMerged = censusNew.where(col("occ2") > 0L)
+        .select(col("wid"), col("occ2").as("occ"))
+      (famsMerged, allWins, censusMerged)
+    }
+
+    /** Day-2 probe: per-member span stats over v0 ∪ delta, computed
+      * from the persisted store plus delta-sized work. `members` must
+      * be the FULL day-2 corpus (v0 ∪ delta rows); `delta` its new
+      * rows. Read-only — the store is untouched; [[absorb]] is the
+      * step that makes the merge durable. */
+    def day2Stats(spark: org.apache.spark.sql.SparkSession,
+                  members: DataFrame, delta: DataFrame,
+                  idCol: String, textCol: String, win: Int, seed: Long,
+                  tag: String): DataFrame = {
+      val (famsMerged, _, _) =
+        deltaMerge(spark, delta, idCol, textCol, win, seed, tag)
       members.select(col(idCol), md5(col(textCol).cast("binary")).as("dg"))
-        .join(stats, Seq("dg"))
+        .join(famsMerged.select(col("dg"), col("n_tokens"), col("dup_tokens")),
+          Seq("dg"))
         .select(col(idCol), col("n_tokens"), col("dup_tokens"),
           round(col("dup_tokens").cast("double") / col("n_tokens"), 6)
             .as("dup_frac"))
     }
+
+    /** The RE-PERSIST step that closes the daily-cron loop (the
+      * [[SignatureStore.absorb]] pattern): run [[deltaMerge]] against
+      * generation `fromTag` and write the merged fams/wins/census
+      * frames as generation `toTag` with the SAME bucketed layout day
+      * 1 wrote — so day 3's probe pays only ITS delta, instead of
+      * re-deriving day 2's merge forever. Writing to a NEW tag keeps
+      * the old generation readable until the rewrite commits; then
+      * [[vacuum]] reclaims it.
+      *
+      * Scale posture: the merge work is delta-bounded (coverage
+      * recomputes only for crossing-wid holders + new families); the
+      * bucketed rewrite of the three frames is the day's one
+      * full-store shuffle, amortized against every later probe. */
+    def absorb(spark: org.apache.spark.sql.SparkSession, fromTag: String,
+               toTag: String, delta: DataFrame, idCol: String,
+               textCol: String, win: Int, seed: Long,
+               buckets: Int = 8): Unit = {
+      require(fromTag != toTag,
+        "absorb writes a NEW tag; in-place overwrite would read and clobber the same files")
+      val base = java.nio.file.Paths.get(root, s"span_store_$toTag")
+      java.nio.file.Files.createDirectories(base)
+      Seq(famsTable(toTag), winsTable(toTag), censusTable(toTag))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      val (famsMerged, winsMerged, censusMerged) =
+        deltaMerge(spark, delta, idCol, textCol, win, seed, fromTag)
+      famsMerged.write.mode("overwrite")
+        .option("path", base.resolve("fams").toString)
+        .bucketBy(buckets, "dg").sortBy("dg")
+        .saveAsTable(famsTable(toTag))
+      winsMerged.write.mode("overwrite")
+        .option("path", base.resolve("wins").toString)
+        .bucketBy(buckets, "dg").sortBy("dg")
+        .saveAsTable(winsTable(toTag))
+      censusMerged.write.mode("overwrite")
+        .option("path", base.resolve("census").toString)
+        .bucketBy(buckets, "wid").sortBy("wid")
+        .saveAsTable(censusTable(toTag))
+    }
+
+    /** [[absorb]] memoized per JVM per `toTag` (same contract as
+      * [[writeOnce]]: persist once, probe repeatedly). */
+    def absorbOnce(spark: org.apache.spark.sql.SparkSession, fromTag: String,
+                   toTag: String, delta: DataFrame, idCol: String,
+                   textCol: String, win: Int, seed: Long,
+                   buckets: Int = 8): Unit = synchronized {
+      if (!written.contains(toTag)) {
+        absorb(spark, fromTag, toTag, delta, idCol, textCol, win, seed, buckets)
+        written += toTag
+      }
+    }
+
+    /** RETENTION — drop generation `tag` (catalog entries AND on-disk
+      * data) once a newer generation has been absorbed and verified.
+      * Idempotent; mirrors [[SignatureStore.vacuum]]. */
+    def vacuum(spark: org.apache.spark.sql.SparkSession, tag: String): Unit =
+      synchronized {
+        Seq(famsTable(tag), winsTable(tag), censusTable(tag))
+          .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+        val base = java.nio.file.Paths.get(root, s"span_store_$tag")
+        if (java.nio.file.Files.exists(base)) {
+          val walk = java.nio.file.Files.walk(base)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        }
+        written -= tag
+      }
+
+    /** Per-family span stats straight off a persisted generation —
+      * the store IS the answer after an absorb (no delta work at
+      * all); members inherit through the digest join. */
+    def statsFromStore(spark: org.apache.spark.sql.SparkSession,
+                       members: DataFrame, idCol: String, textCol: String,
+                       tag: String): DataFrame =
+      members.select(col(idCol), md5(col(textCol).cast("binary")).as("dg"))
+        .join(spark.table(famsTable(tag))
+          .select(col("dg"), col("n_tokens"), col("dup_tokens")), Seq("dg"))
+        .select(col(idCol), col("n_tokens"), col("dup_tokens"),
+          round(col("dup_tokens").cast("double") / col("n_tokens"), 6)
+            .as("dup_frac"))
   }
 
   /** The TRANSFORM companion of [[dupSpanCensus]] — Lee et al.'s

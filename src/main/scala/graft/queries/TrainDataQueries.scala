@@ -1288,6 +1288,34 @@ object TrainDataQueries extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Day-3 span census against a RE-PERSISTED store
+    * ([[graft.operators.Dedup.SpanStore.absorb]]) — the full
+    * persist → probe → absorb → probe daily-cron loop, the
+    * `q_dedup_store_day2` shape for spans: day 1 (doc_id % 10 ∉
+    * {0, 5}) persists generation 1; day 2's delta (% 10 = 5) is
+    * ABSORBED into generation 2 on disk (merged fams/wins/census,
+    * same bucketed layout — delta-bounded work except the one
+    * re-bucketing write); day 3's delta (% 10 = 0) then probes the
+    * REGENERATED store paying only its own delta. Gated EQUAL to the
+    * from-scratch collapse-first census over the full corpus: the
+    * oracle IS `q_dup_span_scalable`'s SQL — day 3 cannot tell the
+    * store was built in two generations. */
+  private def qDupSpanAbsorb(implicit s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val all = docs.select(col("doc_id"), col("text"))
+    val v0 = all.where(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5)
+    val delta1 = all.where(col("doc_id") % 10 === 5)
+    val delta2 = all.where(col("doc_id") % 10 === 0)
+    val tagBase = "spanabs_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    Dedup.SpanStore.writeOnce(s, v0, "doc_id", "text",
+      win = DupSpanWin, seed = DupSpanSeed, tag = s"${tagBase}_g1")
+    Dedup.SpanStore.absorbOnce(s, s"${tagBase}_g1", s"${tagBase}_g2", delta1,
+      "doc_id", "text", win = DupSpanWin, seed = DupSpanSeed)
+    Dedup.SpanStore.day2Stats(s, all, delta2, "doc_id", "text",
+        win = DupSpanWin, seed = DupSpanSeed, tag = s"${tagBase}_g2")
+      .orderBy(col("doc_id"))
+  }
+
   /** The TRANSFORM companion of `q_dup_span_census`
     * ([[graft.operators.Dedup.stripDupSpans]], ExactSubstr-cut):
     * every document rebuilt WITHOUT its duplicated spans; the gate
@@ -1354,6 +1382,7 @@ object TrainDataQueries extends QueryModule {
     Q("q_dup_span_census", (s, d) => qDupSpanCensus(s, d), Some(qDupSpanCensusSql)),
     Q("q_dup_span_scalable", (s, d) => qDupSpanScalable(s, d), Some(qDupSpanScalableSql)),
     Q("q_dup_span_day2", (s, d) => qDupSpanDay2(s, d), Some(qDupSpanScalableSql)),
+    Q("q_dup_span_absorb", (s, d) => qDupSpanAbsorb(s, d), Some(qDupSpanScalableSql)),
     Q("q_dsir_select", (s, d) => qDsirSelect(s, d), Some(qDsirSelectSql)),
     Q("q_approx_percentile_hist",
       (s, d) => qApproxPercentileHist(s, d), Some(qApproxPercentileHistSql)),

@@ -136,6 +136,78 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.contains((30L, 7L, 0L)), s"unique new doc: $got")
   }
 
+  test("SpanStore absorb ≡ from-scratch rebuild; day-3 probe on gen2; vacuum reclaims gen1") {
+    // gen1 = v0; absorb delta1 (crossing + re-ingest + new family)
+    // into gen2 ON DISK; gen2's three persisted frames must equal a
+    // from-scratch write over v0 ∪ delta1 (incl. the merged copy
+    // counts and census occ), a day-3 probe against gen2 must equal
+    // the from-scratch census over everything, and vacuum(gen1) must
+    // drop gen1's tables AND files while gen2 stays readable.
+    val span = (1 to 5).map("s" + _).mkString(" ")
+    val v0 = Seq(
+      (1L, (1 to 10).map("a" + _).mkString(" ")),
+      (2L, (1 to 8).map("b" + _).mkString(" ")),
+      (4L, s"d1 d2 $span d3"))
+    val delta1 = Seq(
+      (10L, s"e1 e2 $span e3"),              // crossing 1->2 on D's span
+      (20L, (1 to 10).map("a" + _).mkString(" ")), // re-ingest of A
+      (30L, (1 to 7).map("g" + _).mkString(" ")))  // new unique
+    val delta2 = Seq(
+      (40L, (1 to 8).map("b" + _).mkString(" ")),  // crossing on B (sz 1->2)
+      (50L, (1 to 6).map("h" + _).mkString(" ")))  // new unique
+    val ts = System.nanoTime()
+    val (tag1, tag2, tagRb) =
+      (s"spanabs_spec_g1_$ts", s"spanabs_spec_g2_$ts", s"spanabs_spec_rb_$ts")
+    Dedup.SpanStore.write(spark, v0.toDF("doc_id", "text"),
+      "doc_id", "text", win = 5, seed = 3011L, tag = tag1)
+    Dedup.SpanStore.absorb(spark, tag1, tag2, delta1.toDF("doc_id", "text"),
+      "doc_id", "text", win = 5, seed = 3011L)
+    // stored frames ≡ from-scratch write over v0 ∪ delta1
+    Dedup.SpanStore.write(spark, (v0 ++ delta1).toDF("doc_id", "text"),
+      "doc_id", "text", win = 5, seed = 3011L, tag = tagRb)
+    def famSet(t: String) = spark.table(Dedup.SpanStore.famsTable(t))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    def censusSet(t: String) = spark.table(Dedup.SpanStore.censusTable(t))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def winsSet(t: String) = spark.table(Dedup.SpanStore.winsTable(t))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(famSet(tag2) == famSet(tagRb),
+      s"fams: ${famSet(tag2).diff(famSet(tagRb))} vs ${famSet(tagRb).diff(famSet(tag2))}")
+    assert(censusSet(tag2) == censusSet(tagRb),
+      s"census: ${censusSet(tag2).diff(censusSet(tagRb))}")
+    assert(winsSet(tag2) == winsSet(tagRb), "wins differ")
+    // day-3 probe against the REGENERATED store ≡ from-scratch over all
+    val all = (v0 ++ delta1 ++ delta2).toDF("doc_id", "text")
+    val got = Dedup.SpanStore.day2Stats(spark, all,
+        delta2.toDF("doc_id", "text"), "doc_id", "text",
+        win = 5, seed = 3011L, tag = tag2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val scratch = Dedup.dupSpanCensusScalable(all, "doc_id", "text",
+        win = 5, seed = 3011L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == scratch,
+      s"day3 ${got.diff(scratch)} != scratch ${scratch.diff(got)}")
+    // statsFromStore: the store IS the answer for gen2's own corpus
+    val fromStore = Dedup.SpanStore.statsFromStore(spark,
+        (v0 ++ delta1).toDF("doc_id", "text"), "doc_id", "text", tag2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val scratch12 = Dedup.dupSpanCensusScalable(
+        (v0 ++ delta1).toDF("doc_id", "text"), "doc_id", "text",
+        win = 5, seed = 3011L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fromStore == scratch12, s"statsFromStore ${fromStore.diff(scratch12)}")
+    // vacuum gen1: tables + files gone, gen2 untouched
+    Dedup.SpanStore.vacuum(spark, tag1)
+    assert(!spark.catalog.tableExists(Dedup.SpanStore.famsTable(tag1)))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      Dedup.SpanStore.root, s"span_store_$tag1")))
+    assert(spark.table(Dedup.SpanStore.famsTable(tag2)).count() ==
+      famSet(tagRb).size)
+    Dedup.SpanStore.vacuum(spark, tag2)
+    Dedup.SpanStore.vacuum(spark, tagRb)
+  }
+
   test("stripDupSpans rebuilds exactly the uncovered tokens in order") {
     val shared = (1 to 7).map("s" + _).mkString(" ")
     val strip = Dedup.stripDupSpans(
