@@ -959,4 +959,207 @@ object Multimodal {
       when(col("n_frames") > 1,
         slice(sequence(lit(0), col("n_frames") - 1, lit(stride)), 1, maxFrames))
         .otherwise(array(lit(0))))
+
+  /** Persisted IMAGE-hash store — the [[graft.operators.Dedup
+    * .SignatureStore]] daily-ingest lifecycle for the aHash near-dup
+    * family (persist → probe → absorb → vacuum). Three bucketed
+    * frames: families (ahash, rep = min media id, sz), pigeonhole
+    * segments (seg, segval, ahash — bucketed by the probe's join
+    * key), and HASH-level near-dup pairs (ahash_a, ahash_b, hamming).
+    *
+    * The incremental update is exact by IMMUTABILITY at the hash
+    * level: a pair's Hamming distance is a pure function of the two
+    * 64-bit hashes, so pairs are only ever ADDED as previously-unseen
+    * hashes arrive — never revised. Family state merges per hash
+    * (rep = min over generations, sz adds), and the pigeonhole
+    * blocking guarantees full recall for the delta probe exactly as
+    * it does in the batch run: any pair within Hamming ≤ maxHamming <
+    * segments shares at least one exact segment, and every pair with
+    * a NEW side surfaces in newSegs ⨝ (storeSegs ∪ newSegs). Work per
+    * day is bounded by the delta's distinct hashes (+ one read of
+    * each store frame; absorb adds the one re-bucketing write). At
+    * 100 TB the decoded 8-byte hashes, not image blobs, are all that
+    * ever reaches a shuffle. */
+  object ImageHashStore {
+    def root: String = graft.operators.Dedup.SignatureStore.root
+    def famsTable(tag: String): String  = s"graft_img_fams_$tag"
+    def segsTable(tag: String): String  = s"graft_img_segs_$tag"
+    def pairsTable(tag: String): String = s"graft_img_pairs_$tag"
+
+    val Bits = 64
+    val Segments = 4
+    private val SegWidth = Bits / Segments
+    private val SegMask = (1L << SegWidth) - 1
+
+    /** (ahash, rep, sz) families from decoded (media_id, ahash). */
+    private def famsOf(hashes: DataFrame): DataFrame =
+      hashes.groupBy(col("ahash"))
+        .agg(min(col("media_id")).as("rep"), count(lit(1)).as("sz"))
+
+    private def segsOf(hashes: DataFrame): DataFrame = {
+      val segStructs = (0 until Segments).map { i =>
+        struct(lit(i).as("seg"),
+          shiftright(col("ahash"), i * SegWidth).bitwiseAND(SegMask)
+            .as("segval"))
+      }
+      hashes.select(col("ahash"), explode(array(segStructs: _*)).as("sb"))
+        .select(col("sb.seg").as("seg"), col("sb.segval").as("segval"),
+          col("ahash"))
+    }
+
+    private def persist(spark: org.apache.spark.sql.SparkSession,
+                        fams: DataFrame, segs: DataFrame, pairs: DataFrame,
+                        tag: String, buckets: Int): Unit = {
+      val base = java.nio.file.Paths.get(root, s"img_store_$tag")
+      java.nio.file.Files.createDirectories(base)
+      Seq(famsTable(tag), segsTable(tag), pairsTable(tag))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      fams.write.mode("overwrite")
+        .option("path", base.resolve("fams").toString)
+        .bucketBy(buckets, "ahash").sortBy("ahash")
+        .saveAsTable(famsTable(tag))
+      segs.write.mode("overwrite")
+        .option("path", base.resolve("segs").toString)
+        .bucketBy(buckets, "seg", "segval").sortBy("seg", "segval")
+        .saveAsTable(segsTable(tag))
+      pairs.write.mode("overwrite")
+        .option("path", base.resolve("pairs").toString)
+        .bucketBy(buckets, "ahash_a").sortBy("ahash_a")
+        .saveAsTable(pairsTable(tag))
+    }
+
+    /** Day-1 persist from decoded (media_id, ahash) rows. Hash-level
+      * pairs reuse the text-SimHash pigeonhole machinery with the
+      * hash itself as the blocking id. */
+    def write(spark: org.apache.spark.sql.SparkSession, hashes: DataFrame,
+              tag: String, maxHamming: Int, buckets: Int = 8): Unit = {
+      val fams = graft.core.Caches.track(famsOf(hashes))
+      val pairs = graft.operators.Dedup.simhashPairs(
+          fams.select(col("ahash").as("hid"), col("ahash").as("simhash")),
+          "hid", maxHamming = maxHamming, bits = Bits, segments = Segments)
+        .select(col("id_a").as("ahash_a"), col("id_b").as("ahash_b"),
+          col("hamming"))
+      persist(spark, fams, segsOf(fams.select(col("ahash"))), pairs,
+        tag, buckets)
+    }
+
+    private val written = scala.collection.mutable.Set[String]()
+    def writeOnce(spark: org.apache.spark.sql.SparkSession, hashes: DataFrame,
+                  tag: String, maxHamming: Int,
+                  buckets: Int = 8): Unit = synchronized {
+      if (!written.contains(tag)) {
+        write(spark, hashes, tag, maxHamming, buckets)
+        written += tag
+      }
+    }
+
+    /** Shared delta-merge: merged families, merged segments, merged
+      * hash-level pairs given a delta's decoded hashes against
+      * generation `tag`. */
+    private def deltaMerge(spark: org.apache.spark.sql.SparkSession,
+                           deltaHashes: DataFrame, tag: String,
+                           maxHamming: Int)
+        : (DataFrame, DataFrame, DataFrame) = {
+      val storeFams = spark.table(famsTable(tag))
+      val storeSegs = spark.table(segsTable(tag))
+      val storePairs = spark.table(pairsTable(tag))
+      val dFams = graft.core.Caches.track(famsOf(deltaHashes))
+      // merged family state: rep = min across generations (least
+      // skips nulls), sz adds
+      val mergedFams = storeFams
+        .join(dFams.select(col("ahash"), col("rep").as("_drep"),
+          col("sz").as("_dsz")), Seq("ahash"), "full_outer")
+        .select(col("ahash"), least(col("rep"), col("_drep")).as("rep"),
+          (coalesce(col("sz"), lit(0L)) + coalesce(col("_dsz"), lit(0L)))
+            .as("sz"))
+      // hashes never seen before — the only source of NEW pairs
+      val newHashes = graft.core.Caches.track(
+        dFams.join(storeFams, Seq("ahash"), "left_anti")
+          .select(col("ahash")))
+      val newSegs = segsOf(newHashes)
+      val allSegs = storeSegs.unionByName(newSegs)
+      val newPairs = newSegs.alias("x")
+        .join(allSegs.alias("y"), Seq("seg", "segval"))
+        .where(col("x.ahash") =!= col("y.ahash"))
+        .withColumn("hamming",
+          bit_count(col("x.ahash").bitwiseXOR(col("y.ahash"))))
+        .where(col("hamming") <= maxHamming)
+        .select(least(col("x.ahash"), col("y.ahash")).as("ahash_a"),
+          greatest(col("x.ahash"), col("y.ahash")).as("ahash_b"),
+          col("hamming"))
+        .distinct()
+      (mergedFams, allSegs, storePairs.unionByName(newPairs).distinct())
+    }
+
+    /** Day-2 probe: the FULL corpus's near-dup family pairs
+      * (id_a, id_b, hamming, sz_a, sz_b — the `q_image_dedup`
+      * contract) from the persisted store plus delta-bounded work.
+      * Read-only; [[absorb]] makes the merge durable. */
+    def day2Pairs(spark: org.apache.spark.sql.SparkSession,
+                  deltaHashes: DataFrame, tag: String,
+                  maxHamming: Int): DataFrame = {
+      val (mergedFams, _, mergedPairs) =
+        deltaMerge(spark, deltaHashes, tag, maxHamming)
+      renderPairs(mergedFams, mergedPairs)
+    }
+
+    /** Hash-level pairs → the id-level output contract: reps ordered
+      * within the pair, each side carrying its own family size. */
+    private def renderPairs(fams: DataFrame, pairs: DataFrame): DataFrame =
+      pairs
+        .join(fams.select(col("ahash").as("ahash_a"),
+          col("rep").as("_ra"), col("sz").as("_sa")), Seq("ahash_a"))
+        .join(fams.select(col("ahash").as("ahash_b"),
+          col("rep").as("_rb"), col("sz").as("_sb")), Seq("ahash_b"))
+        .select(
+          least(col("_ra"), col("_rb")).as("id_a"),
+          greatest(col("_ra"), col("_rb")).as("id_b"),
+          col("hamming").cast("int").as("hamming"),
+          when(col("_ra") < col("_rb"), col("_sa")).otherwise(col("_sb"))
+            .as("sz_a"),
+          when(col("_ra") < col("_rb"), col("_sb")).otherwise(col("_sa"))
+            .as("sz_b"))
+
+    /** Pairs straight off a persisted generation — the store IS the
+      * answer after an absorb. */
+    def pairsFromStore(spark: org.apache.spark.sql.SparkSession,
+                       tag: String): DataFrame =
+      renderPairs(spark.table(famsTable(tag)), spark.table(pairsTable(tag)))
+
+    /** Re-persist generation N+1 from the delta merge (new tag — the
+      * old generation stays readable until the rewrite commits). */
+    def absorb(spark: org.apache.spark.sql.SparkSession, fromTag: String,
+               toTag: String, deltaHashes: DataFrame, maxHamming: Int,
+               buckets: Int = 8): Unit = {
+      require(fromTag != toTag,
+        "absorb writes a NEW tag; in-place overwrite would read and clobber the same files")
+      val (fams, segs, pairs) =
+        deltaMerge(spark, deltaHashes, fromTag, maxHamming)
+      persist(spark, fams, segs, pairs, toTag, buckets)
+    }
+
+    def absorbOnce(spark: org.apache.spark.sql.SparkSession, fromTag: String,
+                   toTag: String, deltaHashes: DataFrame, maxHamming: Int,
+                   buckets: Int = 8): Unit = synchronized {
+      if (!written.contains(toTag)) {
+        absorb(spark, fromTag, toTag, deltaHashes, maxHamming, buckets)
+        written += toTag
+      }
+    }
+
+    /** RETENTION — drop generation `tag` (tables + files); idempotent. */
+    def vacuum(spark: org.apache.spark.sql.SparkSession, tag: String): Unit =
+      synchronized {
+        Seq(famsTable(tag), segsTable(tag), pairsTable(tag))
+          .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+        val base = java.nio.file.Paths.get(root, s"img_store_$tag")
+        if (java.nio.file.Files.exists(base)) {
+          val walk = java.nio.file.Files.walk(base)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        }
+        written -= tag
+      }
+  }
 }

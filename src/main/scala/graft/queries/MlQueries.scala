@@ -493,6 +493,40 @@ object MlQueries extends QueryModule {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** INCREMENTAL image dedup — the daily-ingest lifecycle for the
+    * aHash family ([[graft.multimodal.Multimodal.ImageHashStore]],
+    * the `q_dup_span_absorb` shape for images): day 1 (doc_id % 7 ∉
+    * {0, 3} of the image slice) decodes and persists families /
+    * pigeonhole segments / HASH-level pairs; day 2's delta (% 7 = 3)
+    * is ABSORBED into generation 2 on disk; day 3's delta (% 7 = 0)
+    * probes the regenerated store, decoding ONLY its own images.
+    * Exact by hash-level immutability: a pair's Hamming distance is a
+    * pure function of the two 64-bit hashes, so pairs only ever get
+    * ADDED as unseen hashes arrive, and family reps/sizes merge
+    * per-hash. Oracle IS `q_image_dedup`'s from-scratch SQL over the
+    * full corpus — the probe cannot tell the store was built in
+    * generations. */
+  private def qImageDedupDay2(implicit s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal.ImageHashStore
+    val imgDocs = Tables.documents(s, dir).where(col("doc_id") % 3 === 0 &&
+      col("doc_id") % 2 === 0 && col("doc_id") % 5 =!= 0)
+    def hashes(d: org.apache.spark.sql.DataFrame) =
+      Multimodal.decodeAHash(Multimodal.imageMedia(d, "doc_id"), grid = 8)
+        .where(col("ahash").isNotNull)
+        .select(col("media_id"), col("ahash"))
+    val tagBase = "imgday2_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    ImageHashStore.writeOnce(s,
+      hashes(imgDocs.where(col("doc_id") % 7 =!= 0 && col("doc_id") % 7 =!= 3)),
+      s"${tagBase}_g1", maxHamming = AHashMaxHamming)
+    ImageHashStore.absorbOnce(s, s"${tagBase}_g1", s"${tagBase}_g2",
+      hashes(imgDocs.where(col("doc_id") % 7 === 3)),
+      maxHamming = AHashMaxHamming)
+    ImageHashStore.day2Pairs(s,
+        hashes(imgDocs.where(col("doc_id") % 7 === 0)),
+        s"${tagBase}_g2", maxHamming = AHashMaxHamming)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   private val qImageDedupSql =
     s"""WITH img AS (
        |  SELECT doc_id, CAST(16 + doc_id % 17 AS BIGINT) AS w,
@@ -885,6 +919,7 @@ object MlQueries extends QueryModule {
     Q("q_audio_energy", (s, d) => qAudioEnergy(s, d), Some(qAudioEnergySql)),
     Q("q_image_pixels", (s, d) => qImagePixels(s, d), Some(qImagePixelsSql)),
     Q("q_image_dedup", (s, d) => qImageDedup(s, d), Some(qImageDedupSql)),
+    Q("q_image_dedup_day2", (s, d) => qImageDedupDay2(s, d), Some(qImageDedupSql)),
     Q("q_video_frame_sample", (s, d) => qVideoFrameSample(s, d), Some(qVideoFrameSampleSql)),
     Q("q_video_frames_real", (s, d) => qVideoFramesReal(s, d), Some(qVideoFramesRealSql)),
     Q("q_media_features_real", (s, d) => qMediaFeaturesReal(s, d), Some(qMediaFeaturesRealSql)),

@@ -208,6 +208,60 @@ class CorpusOpsSpec extends AnyFunSuite {
     Dedup.SpanStore.vacuum(spark, tagRb)
   }
 
+  test("ImageHashStore: absorb ≡ rebuild, day-3 probe ≡ batch, rep/sz merge, vacuum") {
+    import graft.multimodal.Multimodal.ImageHashStore
+    // hashes chosen so Hamming(h1,h2)=2 ≤ 3 (near-dups), h3 far.
+    val h1 = 0x0f0f0f0f0f0f0f0fL
+    val h2 = h1 ^ 0x3L               // 2 bits away from h1
+    val h3 = 0x7a7a7a7a00000000L
+    val h4 = h3 ^ 0x11L              // 2 bits away from h3 — arrives day 2
+    val v0 = Seq((10L, h1), (11L, h1), (20L, h2), (30L, h3))
+    val d1 = Seq((40L, h4), (5L, h2))   // new hash + re-ingest with SMALLER id
+    val d2 = Seq((50L, h1 ^ 0x5L))      // 2 from h1, 4 from h2 (only one pair)
+    val ts = System.nanoTime()
+    val (g1, g2, rb) = (s"imgspec_g1_$ts", s"imgspec_g2_$ts", s"imgspec_rb_$ts")
+    def df(rows: Seq[(Long, Long)]) = rows.toDF("media_id", "ahash")
+    ImageHashStore.write(spark, df(v0), g1, maxHamming = 3)
+    ImageHashStore.absorb(spark, g1, g2, df(d1), maxHamming = 3)
+    // absorbed generation ≡ from-scratch write over v0 ∪ d1
+    ImageHashStore.write(spark, df(v0 ++ d1), rb, maxHamming = 3)
+    def famSet(t: String) = spark.table(ImageHashStore.famsTable(t))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def pairSet(t: String) = spark.table(ImageHashStore.pairsTable(t))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(famSet(g2) == famSet(rb),
+      s"fams: ${famSet(g2).diff(famSet(rb))} vs ${famSet(rb).diff(famSet(g2))}")
+    assert(pairSet(g2) == pairSet(rb), s"pairs: ${pairSet(g2)} vs ${pairSet(rb)}")
+    // re-ingest with smaller id must have moved h2's rep to 5
+    assert(famSet(g2).contains((h2, 5L, 2L)), s"rep merge: ${famSet(g2)}")
+    // day-3 probe against gen2 ≡ from-scratch batch over everything
+    val all = v0 ++ d1 ++ d2
+    val got = ImageHashStore.day2Pairs(spark, df(d2), g2, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val fams = df(all).groupBy($"ahash")
+      .agg(min($"media_id").as("rep"), count(lit(1)).as("sz"))
+    val batch = Dedup.simhashPairs(
+        fams.select($"rep", $"ahash".as("simhash")), "rep",
+        maxHamming = 3, bits = 64, segments = 4)
+      .join(fams.select($"rep".as("id_a"), $"sz".as("sz_a")), "id_a")
+      .join(fams.select($"rep".as("id_b"), $"sz".as("sz_b")), "id_b")
+      .select($"id_a", $"id_b", $"hamming".cast("int"), $"sz_a", $"sz_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == batch, s"day3 ${got.diff(batch)} != batch ${batch.diff(got)}")
+    assert(got.exists(p => p._1 == 10L && p._2 == 50L),
+      "the day-3 hash must pair with h1's family")
+    // vacuum gen1; gen2 stays readable
+    ImageHashStore.vacuum(spark, g1)
+    assert(!spark.catalog.tableExists(ImageHashStore.famsTable(g1)))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      ImageHashStore.root, s"img_store_$g1")))
+    assert(spark.table(ImageHashStore.famsTable(g2)).count() == 4)
+    ImageHashStore.vacuum(spark, g2)
+    ImageHashStore.vacuum(spark, rb)
+  }
+
   test("stripDupSpans rebuilds exactly the uncovered tokens in order") {
     val shared = (1 to 7).map("s" + _).mkString(" ")
     val strip = Dedup.stripDupSpans(
