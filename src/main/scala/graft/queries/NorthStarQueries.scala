@@ -1415,9 +1415,11 @@ object NorthStarQueries extends QueryModule {
     *    delta-sized. At 100 TB that's the difference between a daily
     *    multi-hour re-curate and minutes of delta work plus one
     *    columnar scan. */
-  private def qCurateIncremental(implicit s: SparkSession, dir: String): DataFrame = {
+  /** The persisted v0 curate state behind [[qCurateIncremental]] and
+    * [[qStreamCurate]] — built once per sf dir per JVM. */
+  private def curateV0StatePath(implicit s: SparkSession, dir: String): String = {
     import graft.core.Scratch
-    val state = Scratch.buildOnce("curate_v0_state", dir) { p =>
+    Scratch.buildOnce("curate_v0_state", dir) { p =>
       val v0 = docs.select(col("doc_id"), col("text"), col("lang"))
         .where(col("doc_id") % 10 =!= 0)
       val fam = graft.core.Caches.track(
@@ -1439,6 +1441,10 @@ object NorthStarQueries extends QueryModule {
         .write.parquet(s"$p/scored")
       graft.core.Caches.releaseAll()
     }
+  }
+
+  private def qCurateIncremental(implicit s: SparkSession, dir: String): DataFrame = {
+    val state = curateV0StatePath
     val delta = docs.select(col("doc_id"), col("text"), col("lang"))
       .where(col("doc_id") % 10 === 0)
     val dfam = graft.core.Caches.track(
@@ -1504,6 +1510,94 @@ object NorthStarQueries extends QueryModule {
     s"""WITH RECURSIVE $curateBandCtes
        |SELECT doc_id, lang, quality FROM band
        |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------- streaming curation (CDC)
+  /** [[qCurateIncremental]]'s delta update as an ACTUAL STREAM — the
+    * CDC loop deployed through
+    * [[graft.streaming.EventStreams.streamingCurateFeed]]: the day's
+    * delta arrives in `parts` micro-batches; each batch emits
+    * digest-keyed family candidates and its verified new×store pairs
+    * against the persisted v0 state; the post-stream assembly then
+    * min-merges the candidates per digest (invariant to chopping),
+    * adds the delta-internal new×new pairs (batch-sized, computed
+    * once — per-batch emission would miss pairs straddling batch
+    * boundaries), and runs the same relabel → CC → per-language
+    * quantile band as the batch path. Gated EQUAL to re-curating the
+    * full corpus from scratch (the identical oracle as
+    * `q_curate_incremental`); StreamingSpec asserts the
+    * batch-boundary invariance directly (parts = 1 ≡ parts = 3). */
+  private[graft] def streamCurateResult(s: SparkSession, sfDir: String,
+                                        parts: Int): DataFrame = {
+    implicit val sp: SparkSession = s
+    implicit val dir: String = sfDir
+    val state = curateV0StatePath
+    val (famCands, streamPairs) = graft.streaming.EventStreams
+      .streamingCurateFeed(s, sfDir, state, n = 3, k = MhK, bands = MhBands,
+        threshold = 0.5, parts = parts)
+    // min-merge the per-batch family candidates: global min doc id
+    // per digest; lang/text ride along from the batch holding it
+    val dfam = graft.core.Caches.track(famCands
+      .groupBy(col("digest"))
+      .agg(min(col("dmin")).as("dmin"),
+        min_by(col("dlang"), col("dmin")).as("dlang"),
+        min_by(col("dtext"), col("dmin")).as("dtext")))
+    val j = s.read.parquet(s"$state/fam")
+      .join(dfam, Seq("digest"), "full_outer")
+    val changed = graft.core.Caches.track(j
+      .where(col("rep").isNotNull && col("dmin") < col("rep"))
+      .select(col("rep").as("_old"), col("dmin").as("_new"),
+        col("dlang").as("_nlang")))
+    val newFams = graft.core.Caches.track(j.where(col("rep").isNull)
+      .select(col("dmin").as("doc_id"), col("dtext").as("text"),
+        col("dlang").as("lang")))
+
+    def relabel(df: DataFrame, c: String): DataFrame =
+      df.join(broadcast(changed.select(col("_old").as(c), col("_new"))),
+          Seq(c), "left")
+        .withColumn(c, coalesce(col("_new"), col(c))).drop("_new")
+
+    val pairs0r = relabel(relabel(s.read.parquet(s"$state/pairs"),
+        "id_a"), "id_b")
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+    // stream-emitted new×store pairs: digest → final new-family rep,
+    // store side relabeled (a smaller delta id may have taken over
+    // the store family's rep)
+    val streamMapped = relabel(streamPairs.distinct()
+        .join(dfam.select(col("digest"), col("dmin")), Seq("digest"))
+        .select(col("dmin").as("id_a"), col("store_id").as("id_b")),
+        "id_b")
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+    // delta-internal pairs, computed ONCE post-stream
+    val newnew = Dedup.nearDupPairs(
+        newFams.select(col("doc_id"), col("text")), "doc_id", "text",
+        n = 3, k = MhK, bands = MhBands, threshold = 0.5)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+    // disjoint by construction: old×old, new×store, new×new
+    val pairsAll = pairs0r.unionByName(streamMapped).unionByName(newnew)
+
+    val scored0r = s.read.parquet(s"$state/scored")
+      .join(broadcast(changed.select(col("_old").as("doc_id"),
+        col("_new"), col("_nlang"))), Seq("doc_id"), "left")
+      .select(coalesce(col("_new"), col("doc_id")).as("doc_id"),
+        coalesce(col("_nlang"), col("lang")).as("lang"), col("quality"))
+    val scoredNew = newFams.select(col("doc_id"), col("lang"),
+      TextFns.qualityScore(col("text")).as("quality"))
+    val comps = Dedup.connectedComponents(pairsAll, "id_a", "id_b")
+    val dropIds = comps.where(col("id") =!= col("comp"))
+      .select(col("id").as("doc_id"))
+    val curated = scored0r.unionByName(scoredNew)
+      .join(dropIds, Seq("doc_id"), "left_anti")
+    Selection.percentileBand(curated, "lang", "quality",
+        0.25, 0.75, minGroupSize = 20)
+      .select(col("doc_id"), col("lang"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def qStreamCurate(implicit s: SparkSession, dir: String): DataFrame =
+    streamCurateResult(s, dir, parts = 4)
 
   // --------------------------------------- curate once, derive twice
   /** Times the curation DAG actually EXECUTED for the artifact path —
@@ -1835,6 +1929,7 @@ object NorthStarQueries extends QueryModule {
     Q("q_curate_from_artifact", (s, d) => qCurateFromArtifact(s, d), Some(qCuratePipelineSql)),
     Q("q_curate_sink_artifact", (s, d) => qCurateSinkArtifact(s, d), Some(qCurateSinkSql)),
     Q("q_curate_incremental", (s, d) => qCurateIncremental(s, d), Some(qCurateIncrementalSql)),
+    Q("q_stream_curate", (s, d) => qStreamCurate(s, d), Some(qCurateIncrementalSql)),
     Q("q_split_leakage_safe", (s, d) => qSplitLeakageSafe(s, d), Some(qSplitLeakageSafeSql)),
     Q("q_export_manifest", (s, d) => qExportManifest(s, d), Some(qExportManifestSql)),
     Q("q_dedup_minhash_lsh", (s, d) => qDedupMinhashLsh(s, d), Some(qDedupMinhashLshSql)),

@@ -655,6 +655,93 @@ object EventStreams {
     spark.read.parquet(out).select("id_a", "id_b", "jaccard")
   }
 
+  /** STREAMING CDC curation feed — `q_curate_incremental`'s delta
+    * analysis deployed as a micro-batch stream against the persisted
+    * curate state (the [[streamingStoreProbe]] shape): the day's
+    * delta documents arrive chopped into micro-batches, and each
+    * batch emits two DIGEST-keyed frames to a batchId-keyed sink:
+    * (1) its per-family candidates (digest, batch-min doc id, lang
+    * and text of that doc) and (2) its verified NEW-family × STORE
+    * near-dup pairs as (digest, store rep id). Keying emissions by
+    * the content digest — never by a batch-local id — is what makes
+    * the union of emissions INVARIANT to how the stream is chopped:
+    * family candidates min-merge per digest downstream, and pair
+    * rows are text-determined so re-emissions collapse under
+    * distinct. Batch-internal (new × new) pairs are deliberately NOT
+    * emitted — they are the post-stream assembly's delta-sized job,
+    * exactly as [[streamingStoreProbe]] leaves them to the batch
+    * path; emitting them per-batch would BREAK invariance (a pair
+    * straddling two batches would be missed, one inside a batch
+    * found).
+    *
+    * Scale posture: per-batch work is batch-sized (the store's
+    * banded/sets frames are read, never recomputed or shuffled); the
+    * batchId-keyed `overwrite` sink keeps replays idempotent, so
+    * checkpoint-restart semantics carry over unchanged. */
+  def streamingCurateFeed(spark: SparkSession, dir: String,
+                          statePath: String, n: Int, k: Int, bands: Int,
+                          threshold: Double = 0.5,
+                          parts: Int = 4): (DataFrame, DataFrame) = {
+    import graft.operators.Dedup
+    val staged = stageDeltaDocSplits(spark, dir, parts)
+    val run = java.util.UUID.randomUUID.toString.replace("-", "")
+    val out = s"/tmp/graft_stream_curate/$run"
+    val stateFam = spark.read.parquet(s"$statePath/fam")
+    val storeBanded = spark.read.parquet(s"$statePath/banded")
+    val storeSets = spark.read.parquet(s"$statePath/sets")
+    val q = withStreamParallelism(spark, 4) {
+      spark.readStream.schema(DocSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .select(col("doc_id"), col("text"), col("lang"))
+        .writeStream.outputMode(OutputMode.Append)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val bf = batch.groupBy(md5(col("text")).as("digest"))
+            .agg(min(col("doc_id")).as("dmin"),
+              min_by(col("lang"), col("doc_id")).as("dlang"),
+              min_by(col("text"), col("doc_id")).as("dtext"))
+            .persist()
+          try {
+            bf.write.mode("overwrite").parquet(s"$out/fams/b=$id")
+            // only digests UNSEEN by the v0 state probe the store —
+            // a re-ingested family's pairs are already in the
+            // persisted pair set
+            val newCand = bf.join(stateFam.select(col("digest")),
+              Seq("digest"), "left_anti").persist()
+            try {
+              val reps = newCand.select(col("dmin").as("doc_id"),
+                col("dtext").as("text"))
+              val nb = Dedup.bandedSignatures(reps, "doc_id", "text",
+                n, k, bands)
+              val cands = Dedup.probeSignatureStore(storeBanded, nb,
+                "doc_id").distinct()
+              val sets = storeSets.unionByName(
+                Dedup.shingleSets(reps, "doc_id", "text", n))
+              // map the batch-side id back to its digest (delta and
+              // store id spaces are disjoint, so exactly one side
+              // resolves)
+              Dedup.jaccardForPairs(cands, sets, "doc_id", "shset")
+                .where(col("jaccard") >= threshold)
+                .join(broadcast(newCand.select(col("dmin").as("id_a"),
+                  col("digest").as("dg_a"))), Seq("id_a"), "left")
+                .join(broadcast(newCand.select(col("dmin").as("id_b"),
+                  col("digest").as("dg_b"))), Seq("id_b"), "left")
+                .select(coalesce(col("dg_a"), col("dg_b")).as("digest"),
+                  when(col("dg_a").isNotNull, col("id_b"))
+                    .otherwise(col("id_a")).as("store_id"))
+                .write.mode("overwrite").parquet(s"$out/pairs/b=$id")
+            } finally newCand.unpersist()
+          } finally bf.unpersist()
+        }
+        .start()
+    }
+    try q.processAllAvailable()
+    finally q.stop()
+    (spark.read.parquet(s"$out/fams")
+       .select("digest", "dmin", "dlang", "dtext"),
+     spark.read.parquet(s"$out/pairs").select("digest", "store_id"))
+  }
+
   // ------------------------------------------------------- sessionize
   case class Ev(user_id: Long, tsMicros: Long, event_type: String)
   case class SessionState(start: Long, last: Long, n: Int)

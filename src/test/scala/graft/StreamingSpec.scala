@@ -131,6 +131,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(reChopped == got)
   }
 
+  test("streaming curation equals the batch CDC path and is batch-boundary-invariant") {
+    val dir = TestSpark.SfDir
+    // batch twin: the gated incremental curation (itself oracle-equal
+    // to the from-scratch re-curate)
+    val want = SparkEntry.queries("q_curate_incremental")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    // the stream deployment, chopped two different ways — digest-keyed
+    // emissions make the assembly invariant to the chopping
+    val one = graft.queries.NorthStarQueries
+      .streamCurateResult(spark, dir, parts = 1)
+      .collect().map(_.toSeq).toSeq
+    val three = graft.queries.NorthStarQueries
+      .streamCurateResult(spark, dir, parts = 3)
+      .collect().map(_.toSeq).toSeq
+    assert(one.nonEmpty && one == want,
+      s"stream(parts=1) != batch CDC: ${one.size} vs ${want.size} rows")
+    assert(three == one, "stream result changed with micro-batch chopping")
+  }
+
   test("sessionize closes sessions on the 30-min gap") {
     val sessions = EventStreams.sessionize(spark, TestSpark.SfDir, 30)
     assert(sessions.count() > 0)
