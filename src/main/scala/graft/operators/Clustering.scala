@@ -50,7 +50,16 @@ object Clustering {
     * aggregate (k·dim tiny rows to the driver) and a narrow,
     * shuffle-free assignment map with k codegen distance exprs. */
   def lloydExactAssign(df: DataFrame, idCol: String, embCol: String,
-                       k: Int, iters: Int): DataFrame = {
+                       k: Int, iters: Int): DataFrame =
+    lloydExactWithCentroids(df, idCol, embCol, k, iters)._1
+
+  /** [[lloydExactAssign]] also returning the FINAL centroids (the
+    * ones the returned assignment used) — the PQ codebook trainer
+    * needs both the per-row code and the centroid arrays for
+    * asymmetric-distance reconstruction. */
+  def lloydExactWithCentroids(df: DataFrame, idCol: String, embCol: String,
+                              k: Int, iters: Int)
+      : (DataFrame, Seq[(Int, Array[Double])]) = {
     import org.apache.spark.sql.types.DecimalType
     def assign(cents: Seq[(Int, Array[Double])]): DataFrame = {
       val cands = cents.map { case (cid, arr) =>
@@ -92,7 +101,7 @@ object Clustering {
           "lost; fixed-init Lloyd's needs every cluster non-empty")
       assigned = assign(cents)
     }
-    assigned
+    (assigned, cents)
   }
 
   /** [[lloydExactAssign]] with per-row MULTIPLICITIES — bit-identical

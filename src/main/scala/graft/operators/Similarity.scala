@@ -626,4 +626,93 @@ object Similarity {
     }
     chosen
   }
+
+  /** Fixed-order squared distance between two array columns (HOF
+    * fold — left-to-right, the order DuckDB's list_aggregate
+    * replays). */
+  private def sqDistHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
+        (x, y) => (x.cast("double") - y.cast("double"))
+          * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** PRODUCT-QUANTIZATION top-k (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search") — the storage-scale
+    * path for the embedding tier: at 100 TB the float32 vectors
+    * dominate storage, and PQ re-codes each vector as `blocks` small
+    * integers (here 2×2 bits ≈ 32× narrower than 16 float dims)
+    * while queries stay full-precision (asymmetric distance).
+    *
+    * DETERMINISTIC end to end, so a SQL oracle replays it: the
+    * per-sub-block codebooks come from the same fixed-init
+    * exact-decimal Lloyd's as `q_kmeans_exact`
+    * ([[Clustering.lloydExactWithCentroids]] on the sliced
+    * sub-vectors — init = sub-vectors of ids 0..codes-1, `iters`
+    * assignment rounds, ties → smallest code), the ADC candidate
+    * stage computes Σ_m sqdist(query block m, centroid of the row's
+    * code m) as fixed-order folds, and the top-`cands` candidates
+    * per query are re-ranked by EXACT cosine over their true
+    * vectors. Recall < 1 is inherent to PQ (the quantizer collapses
+    * within-cell detail); the re-rank makes everything that
+    * SURVIVES the candidate stage exactly ordered.
+    *
+    * Scale posture: codebook state is blocks×codes×(dim/blocks)
+    * doubles on the driver (k·dim bounded, the Lloyd's idiom); the
+    * corpus is scanned once to code (narrow map after the per-block
+    * assignments), once per query set for ADC (broadcast queries);
+    * candidates are cands-bounded before any exact work. The decoded
+    * reconstruction never materializes corpus-wide — ADC reads the
+    * code and the broadcast codebook. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, qId: String,
+             cId: String, embCol: String, blocks: Int, codes: Int,
+             iters: Int, cands: Int, k: Int): DataFrame = {
+    val dim = corpus.select(max(size(col(embCol)))).head().getInt(0)
+    require(dim % blocks == 0, s"blocks ($blocks) must divide dim ($dim)")
+    val len = dim / blocks
+    // per-block codebooks + codes, joined back onto the corpus
+    var coded = graft.core.Caches.track(corpus)
+    val cents = (0 until blocks).map { m =>
+      val off = m * len
+      val sub = coded.select(col(cId),
+        expr(s"slice($embCol, ${off + 1}, $len)").as("_sub"))
+      val (assigned, cs) = graft.operators.Clustering
+        .lloydExactWithCentroids(sub, cId, "_sub", codes, iters)
+      coded = coded.join(
+        assigned.select(col(cId), col("cluster").as(s"_code$m")), cId)
+      cs
+    }
+    coded = graft.core.Caches.track(coded)
+    // ADC: reconstruct each block's centroid from the row's code (a
+    // when-chain over the broadcast codebook literals) and fold the
+    // squared distance against the query's sub-vector
+    val adcTerms = (0 until blocks).map { m =>
+      val off = m * len
+      val recon = cents(m).tail.foldLeft(
+          when(col(s"_code$m") === cents(m).head._1,
+            array(cents(m).head._2.map(lit).toSeq: _*))) {
+        case (acc, (cid, arr)) =>
+          acc.when(col(s"_code$m") === cid, array(arr.map(lit).toSeq: _*))
+      }
+      sqDistHof(expr(s"slice(q.$embCol, ${off + 1}, $len)"), recon)
+    }
+    val scored = coded.alias("c")
+      .join(broadcast(queries.alias("q")))
+      .withColumn("adc", round(adcTerms.reduce(_ + _), 6))
+      .select(col(s"q.$qId").as("query_id"), col(s"c.$cId").as("vec_id"),
+        col(s"c.$embCol").as("_cemb"), col(s"q.$embCol").as("_qemb"),
+        col("adc"))
+      .where(col("query_id") =!= col("vec_id"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("vec_id"))
+    val candFrame = scored.withColumn("crk", row_number().over(wAdc))
+      .where(col("crk") <= cands)
+    // exact re-rank of the survivors
+    val wSim = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    candFrame
+      .withColumn("sim", round(cosine(col("_qemb"), col("_cemb")), 6))
+      .withColumn("rk", row_number().over(wSim))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("sim"))
+  }
 }

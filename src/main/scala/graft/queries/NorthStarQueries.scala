@@ -328,6 +328,103 @@ object NorthStarQueries extends QueryModule {
        |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
   }
 
+  // --------------------------------------------- product quantization
+  /** PRODUCT-QUANTIZATION top-k ([[Similarity.pqTopK]], Jégou et al.
+    * 2011): the 64-dim vectors re-code as 4 sub-block codes (4
+    * centroids each — fixed-init exact-decimal Lloyd's per block, the
+    * `q_kmeans_exact` trainer on sliced sub-vectors), queries rank
+    * the corpus by asymmetric distance against the reconstructed
+    * codes, and the top-30 candidates re-rank by exact cosine. The
+    * oracle unrolls all four per-block Lloyd's chains, the ADC fold,
+    * and the re-rank — code assignments, candidate sets, and final
+    * ranks all hash-match. Storage story at 100 TB: 8 bits/vector of
+    * code vs 256 bytes of float32 — the index scan reads codes, and
+    * only `cands` true vectors per query are ever touched. */
+  private val PqBlocks = 4
+  private val PqCodes = 4
+  private val PqIters = 2
+  private val PqCands = 30
+
+  private def qPqTopK(implicit s: SparkSession, dir: String): DataFrame =
+    Similarity.pqTopK(queryVecs, embs, "vec_id", "vec_id", "embedding",
+        blocks = PqBlocks, codes = PqCodes, iters = PqIters,
+        cands = PqCands, k = 10)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("sim"))
+      .orderBy(col("query_id"), col("rk"))
+
+  private val qPqTopKSql = {
+    val len = 64 / PqBlocks
+    def sq(a: String, b: String) =
+      s"""list_aggregate(list_transform(list_zip($a, $b),
+         |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         |         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum')""".stripMargin
+    def argmin(d: String) =
+      s"""SELECT vec_id, cid AS code FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY dist, cid) AS rk FROM $d) WHERE rk = 1""".stripMargin
+    // one fixed-init 2-round Lloyd's chain per sub-block
+    val blockCtes = (0 until PqBlocks).map { m =>
+      val off = m * len
+      s"""sub_$m AS (
+         |  SELECT vec_id, list_slice(embedding, ${off + 1}, ${off + len}) AS sv
+         |  FROM e),
+         |c0_$m AS (
+         |  SELECT CAST(vec_id AS INTEGER) AS cid,
+         |    list_transform(sv, x -> CAST(x AS DOUBLE)) AS c
+         |  FROM sub_$m WHERE vec_id < $PqCodes),
+         |d0_$m AS (
+         |  SELECT s.vec_id, c.cid, ${sq("s.sv", "c.c")} AS dist
+         |  FROM sub_$m s CROSS JOIN c0_$m c),
+         |a0_$m AS (${argmin(s"d0_$m")}),
+         |c1_$m AS (
+         |  SELECT cid, list(cd ORDER BY pos) AS c FROM (
+         |    SELECT a.code AS cid, ls.pos,
+         |      CAST(SUM(CAST(CAST(ls.v AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE)
+         |        / COUNT(*) AS cd
+         |    FROM (SELECT vec_id, unnest(sv) AS v,
+         |            generate_subscripts(sv, 1) AS pos FROM sub_$m) ls
+         |    JOIN a0_$m a ON a.vec_id = ls.vec_id
+         |    GROUP BY 1, 2)
+         |  GROUP BY cid),
+         |d1_$m AS (
+         |  SELECT s.vec_id, c.cid, ${sq("s.sv", "c.c")} AS dist
+         |  FROM sub_$m s CROSS JOIN c1_$m c),
+         |a1_$m AS (${argmin(s"d1_$m")})""".stripMargin
+    }.mkString(",\n")
+    val reconJoins = (0 until PqBlocks).map(m =>
+      s"JOIN a1_$m ON a1_$m.vec_id = e.vec_id\n" +
+        s"  JOIN c1_$m r$m ON r$m.cid = a1_$m.code").mkString("\n  ")
+    val adcExpr = (0 until PqBlocks).map { m =>
+      val off = m * len
+      sq(s"list_slice(q.embedding, ${off + 1}, ${off + len})", s"r.r$m")
+    }.mkString("\n  + ")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |$blockCtes,
+       |recon AS (
+       |  SELECT e.vec_id, ${(0 until PqBlocks).map(m => s"r$m.c AS r$m").mkString(", ")}
+       |  FROM e
+       |  $reconJoins),
+       |adc AS (
+       |  SELECT q.vec_id AS query_id, r.vec_id,
+       |    round($adcExpr, 6) AS adc
+       |  FROM (SELECT * FROM e WHERE vec_id < 5) q CROSS JOIN recon r
+       |  WHERE q.vec_id <> r.vec_id),
+       |cand AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc, vec_id) AS crk FROM adc)
+       |  WHERE crk <= $PqCands),
+       |scored AS (
+       |  SELECT cand.query_id, cand.vec_id, $cosineSqlExpr AS sim
+       |  FROM cand
+       |  JOIN e q ON cand.query_id = q.vec_id
+       |  JOIN e c ON cand.vec_id = c.vec_id)
+       |SELECT query_id, rk, vec_id, sim FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, vec_id) AS INTEGER) AS rk FROM scored)
+       |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+  }
+
   /** IVF probe search over the precomputed label cells. Oracle-exact:
     * cell ranking uses exact decimal centroid numerators (see
     * [[Similarity.ivfTopK]]), so the probed cells and the final
@@ -1948,6 +2045,7 @@ object NorthStarQueries extends QueryModule {
     Q("q_embed_cosine_topk", (s, d) => qCosineTopK(s, d), Some(qCosineTopKSql)),
     Q("q_embed_ann_lsh", (s, d) => qAnnLsh(s, d), Some(qAnnLshSql)),
     Q("q_embed_ivf", (s, d) => qIvfTopK(s, d), Some(qIvfTopKSql)),
+    Q("q_embed_pq_topk", (s, d) => qPqTopK(s, d), Some(qPqTopKSql)),
     Q("q_embed_ivf_store", (s, d) => qIvfStore(s, d), Some(qIvfTopKSql)),
     Q("q_embed_ivf_day2", (s, d) => qIvfStoreDay2(s, d), Some(qIvfTopKSql)),
     Q("q_kcenter_select", (s, d) => qKCenter(s, d), Some(qKCenterSql)),

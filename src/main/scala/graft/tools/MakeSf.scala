@@ -36,7 +36,16 @@ object MakeSf {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    build(spark, srcDir, dstDir, k, tables)
+    spark.stop()
+  }
 
+  /** The replication body, callable in-process (big-SF specs
+    * regenerate their fixture if absent instead of silently
+    * canceling — the evidence is then reproducible from a clean
+    * machine). Deterministic: same src + k -> same rows. */
+  def build(spark: SparkSession, srcDir: String, dstDir: String, k: Int,
+            tables: Set[String]): Unit = {
     def tbl(name: String): DataFrame =
       spark.read.parquet(s"$srcDir/$name.parquet")
 
@@ -95,6 +104,5 @@ object MakeSf {
       Map("doc_id" -> span(tbl("documents"), "doc_id"))))
     write("embeddings", replicate(tbl("embeddings"),
       Map("vec_id" -> span(tbl("embeddings"), "vec_id"))))
-    spark.stop()
   }
 }

@@ -84,6 +84,56 @@ class SimilaritySpec extends AnyFunSuite {
     corpus.unpersist()
   }
 
+  test("pqTopK on clustered embeddings: recall@10 >= 0.9 touching <= 0.15 true vectors; sims exact") {
+    // same clustered regime as the LSH/IVF recall tests: 8 separated
+    // clusters of 50. PQ codebooks (4 sub-blocks × 8 codes) must send
+    // same-cluster vectors to the same code cells, so the ADC
+    // candidate stage surfaces the true neighbors and the exact
+    // re-rank orders them. `cands` MUST exceed the largest code-cell
+    // coincidence (here the 50-member cluster): all same-cell vectors
+    // carry IDENTICAL ADC, so a smaller cands truncates the tie by id
+    // and recall caps (measured: 0.775 at cands=40, 1.0 at 60+) —
+    // the same sizing rule IVF's probes parameter has. 60 of 400 true
+    // vectors (15%) are read per query.
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val centers = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    // ids interleave clusters (id = m·8 + c) so the fixed init (ids
+    // 0..codes-1) lands one seed per cluster — the regime a sampled
+    // k-means init gives on real corpora. An all-one-cluster init
+    // measured 0.775 recall after 2 rounds; seeding matters, which is
+    // why pqTopK documents init choice as part of the contract.
+    val rows = for { c <- centers.indices; m <- 0 until 50 } yield {
+      val v = centers(c).map(x => x + 0.08f * rnd.nextGaussian().toFloat)
+      ((m * 8 + c).toLong, v)
+    }
+    val corpus = rows.toDF("vec_id", "embedding").repartition(8).cache()
+    val queries = corpus.where($"vec_id" >= 8 && $"vec_id" < 16)
+    val k = 10
+    val pq = Similarity.pqTopK(queries, corpus, "vec_id", "vec_id",
+        "embedding", blocks = 4, codes = 8, iters = 2, cands = 60, k = k)
+      .select("query_id", "vec_id", "sim")
+      .as[(Long, Long, Double)].collect()
+    val bf = Similarity.bruteForceTopK(queries, corpus,
+        "vec_id", "vec_id", "embedding", k)
+      .select("query_id", "vec_id", "sim")
+      .as[(Long, Long, Double)].collect()
+    val pqSets = pq.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val bfSets = bf.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = bfSets.keysIterator.map { q =>
+      (pqSets.getOrElse(q, Set.empty) & bfSets(q)).size.toDouble / bfSets(q).size
+    }.sum / bfSets.size
+    assert(recall >= 0.9, f"PQ recall@$k = $recall%.3f at 60/400 candidates")
+    // the re-rank is EXACT cosine: every (query, vec) pair PQ returns
+    // that brute force also returns must carry the identical sim
+    val bfSims = bf.map(t => (t._1, t._2) -> t._3).toMap
+    pq.foreach { case (q, v, s) =>
+      bfSims.get((q, v)).foreach(b => assert(b == s,
+        s"sim mismatch for ($q,$v): pq $s vs brute $b"))
+    }
+    corpus.unpersist()
+  }
+
   test("lshNearDupPairs: planted near-dups recalled >= 0.9 at pair-scan fraction <= 0.1") {
     // 300 near-uniform base vectors plus 40 PLANTED near-dup copies
     // (base + small noise → cosine ≈ 0.99) — the shape embedding
