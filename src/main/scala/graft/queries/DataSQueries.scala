@@ -343,6 +343,36 @@ object DataSQueries extends QueryModule {
        |    struct_pack(human := source, assistant := lang)
        |  ] AS conversation FROM documents""".stripMargin)
 
+  /** VARIABLE-length multi-turn IFD — the at-scale shape of the
+    * ShareGPT surface: conversations synthesized from documents with
+    * 1 + doc_id % 4 turns (each turn chops its own 40-char segment of
+    * the text into a 20-char human / 20-char assistant pair), so turn
+    * counts, history lengths, and empty-tail spans all vary across
+    * the corpus — history prompts GROW with the turn index, which is
+    * the cost profile a real multi-turn corpus has and the 2-turn
+    * synthesis (`q_sharegpt_ifd`) cannot exercise. Same pipeline, same
+    * guard math, same per-turn oracle chain via a different convCte. */
+  private def qSharegptMultiturn(implicit s: SparkSession, dir: String): DataFrame = {
+    val nTurns = (col("doc_id") % 4 + 1).cast("int")
+    val conv = expr(
+      "transform(sequence(0, CAST(doc_id % 4 AS INT)), i -> " +
+        "named_struct('human', substring(text, i * 40 + 1, 20), " +
+        "'assistant', substring(text, i * 40 + 21, 20)))")
+    Scorers.sharegptIfdPipeline(
+        docs.select(col("doc_id"), conv.as("conversation")),
+        "doc_id", "conversation", () => new Scorers.ProxyBackend(42L))
+      .select(col("doc_id"), col("turn"),
+        round(col("score_ifd"), 6).as("score_ifd"))
+      .orderBy(col("doc_id"), col("turn"))
+  }
+
+  private val qSharegptMultiturnSql = sharegptIfdOracle("doc_id",
+    """
+       |  SELECT doc_id, list_transform(range(doc_id % 4 + 1), i ->
+       |    struct_pack(human := substr(text, CAST(i * 40 + 1 AS INTEGER), 20),
+       |      assistant := substr(text, CAST(i * 40 + 21 AS INTEGER), 20)))
+       |    AS conversation FROM documents""".stripMargin)
+
   // ------------------------------------ sharegpt FILE ingestion gate
   /** Sharegpt ingestion through the real reader
     * ([[graft.io.JsonIO.readSharegpt]]) over an actual JSONL file —
@@ -595,6 +625,7 @@ object DataSQueries extends QueryModule {
     Q("q_sharegpt_turns", (s, d) => qSharegptTurns(s, d), Some(qSharegptTurnsSql)),
     Q("q_sharegpt_file", (s, d) => qSharegptFile(s, d), Some(qSharegptFileSql)),
     Q("q_sharegpt_ifd", (s, d) => qSharegptIfd(s, d), Some(qSharegptIfdSql)),
+    Q("q_sharegpt_multiturn", (s, d) => qSharegptMultiturn(s, d), Some(qSharegptMultiturnSql)),
     Q("q_sharegpt_file_ifd", (s, d) => qSharegptFileIfd(s, d), Some(qSharegptFileIfdSql)),
     Q("q_ifd_ratio", (s, d) => qIfdRatio(s, d), Some(qIfdRatioSql)),
     Q("q_cluster_select", (s, d) => qClusterSelect(s, d), Some(qClusterSelectSql)),
