@@ -595,21 +595,8 @@ object Similarity {
       df.where(col(idCol) === id).select(col(embCol)).head()
         .getSeq[Float](0).map(_.toDouble).toArray
 
-    // localCheckpoint truncates the per-round lineage, but each call
-    // PINS a full (id, emb, _mind) copy in executor storage; without
-    // release the loop accumulates k copies (OOM territory for large
-    // k × corpus). Track the RDD ids each checkpoint adds and
-    // unpersist the previous round's AFTER the new one materializes
-    // (localCheckpoint is eager), bounding storage at ~2 copies.
-    val sc = spark.sparkContext
-    def checkpointReleasing(df: DataFrame, prevIds: Set[Int]): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val cp = df.localCheckpoint() // eager: materialized on return
-      val added = (sc.getPersistentRDDs.keySet -- before).toSet
-      prevIds.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-      (cp, added)
-    }
+    def checkpointReleasing(df: DataFrame, prevIds: Set[Int]): (DataFrame, Set[Int]) =
+      checkpointReleasingIn(spark)(df, prevIds)
 
     var chosen = Vector(seedId)
     var (state, cpIds) = checkpointReleasing(
@@ -624,6 +611,82 @@ object Similarity {
         cpIds)
       state = s2; cpIds = ids2
     }
+    chosen
+  }
+
+  /** localCheckpoint truncates a driver loop's per-round lineage, but
+    * each call PINS a full state copy in executor storage; without
+    * release the loop accumulates k copies (OOM territory for large
+    * k × corpus). Track the RDD ids each checkpoint adds and
+    * unpersist the previous round's AFTER the new one materializes
+    * (localCheckpoint is eager), bounding storage at ~2 copies.
+    * Shared by [[kcenterGreedy]] and [[mmrSelect]]. */
+  private def checkpointReleasingIn(spark: org.apache.spark.sql.SparkSession)(
+      df: DataFrame, prevIds: Set[Int]): (DataFrame, Set[Int]) = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val cp = df.localCheckpoint() // eager: materialized on return
+    val added = (sc.getPersistentRDDs.keySet -- before).toSet
+    prevIds.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    (cp, added)
+  }
+
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein 1998):
+    * greedily pick k items maximizing
+    * λ·sim(q,d) − (1−λ)·max_{s∈chosen} sim(d,s) — relevance traded
+    * against redundancy, the diversity-aware retrieval / training-data
+    * selection shape (a near-duplicate of an already-chosen document
+    * scores low even when query-similar, so the budget spreads across
+    * the corpus's modes instead of stacking one cluster). The first
+    * pick is the plain argmax of sim(q,d) (no chosen set yet — the
+    * empty-max convention never arises).
+    *
+    * Driver loop in the [[kcenterGreedy]] idiom: one Spark action per
+    * round over an (id, simq, maxs) state frame — a corpus scan plus a
+    * TakeOrdered(1), never a global sort materialized —
+    * localCheckpoint-with-release bounding pinned state at ~2 copies;
+    * only each round's single chosen vector reaches the driver
+    * (k · dim doubles total).
+    *
+    * DETERMINISTIC: both similarity legs are the fixed-order
+    * [[cosineHof]] fold rounded to 6 BEFORE the λ-blend, and each
+    * round's argmax breaks ties on the smaller id, so the whole greedy
+    * trajectory replays exactly in SQL as an unrolled CTE chain (the
+    * `q_kcenter_select` pattern). Chosen rows leave the pool, so the
+    * k picks are distinct by construction. Returns (rank, id, simq). */
+  def mmrSelect(df: DataFrame, idCol: String, embCol: String,
+                queryId: Long, k: Int, lambda: Double): Seq[(Int, Long, Double)] = {
+    val spark = df.sparkSession
+    def vecOf(id: Long): Array[Double] =
+      df.where(col(idCol) === id).select(col(embCol)).head()
+        .getSeq[Float](0).map(_.toDouble).toArray
+    def cosTo(center: Array[Double]): Column =
+      round(cosineHof(col(embCol), array(center.map(lit).toSeq: _*)), 6)
+
+    val base = df.where(col(idCol) =!= queryId)
+      .select(col(idCol), col(embCol),
+        cosTo(vecOf(queryId)).as("_simq"))
+    val first = base.orderBy(col("_simq").desc, col(idCol))
+      .select(col(idCol), col("_simq")).head()
+    var chosen = Vector((1, first.getLong(0), first.getDouble(1)))
+    var (state, cpIds) = checkpointReleasingIn(spark)(
+      base.where(col(idCol) =!= first.getLong(0))
+        .withColumn("_maxs", cosTo(vecOf(first.getLong(0)))), Set.empty[Int])
+    while (chosen.size < k) {
+      val mmr = lit(lambda) * col("_simq") - lit(1.0 - lambda) * col("_maxs")
+      val next = state.orderBy(mmr.desc, col(idCol))
+        .select(col(idCol), col("_simq")).head()
+      chosen = chosen :+ ((chosen.size + 1, next.getLong(0), next.getDouble(1)))
+      val (s2, ids2) = checkpointReleasingIn(spark)(
+        state.where(col(idCol) =!= next.getLong(0))
+          .withColumn("_maxs",
+            greatest(col("_maxs"), cosTo(vecOf(next.getLong(0))))),
+        cpIds)
+      state = s2; cpIds = ids2
+    }
+    cpIds.foreach(id => spark.sparkContext.getPersistentRDDs.get(id)
+      .foreach(_.unpersist(blocking = false)))
     chosen
   }
 
@@ -666,10 +729,33 @@ object Similarity {
   def pqTopK(queries: DataFrame, corpus: DataFrame, qId: String,
              cId: String, embCol: String, blocks: Int, codes: Int,
              iters: Int, cands: Int, k: Int): DataFrame = {
+    val len = pqBlockLen(corpus, embCol, blocks)
+    val (coded, cents) = pqCodeCorpus(corpus, cId, embCol, blocks, codes,
+      iters, len)
+    val scored = coded.alias("c")
+      .join(broadcast(queries.alias("q")))
+      .withColumn("adc", round(pqAdcExpr(cents, embCol, len), 6))
+      .select(col(s"q.$qId").as("query_id"), col(s"c.$cId").as("vec_id"),
+        col(s"c.$embCol").as("_cemb"), col(s"q.$embCol").as("_qemb"),
+        col("adc"))
+      .where(col("query_id") =!= col("vec_id"))
+    pqCandRerank(scored, cands, k)
+  }
+
+  private def pqBlockLen(corpus: DataFrame, embCol: String,
+                         blocks: Int): Int = {
     val dim = corpus.select(max(size(col(embCol)))).head().getInt(0)
     require(dim % blocks == 0, s"blocks ($blocks) must divide dim ($dim)")
-    val len = dim / blocks
-    // per-block codebooks + codes, joined back onto the corpus
+    dim / blocks
+  }
+
+  /** Per-block PQ codebooks + codes, joined back onto the corpus as
+    * `_code0.._code{blocks-1}`. Codebook state is
+    * blocks×codes×(dim/blocks) doubles on the driver (k·dim bounded,
+    * the Lloyd's idiom). Shared by [[pqTopK]] and [[ivfPqTopK]]. */
+  private def pqCodeCorpus(corpus: DataFrame, cId: String, embCol: String,
+                           blocks: Int, codes: Int, iters: Int, len: Int)
+      : (DataFrame, IndexedSeq[Seq[(Int, Array[Double])]]) = {
     var coded = graft.core.Caches.track(corpus)
     val cents = (0 until blocks).map { m =>
       val off = m * len
@@ -681,11 +767,16 @@ object Similarity {
         assigned.select(col(cId), col("cluster").as(s"_code$m")), cId)
       cs
     }
-    coded = graft.core.Caches.track(coded)
-    // ADC: reconstruct each block's centroid from the row's code (a
-    // when-chain over the broadcast codebook literals) and fold the
-    // squared distance against the query's sub-vector
-    val adcTerms = (0 until blocks).map { m =>
+    (graft.core.Caches.track(coded), cents)
+  }
+
+  /** ADC: reconstruct each block's centroid from the row's code (a
+    * when-chain over the broadcast codebook literals) and fold the
+    * squared distance against the query's sub-vector; queries are
+    * expected under alias `q`. */
+  private def pqAdcExpr(cents: IndexedSeq[Seq[(Int, Array[Double])]],
+                        embCol: String, len: Int): Column =
+    cents.indices.map { m =>
       val off = m * len
       val recon = cents(m).tail.foldLeft(
           when(col(s"_code$m") === cents(m).head._1,
@@ -694,19 +785,15 @@ object Similarity {
           acc.when(col(s"_code$m") === cid, array(arr.map(lit).toSeq: _*))
       }
       sqDistHof(expr(s"slice(q.$embCol, ${off + 1}, $len)"), recon)
-    }
-    val scored = coded.alias("c")
-      .join(broadcast(queries.alias("q")))
-      .withColumn("adc", round(adcTerms.reduce(_ + _), 6))
-      .select(col(s"q.$qId").as("query_id"), col(s"c.$cId").as("vec_id"),
-        col(s"c.$embCol").as("_cemb"), col(s"q.$embCol").as("_qemb"),
-        col("adc"))
-      .where(col("query_id") =!= col("vec_id"))
+    }.reduce(_ + _)
+
+  /** ADC-candidate window + exact cosine re-rank of the survivors. */
+  private def pqCandRerank(scored: DataFrame, cands: Int,
+                           k: Int): DataFrame = {
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").asc, col("vec_id"))
     val candFrame = scored.withColumn("crk", row_number().over(wAdc))
       .where(col("crk") <= cands)
-    // exact re-rank of the survivors
     val wSim = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     candFrame
@@ -714,5 +801,158 @@ object Similarity {
       .withColumn("rk", row_number().over(wSim))
       .where(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("vec_id"), col("sim"))
+  }
+
+  /** IVF-PQ composite (Jégou et al. 2011 §V — the FAISS `IVFPQ` /
+    * IVFADC serving architecture): the coarse IVF probe prunes the
+    * search to `probes` cells, asymmetric PQ distance ranks ONLY the
+    * probed cells' members, and the top-`cands` survivors re-rank by
+    * exact cosine. This is the 100 TB ANN serving shape — the
+    * full-precision corpus is never scanned: the probe reads
+    * nlist·dim centroid state, the ADC stage reads `blocks` small
+    * codes per vector for ~probes/nlist of the corpus, and only
+    * `cands` true vectors per query are ever touched.
+    *
+    * Codebooks are trained on the RAW vectors (one global codebook
+    * set), not the paper's per-cell residuals: residual coding needs
+    * a float centroid division per member, which would make the code
+    * assignment merge-order-sensitive and unreplayable by the SQL
+    * oracle; the exact re-rank recovers the ordering fidelity
+    * residuals buy. DETERMINISTIC end to end — decimal-exact cell
+    * ranking ([[ivfTopK]]), fixed-init exact-decimal Lloyd's
+    * codebooks ([[pqTopK]]), fixed-order ADC folds, ties → smaller
+    * id — so one SQL oracle replays probe, coding, ADC, and re-rank. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, qId: String,
+                cId: String, embCol: String, cellCol: String, probes: Int,
+                blocks: Int, codes: Int, iters: Int, cands: Int,
+                k: Int): DataFrame = {
+    val len = pqBlockLen(corpus, embCol, blocks)
+    val centDim = centroidNumerators(corpus, embCol, cellCol)
+    val probed = probedCells(queries, centDim, qId, embCol, cellCol, probes)
+    val (coded, cents) = pqCodeCorpus(corpus, cId, embCol, blocks, codes,
+      iters, len)
+    val scored = coded.alias("c")
+      .join(broadcast(probed.alias("p")),
+        col(s"c.$cellCol") === col(s"p.$cellCol"))
+      .join(broadcast(queries.alias("q")),
+        col("p.query_id") === col(s"q.$qId"))
+      .withColumn("adc", round(pqAdcExpr(cents, embCol, len), 6))
+      .select(col("p.query_id").as("query_id"), col(s"c.$cId").as("vec_id"),
+        col(s"c.$embCol").as("_cemb"), col(s"q.$embCol").as("_qemb"),
+        col("adc"))
+      .where(col("query_id") =!= col("vec_id"))
+    pqCandRerank(scored, cands, k)
+  }
+
+  /** PERSISTED IVF-PQ index — the full FAISS-artifact lifecycle for
+    * the composite: train the coarse cells' centroid numerators AND
+    * the PQ codebooks once, persist four frames, serve every later
+    * query set from the artifact. Layout under one root:
+    * `vectors` and `codes` partitioned BY CELL (a probe's literal
+    * cell filter prunes whole directories at file listing),
+    * `centroids` as exact decimal numerators (same merge-friendly
+    * contract as [[IvfStore]]), `codebooks` as blocks×codes tiny
+    * rows. Serving reads: centroid state for the probe, the CODES
+    * table (blocks small ints/vector — the ~32× narrower scan that
+    * is PQ's point) for the probed cells' ADC, and the true vectors
+    * of only the `cands` survivors for the exact re-rank. The raw
+    * corpus is never touched. Output is bit-identical to
+    * [[ivfPqTopK]] over the same corpus, so one oracle gates both. */
+  object IvfPqStore {
+    def path(tag: String): java.nio.file.Path = java.nio.file.Paths.get(
+      Dedup.SignatureStore.root, s"ivfpq_store_$tag")
+
+    def write(spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
+              cId: String, embCol: String, cellCol: String, blocks: Int,
+              codes: Int, iters: Int, tag: String): Unit = {
+      val base = path(tag)
+      java.nio.file.Files.createDirectories(base)
+      val len = pqBlockLen(corpus, embCol, blocks)
+      val (coded, cents) = pqCodeCorpus(corpus, cId, embCol, blocks, codes,
+        iters, len)
+      corpus.select(col(cId), col(embCol), col(cellCol))
+        .write.mode("overwrite").partitionBy(cellCol)
+        .parquet(base.resolve("vectors").toString)
+      val codeCols = (0 until blocks).map(m => col(s"_code$m"))
+      coded.select((col(cId) +: codeCols :+ col(cellCol)): _*)
+        .write.mode("overwrite").partitionBy(cellCol)
+        .parquet(base.resolve("codes").toString)
+      centroidNumerators(corpus, embCol, cellCol)
+        .write.mode("overwrite")
+        .parquet(base.resolve("centroids").toString)
+      import spark.implicits._
+      cents.zipWithIndex
+        .flatMap { case (bs, m) => bs.map { case (cid, arr) =>
+          (m, cid, arr.toSeq) } }
+        .toDF("block", "cid", "c")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(base.resolve("codebooks").toString)
+    }
+
+    private val written = scala.collection.mutable.Set[String]()
+    def writeOnce(spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
+                  cId: String, embCol: String, cellCol: String, blocks: Int,
+                  codes: Int, iters: Int, tag: String): Unit = synchronized {
+      if (!written.contains(tag)) {
+        write(spark, corpus, cId, embCol, cellCol, blocks, codes, iters, tag)
+        written += tag
+      }
+    }
+
+    /** Serve top-k from the artifact: probe → cell-pruned ADC over
+      * codes → exact re-rank reading only the survivors' vectors. */
+    def topK(spark: org.apache.spark.sql.SparkSession, queries: DataFrame,
+             tag: String, qId: String, cId: String, embCol: String,
+             cellCol: String, probes: Int, cands: Int, k: Int): DataFrame = {
+      val base = path(tag)
+      val centDim = spark.read.parquet(base.resolve("centroids").toString)
+      val cellType = centDim.schema(cellCol).dataType
+      val probed = graft.core.Caches.track(
+        probedCells(queries, centDim, qId, embCol, cellCol, probes))
+      val cells = probed.select(col(cellCol)).distinct().collect().map(_.get(0))
+      // codebooks: blocks×codes rows — bounded driver state, the same
+      // k·dim budget the Lloyd's trainer holds
+      val cents = spark.read.parquet(base.resolve("codebooks").toString)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+        .groupBy(_._1).toIndexedSeq.sortBy(_._1)
+        .map { case (_, rows) =>
+          rows.sortBy(_._2).map(r => (r._2, r._3)).toSeq }
+      val len = cents.head.head._2.length
+      val codesDf = spark.read.parquet(base.resolve("codes").toString)
+        .where(col(cellCol).isin(cells: _*))
+        .withColumn(cellCol, col(cellCol).cast(cellType))
+      val candFrame = {
+        val scored = codesDf.alias("c")
+          .join(broadcast(probed.alias("p")),
+            col(s"c.$cellCol") === col(s"p.$cellCol"))
+          .join(broadcast(queries.alias("q")),
+            col("p.query_id") === col(s"q.$qId"))
+          .withColumn("adc", round(pqAdcExpr(cents, embCol, len), 6))
+          .select(col("p.query_id").as("query_id"),
+            col(s"c.$cId").as("vec_id"), col(s"q.$embCol").as("_qemb"),
+            col("adc"))
+          .where(col("query_id") =!= col("vec_id"))
+        val wAdc = Window.partitionBy(col("query_id"))
+          .orderBy(col("adc").asc, col("vec_id"))
+        scored.withColumn("crk", row_number().over(wAdc))
+          .where(col("crk") <= cands)
+      }
+      // exact re-rank: the only read of true vectors — the probed
+      // cells' directories, joined against the tiny candidate frame
+      val vecs = spark.read.parquet(base.resolve("vectors").toString)
+        .where(col(cellCol).isin(cells: _*))
+      val wSim = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      vecs.alias("v")
+        .join(broadcast(candFrame.alias("cf")),
+          col(s"v.$cId") === col("cf.vec_id"))
+        .select(col("cf.query_id").as("query_id"),
+          col("cf.vec_id").as("vec_id"),
+          round(cosine(col("cf._qemb"), col(s"v.$embCol")), 6).as("sim"))
+        .withColumn("rk", row_number().over(wSim))
+        .where(col("rk") <= k)
+        .select(col("query_id"), col("rk"), col("vec_id"), col("sim"))
+    }
   }
 }

@@ -352,12 +352,18 @@ object NorthStarQueries extends QueryModule {
       .select(col("query_id"), col("rk"), col("vec_id"), col("sim"))
       .orderBy(col("query_id"), col("rk"))
 
-  private val qPqTopKSql = {
+  private def pqSqDuck(a: String, b: String) =
+    s"""list_aggregate(list_transform(list_zip($a, $b),
+       |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+       |         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum')""".stripMargin
+
+  /** Per-block fixed-init 2-round Lloyd's chains + the reconstruction
+    * CTE (`recon`: vec_id → per-block centroid arrays r0..rN) over a
+    * CTE `e(vec_id, embedding)` — the DuckDB twin of
+    * [[Similarity.pqTopK]]'s codebook training, shared by the plain-PQ
+    * and IVF-PQ oracles. */
+  private lazy val pqTrainCtes: String = {
     val len = 64 / PqBlocks
-    def sq(a: String, b: String) =
-      s"""list_aggregate(list_transform(list_zip($a, $b),
-         |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
-         |         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum')""".stripMargin
     def argmin(d: String) =
       s"""SELECT vec_id, cid AS code FROM (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -373,7 +379,7 @@ object NorthStarQueries extends QueryModule {
          |    list_transform(sv, x -> CAST(x AS DOUBLE)) AS c
          |  FROM sub_$m WHERE vec_id < $PqCodes),
          |d0_$m AS (
-         |  SELECT s.vec_id, c.cid, ${sq("s.sv", "c.c")} AS dist
+         |  SELECT s.vec_id, c.cid, ${pqSqDuck("s.sv", "c.c")} AS dist
          |  FROM sub_$m s CROSS JOIN c0_$m c),
          |a0_$m AS (${argmin(s"d0_$m")}),
          |c1_$m AS (
@@ -387,29 +393,35 @@ object NorthStarQueries extends QueryModule {
          |    GROUP BY 1, 2)
          |  GROUP BY cid),
          |d1_$m AS (
-         |  SELECT s.vec_id, c.cid, ${sq("s.sv", "c.c")} AS dist
+         |  SELECT s.vec_id, c.cid, ${pqSqDuck("s.sv", "c.c")} AS dist
          |  FROM sub_$m s CROSS JOIN c1_$m c),
          |a1_$m AS (${argmin(s"d1_$m")})""".stripMargin
     }.mkString(",\n")
     val reconJoins = (0 until PqBlocks).map(m =>
       s"JOIN a1_$m ON a1_$m.vec_id = e.vec_id\n" +
         s"  JOIN c1_$m r$m ON r$m.cid = a1_$m.code").mkString("\n  ")
-    val adcExpr = (0 until PqBlocks).map { m =>
-      val off = m * len
-      sq(s"list_slice(q.embedding, ${off + 1}, ${off + len})", s"r.r$m")
-    }.mkString("\n  + ")
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-       |$blockCtes,
+    s"""$blockCtes,
        |recon AS (
        |  SELECT e.vec_id, ${(0 until PqBlocks).map(m => s"r$m.c AS r$m").mkString(", ")}
        |  FROM e
-       |  $reconJoins),
-       |adc AS (
-       |  SELECT q.vec_id AS query_id, r.vec_id,
-       |    round($adcExpr, 6) AS adc
-       |  FROM (SELECT * FROM e WHERE vec_id < 5) q CROSS JOIN recon r
-       |  WHERE q.vec_id <> r.vec_id),
-       |cand AS (
+       |  $reconJoins)""".stripMargin
+  }
+
+  /** Asymmetric-distance expression over `q.embedding` and the recon
+    * row `r` — the ADC fold's DuckDB twin. */
+  private lazy val pqAdcDuck: String = {
+    val len = 64 / PqBlocks
+    (0 until PqBlocks).map { m =>
+      val off = m * len
+      pqSqDuck(s"list_slice(q.embedding, ${off + 1}, ${off + len})", s"r.r$m")
+    }.mkString("\n  + ")
+  }
+
+  /** cand (ADC top-`cands`) → exact-cosine re-rank — the shared tail
+    * of the PQ-family oracles, over a CTE `adc(query_id, vec_id, adc)`
+    * and `e`. */
+  private lazy val pqRerankTailSql: String =
+    s"""cand AS (
        |  SELECT query_id, vec_id FROM (
        |    SELECT *, row_number() OVER (PARTITION BY query_id
        |      ORDER BY adc, vec_id) AS crk FROM adc)
@@ -423,7 +435,16 @@ object NorthStarQueries extends QueryModule {
        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
        |    ORDER BY sim DESC, vec_id) AS INTEGER) AS rk FROM scored)
        |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
-  }
+
+  private val qPqTopKSql =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |$pqTrainCtes,
+       |adc AS (
+       |  SELECT q.vec_id AS query_id, r.vec_id,
+       |    round($pqAdcDuck, 6) AS adc
+       |  FROM (SELECT * FROM e WHERE vec_id < 5) q CROSS JOIN recon r
+       |  WHERE q.vec_id <> r.vec_id),
+       |$pqRerankTailSql""".stripMargin
 
   /** IVF probe search over the precomputed label cells. Oracle-exact:
     * cell ranking uses exact decimal centroid numerators (see
@@ -471,8 +492,12 @@ object NorthStarQueries extends QueryModule {
       .orderBy(col("query_id"), col("rk"))
   }
 
-  private val qIvfTopKSql =
-    s"""WITH longfmt AS (
+  /** The coarse-probe CTE chain (exact decimal centroid numerators →
+    * per-query top-2 cells as `probed(query_id, label)`) — the DuckDB
+    * twin of [[Similarity.ivfTopK]]'s probe, shared by the IVF and
+    * IVF-PQ oracles. */
+  private val ivfProbeCtes =
+    s"""longfmt AS (
        |  SELECT vec_id, label, unnest(embedding) AS v,
        |    generate_subscripts(embedding, 1) AS pos
        |  FROM embeddings),
@@ -493,7 +518,10 @@ object NorthStarQueries extends QueryModule {
        |  SELECT query_id, label FROM (
        |    SELECT *, row_number() OVER (PARTITION BY query_id
        |      ORDER BY cell_sim DESC, label) AS crk FROM cs)
-       |  WHERE crk <= 2),
+       |  WHERE crk <= 2)""".stripMargin
+
+  private val qIvfTopKSql =
+    s"""WITH $ivfProbeCtes,
        |scored AS (
        |  SELECT p.query_id, c.vec_id,
        |    $cosineSqlExpr AS sim
@@ -504,6 +532,127 @@ object NorthStarQueries extends QueryModule {
        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
        |    ORDER BY sim DESC, vec_id) AS INTEGER) AS rk FROM scored)
        |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+
+  /** IVF-PQ composite serving ([[Similarity.ivfPqTopK]], the FAISS
+    * IVFPQ architecture, Jégou et al. 2011 §V): the decimal-exact IVF
+    * probe prunes to 2 cells, asymmetric PQ distance (the
+    * `q_embed_pq_topk` codebooks) ranks only the probed cells'
+    * members, the top-30 survivors re-rank by exact cosine. The
+    * oracle composes the IVF probe chain with the PQ training chain —
+    * probed cells, code assignments, candidate sets, and final ranks
+    * all hash-match. At 100 TB this is the serving shape: the probe
+    * reads nlist·dim centroid state, ADC reads 4 small codes per
+    * vector for ~probes/nlist of the corpus, and only 30 true vectors
+    * per query are ever touched. */
+  private def qIvfPq(implicit s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopK(queryVecs, embs, "vec_id", "vec_id", "embedding",
+        "label", probes = 2, blocks = PqBlocks, codes = PqCodes,
+        iters = PqIters, cands = PqCands, k = 10)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("sim"))
+      .orderBy(col("query_id"), col("rk"))
+
+  private val qIvfPqSql =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |$ivfProbeCtes,
+       |$pqTrainCtes,
+       |adc AS (
+       |  SELECT p.query_id, r.vec_id,
+       |    round($pqAdcDuck, 6) AS adc
+       |  FROM probed p
+       |  JOIN embeddings c ON c.label = p.label AND c.vec_id <> p.query_id
+       |  JOIN recon r ON r.vec_id = c.vec_id
+       |  JOIN e q ON q.vec_id = p.query_id),
+       |$pqRerankTailSql""".stripMargin
+
+  /** [[qIvfPq]] served from the PERSISTED composite index
+    * ([[Similarity.IvfPqStore]]): centroid numerators + PQ codebooks
+    * trained and written once, ADC served from the cell-partitioned
+    * CODES table (blocks small ints per vector — the ~32× narrower
+    * scan), true vectors read ONLY for the 30 candidates' re-rank.
+    * Bit-identical to the from-scratch composite, so the same oracle
+    * gates it. */
+  private def qIvfPqStore(implicit s: SparkSession, dir: String): DataFrame = {
+    val tag = "ivfpq_" + java.lang.Integer.toHexString(dir.hashCode)
+    Similarity.IvfPqStore.writeOnce(s, embs, "vec_id", "embedding", "label",
+      blocks = PqBlocks, codes = PqCodes, iters = PqIters, tag = tag)
+    Similarity.IvfPqStore.topK(s, queryVecs, tag, "vec_id", "vec_id",
+        "embedding", "label", probes = 2, cands = PqCands, k = 10)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("sim"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Maximal Marginal Relevance selection ([[Similarity.mmrSelect]],
+    * Carbonell & Goldstein 1998): 8 picks for query vector 0 at
+    * λ = 0.7 — relevance traded against redundancy, so the selection
+    * spreads across the corpus's similarity modes instead of stacking
+    * the query's nearest near-duplicates (the diversity-aware
+    * retrieval / training-data selection shape). Oracle-exact: both
+    * similarity legs are fixed-order folds rounded to 6 before the
+    * λ-blend and ties break on vec_id, so the greedy trajectory
+    * replays as an unrolled CTE chain (the `q_kcenter_select`
+    * pattern). λ is 0.5 HERE because the gate demands cross-engine
+    * bit-equality of the blend constants: 0.5 and 1−0.5 are exact in
+    * both engines' literal parsers, while 1.0−0.7 =
+    * 0.30000000000000004 would round-trip through DuckDB's
+    * DECIMAL-literal path (two roundings: int→double, then /10^17)
+    * with no bit-exactness guarantee. */
+  private val MmrK = 8
+  private val MmrLambda = 0.5
+
+  private def qMmrSelect(implicit s: SparkSession, dir: String): DataFrame = {
+    val picks = Similarity.mmrSelect(embs, "vec_id", "embedding",
+      queryId = 0L, k = MmrK, lambda = MmrLambda)
+    import s.implicits._
+    picks.toDF("rk", "vec_id", "simq").orderBy(col("rk"))
+  }
+
+  private val qMmrSelectSql = {
+    def cosDuck(a: String, b: String) =
+      s"""round(
+         |  list_aggregate(list_transform(list_zip($a, $b),
+         |    p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum')
+         |  / (sqrt(list_aggregate(list_transform($a, x -> CAST(x AS DOUBLE) * x), 'sum'))
+         |     * sqrt(list_aggregate(list_transform($b, x -> CAST(x AS DOUBLE) * x), 'sum'))), 6)""".stripMargin
+    def centerOf(i: Int) =
+      s"(SELECT e2.embedding FROM e e2 WHERE e2.vec_id = (SELECT vec_id FROM p$i))"
+    val rounds = (2 to MmrK).map { i =>
+      val prev = s"s${i - 1}"
+      val pick =
+        s"""p$i AS MATERIALIZED (
+           |  SELECT vec_id, simq FROM $prev
+           |  ORDER BY $MmrLambda * simq - ${1.0 - MmrLambda} * maxs DESC, vec_id
+           |  LIMIT 1)""".stripMargin
+      val next =
+        s"""s$i AS MATERIALIZED (
+           |  SELECT s.vec_id, s.simq,
+           |    greatest(s.maxs, ${cosDuck("e.embedding", centerOf(i))}) AS maxs
+           |  FROM $prev s JOIN e ON e.vec_id = s.vec_id
+           |  WHERE s.vec_id <> (SELECT vec_id FROM p$i))""".stripMargin
+      if (i == MmrK) pick else s"$pick,\n$next"
+    }.mkString(",\n")
+    val sel = (1 to MmrK)
+      .map(i => s"SELECT CAST($i AS INTEGER) AS rk, vec_id, simq FROM p$i")
+      .mkString("\nUNION ALL ")
+    // e MATERIALIZED: the unrolled chain references the corpus ~3×
+    // per round (center subquery appears in both cosine norms); an
+    // inlined CTE would open the parquet once per reference per
+    // DuckDB thread and trip the fd limit
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+       |base AS MATERIALIZED (
+       |  SELECT e.vec_id,
+       |    ${cosDuck("e.embedding", "(SELECT embedding FROM e WHERE vec_id = 0)")} AS simq
+       |  FROM e WHERE e.vec_id <> 0),
+       |p1 AS MATERIALIZED (
+       |  SELECT vec_id, simq FROM base ORDER BY simq DESC, vec_id LIMIT 1),
+       |s1 AS MATERIALIZED (
+       |  SELECT b.vec_id, b.simq,
+       |    ${cosDuck("e.embedding", centerOf(1))} AS maxs
+       |  FROM base b JOIN e ON e.vec_id = b.vec_id
+       |  WHERE b.vec_id <> (SELECT vec_id FROM p1)),
+       |$rounds
+       |$sel
+       |ORDER BY rk""".stripMargin
+  }
 
   /** Greedy k-center selection (KCenterSampling) — 8 centers over the
     * corpus; driver-looped farthest-point. Oracle-exact: both engines
@@ -2048,7 +2197,10 @@ object NorthStarQueries extends QueryModule {
     Q("q_embed_pq_topk", (s, d) => qPqTopK(s, d), Some(qPqTopKSql)),
     Q("q_embed_ivf_store", (s, d) => qIvfStore(s, d), Some(qIvfTopKSql)),
     Q("q_embed_ivf_day2", (s, d) => qIvfStoreDay2(s, d), Some(qIvfTopKSql)),
+    Q("q_embed_ivfpq", (s, d) => qIvfPq(s, d), Some(qIvfPqSql)),
+    Q("q_embed_ivfpq_store", (s, d) => qIvfPqStore(s, d), Some(qIvfPqSql)),
     Q("q_kcenter_select", (s, d) => qKCenter(s, d), Some(qKCenterSql)),
+    Q("q_mmr_select", (s, d) => qMmrSelect(s, d), Some(qMmrSelectSql)),
     Q("q_lang_id", (s, d) => qLangId(s, d), Some(qLangIdSql)),
     Q("q_quality_score", (s, d) => qQualityScore(s, d), Some(qQualityScoreSql)),
     Q("q_token_counts", (s, d) => qTokenCounts(s, d), Some(qTokenCountsSql)),

@@ -214,6 +214,114 @@ class SimilaritySpec extends AnyFunSuite {
     corpus.unpersist()
   }
 
+  test("ivfPqTopK: recall@10 >= 0.9 probing 2/8 cells with coded ADC; sims exact; subset of probed cells") {
+    // the composite serving path: IVF probe prunes the scan, PQ codes
+    // rank inside probed cells, exact re-rank orders survivors. Same
+    // clustered regime as the IVF/PQ tests; interleaved ids (m·8+c)
+    // land one codebook seed per cluster (the pqTopK init contract).
+    val rnd = new scala.util.Random(17)
+    val dim = 16
+    val centers = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val rows = for { c <- centers.indices; m <- 0 until 50 } yield {
+      val v = centers(c).map(x => x + 0.08f * rnd.nextGaussian().toFloat)
+      ((m * 8 + c).toLong, c, v)
+    }
+    val corpus = rows.toDF("vec_id", "label", "embedding").repartition(8).cache()
+    // separate lineage (not corpus.where): the composite self-joins
+    // the corpus against probed cells (same reason as the IVF test)
+    val queries = rows.filter(t => t._1 >= 8 && t._1 < 16)
+      .toDF("vec_id", "label", "embedding")
+    val k = 10
+    val ivfpq = Similarity.ivfPqTopK(queries, corpus, "vec_id", "vec_id",
+        "embedding", "label", probes = 2, blocks = 4, codes = 8,
+        iters = 2, cands = 60, k = k)
+      .select("query_id", "vec_id", "sim")
+      .as[(Long, Long, Double)].collect()
+    val bf = Similarity.bruteForceTopK(queries, corpus,
+        "vec_id", "vec_id", "embedding", k)
+      .select("query_id", "vec_id", "sim")
+      .as[(Long, Long, Double)].collect()
+    val pqSets = ivfpq.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val bfSets = bf.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = bfSets.keysIterator.map { q =>
+      (pqSets.getOrElse(q, Set.empty) & bfSets(q)).size.toDouble / bfSets(q).size
+    }.sum / bfSets.size
+    assert(recall >= 0.9, f"IVF-PQ recall@$k = $recall%.3f at 2/8 probes")
+    // the re-rank is EXACT cosine — any pair both paths return agrees
+    val bfSims = bf.map(t => (t._1, t._2) -> t._3).toMap
+    ivfpq.foreach { case (q, v, s) =>
+      bfSims.get((q, v)).foreach(b => assert(b == s,
+        s"sim mismatch for ($q,$v): ivfpq $s vs brute $b"))
+    }
+    // results never leave the probed cells: each query's own cell is
+    // its nearest (clustered fixture), so every returned neighbor of
+    // query q must share q's cluster or its second-nearest — at
+    // minimum, only 2 distinct cells may appear per query
+    val cellOf = rows.map(t => t._1 -> t._2).toMap
+    ivfpq.groupBy(_._1).foreach { case (q, hits) =>
+      val cells = hits.map(h => cellOf(h._2)).toSet
+      assert(cells.size <= 2, s"query $q drew from ${cells.size} cells")
+    }
+    corpus.unpersist()
+    graft.core.Caches.releaseAll()
+  }
+
+  test("mmrSelect: exact greedy trajectory; diversity beats redundant top-k") {
+    // hand fixture: doc 2 is an EXACT duplicate of doc 1 (the query's
+    // nearest); doc 3 is a near-mirror, almost as query-similar but
+    // far from doc 1. Pure top-2 by sim picks the duplicate twice
+    // (1 then 2); MMR at λ=0.5 must pick 1 then 3 — the redundancy
+    // penalty max-sim-to-chosen = 1.0 sinks the duplicate.
+    val mvecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.9f, -0.1f, 0.0f)),
+      (4L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val picks = Similarity.mmrSelect(mvecs, "vec_id", "embedding",
+      queryId = 0L, k = 3, lambda = 0.5)
+    assert(picks.map(_._2) == Seq(1L, 3L, 2L),
+      s"MMR order was ${picks.map(_._2)}")
+    // rank 1 carries the argmax simq; later simqs echo the base scores
+    assert(picks.map(_._1) == Seq(1, 2, 3))
+
+    // exactness: replay the greedy loop in plain Scala over collected
+    // vectors with the same rounding and tie-breaks — the trajectory
+    // (ids AND simq values) must match on a 40-vector random fixture
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 40).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val corpus = rows.toDF("vec_id", "embedding").repartition(4)
+    val k = 6
+    val got = Similarity.mmrSelect(corpus, "vec_id", "embedding",
+      queryId = 0L, k = k, lambda = 0.5)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.indices.foldLeft(0.0)((acc, i) => acc + x(i).toDouble * y(i).toDouble)
+      val c = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+      // valueOf (canonical-string) semantics — what Spark's round uses;
+      // new BigDecimal(double) would round the exact binary expansion
+      BigDecimal(java.math.BigDecimal.valueOf(c))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val vec = rows.toMap
+    var pool = rows.filter(_._1 != 0L).map { case (id, v) =>
+      (id, cos(v, vec(0L)), Option.empty[Double])
+    }
+    var want = Vector.empty[(Int, Long, Double)]
+    while (want.size < k) {
+      val pick =
+        if (want.isEmpty) pool.minBy(t => (-t._2, t._1))
+        else pool.minBy(t => (-(0.5 * t._2 - 0.5 * t._3.get), t._1))
+      want = want :+ ((want.size + 1, pick._1, pick._2))
+      pool = pool.filter(_._1 != pick._1).map { case (id, sq, ms) =>
+        val s = cos(vec(id), vec(pick._1))
+        (id, sq, Some(ms.fold(s)(math.max(_, s))))
+      }
+    }
+    assert(got == want, s"engine $got vs reference $want")
+  }
+
   test("autoPlanes holds bucket occupancy: a plane per corpus doubling, clamped") {
     // the selection rule that keeps the blocked self-join from
     // reverting to quadratic as the corpus grows (fixed 8 planes
@@ -278,6 +386,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(vectorScan.exists(l => l.contains("PartitionFilters: [") &&
         l.contains("label") && !l.contains("PartitionFilters: []")),
       s"vectors scan did not prune cell directories:\n${plan.take(3000)}")
+    graft.core.Caches.releaseAll()
+  }
+
+  test("IvfPqStore.topK equals the from-scratch composite; ADC and re-rank scans prune cell directories") {
+    val embs = graft.core.Tables.embeddings(spark, TestSpark.SfDir)
+    val queries = embs.where($"vec_id" < 5)
+    Similarity.IvfPqStore.write(spark, embs, "vec_id", "embedding", "label",
+      blocks = 4, codes = 4, iters = 2, tag = "spec_ivfpq")
+    val fromStore = Similarity.IvfPqStore.topK(spark, queries, "spec_ivfpq",
+      "vec_id", "vec_id", "embedding", "label", probes = 2, cands = 30, k = 10)
+    val got = fromStore.select($"query_id", $"rk", $"vec_id", $"sim")
+      .orderBy($"query_id", $"rk").collect().map(_.toSeq).toSeq
+    val want = Similarity.ivfPqTopK(queries, embs, "vec_id", "vec_id",
+        "embedding", "label", probes = 2, blocks = 4, codes = 4, iters = 2,
+        cands = 30, k = 10)
+      .select($"query_id", $"rk", $"vec_id", $"sim")
+      .orderBy($"query_id", $"rk").collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want)
+    // BOTH store scans prune at the directory level: the ADC stage
+    // reads only the probed cells' CODES, the re-rank only the probed
+    // cells' vectors — the raw corpus is never read
+    val plan = fromStore.queryExecution.executedPlan.toString
+    for (table <- Seq("codes", "vectors")) {
+      val scan = plan.split("\n").filter(l =>
+        l.contains(s"ivfpq_store_spec_ivfpq/$table") &&
+          l.contains("PartitionFilters"))
+      assert(scan.exists(l => l.contains("PartitionFilters: [") &&
+          l.contains("label") && !l.contains("PartitionFilters: []")),
+        s"$table scan did not prune cell directories:\n${plan.take(3000)}")
+    }
     graft.core.Caches.releaseAll()
   }
 
