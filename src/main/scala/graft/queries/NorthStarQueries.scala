@@ -533,6 +533,19 @@ object NorthStarQueries extends QueryModule {
        |    ORDER BY sim DESC, vec_id) AS INTEGER) AS rk FROM scored)
        |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
 
+  /** STREAMING ANN INGEST ([[graft.streaming.EventStreams.streamingIvfIngest]]):
+    * the IVF index's absorb deployed as a foreachBatch micro-batch
+    * stream — each batch of new vectors absorbs into a new index
+    * generation by exact decimal numerator ADDITION, so the chain of
+    * per-batch absorbs is bit-identical to the from-scratch build
+    * over corpus ∪ delta and the final probe gates against the SAME
+    * oracle as `q_embed_ivf` (batch-boundary invariance by algebra;
+    * StreamingSpec asserts parts=1 ≡ parts=3 ≡ one-shot absorb). */
+  private def qStreamAnnIngest(implicit s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.streamingIvfIngest(s, dir, parts = 3)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("sim"))
+      .orderBy(col("query_id"), col("rk"))
+
   /** IVF-PQ composite serving ([[Similarity.ivfPqTopK]], the FAISS
     * IVFPQ architecture, Jégou et al. 2011 §V): the decimal-exact IVF
     * probe prunes to 2 cells, asymmetric PQ distance (the
@@ -2197,6 +2210,7 @@ object NorthStarQueries extends QueryModule {
     Q("q_embed_pq_topk", (s, d) => qPqTopK(s, d), Some(qPqTopKSql)),
     Q("q_embed_ivf_store", (s, d) => qIvfStore(s, d), Some(qIvfTopKSql)),
     Q("q_embed_ivf_day2", (s, d) => qIvfStoreDay2(s, d), Some(qIvfTopKSql)),
+    Q("q_stream_ann_ingest", (s, d) => qStreamAnnIngest(s, d), Some(qIvfTopKSql)),
     Q("q_embed_ivfpq", (s, d) => qIvfPq(s, d), Some(qIvfPqSql)),
     Q("q_embed_ivfpq_store", (s, d) => qIvfPqStore(s, d), Some(qIvfPqSql)),
     Q("q_kcenter_select", (s, d) => qKCenter(s, d), Some(qKCenterSql)),

@@ -601,6 +601,84 @@ object EventStreams {
     out
   }
 
+  private val VecSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  private val vecSplitsWritten = scala.collection.mutable.Set[String]()
+  private def stageDeltaVecSplits(spark: SparkSession, dir: String,
+                                  parts: Int): String = synchronized {
+    val key = "vd_" + Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(s"$dir/$parts"))
+    val out = java.nio.file.Paths.get("/tmp/graft_stream_vecdelta", key).toString
+    if (!vecSplitsWritten.contains(out)) {
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .where(col("vec_id") % 7 === 3)
+        .repartition(parts)
+        .write.mode("overwrite").parquet(out)
+      vecSplitsWritten += out
+    }
+    out
+  }
+
+  /** STREAMING ANN INGEST — the persisted IVF index's day-2 absorb
+    * ([[graft.operators.Similarity.IvfStore.absorb]]) deployed as a
+    * micro-batch stream: new vectors arrive chopped into
+    * micro-batches (one staged file per trigger) and EACH batch
+    * absorbs into a new index generation by exact decimal
+    * centroid-NUMERATOR addition. Numerator merge is plain addition —
+    * associative and commutative — so a CHAIN of per-batch absorbs is
+    * bit-identical to one absorb of the whole delta, which is
+    * bit-identical to a from-scratch build over corpus ∪ delta: the
+    * final index, its centroid state, and any probe served from it
+    * are INVARIANT to how the stream is chopped (StreamingSpec
+    * asserts parts=1 ≡ parts=3 ≡ the one-shot absorb, centroid state
+    * included). That invariance is what lets the SAME batch SQL
+    * oracle (`q_embed_ivf`'s) gate a streaming execution exactly —
+    * the same digest-keyed-invariance discipline as
+    * [[streamingCurateFeed]], realized here by algebra instead of
+    * keying.
+    *
+    * Scale posture: per-batch centroid work is nlist×dim decimal
+    * rows read + added + rewritten (the index's metadata, not the
+    * corpus); the per-batch vectors rewrite is the small-fixture
+    * absorb contract — at scale the cell-partitioned table appends
+    * the batch's cells in place (see [[graft.operators.Similarity.IvfStore.absorb]]). */
+  def streamingIvfIngest(spark: SparkSession, dir: String,
+                         parts: Int = 3): DataFrame = {
+    import graft.operators.Similarity
+    val embs = graft.core.Tables.embeddings(spark, dir)
+    val day0 = embs.where(col("vec_id") % 7 =!= 3)
+    val run = java.util.UUID.randomUUID.toString.replace("-", "")
+    val genTag = s"stream_ivf_${run}_g"
+    Similarity.IvfStore.write(spark, day0, "vec_id", "embedding", "label",
+      genTag + "0")
+    val staged = stageDeltaVecSplits(spark, dir, parts)
+    val gen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = withStreamParallelism(spark, 4) {
+      spark.readStream.schema(VecSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .writeStream.outputMode(OutputMode.Append)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val g = gen.getAndIncrement()
+            Similarity.IvfStore.absorb(spark, genTag + g, genTag + (g + 1),
+              batch.select(col("vec_id"), col("embedding"), col("label")),
+              "vec_id", "embedding", "label")
+          }
+        }
+        .start()
+    }
+    try q.processAllAvailable()
+    finally q.stop()
+    val queries = graft.core.Tables.embeddings(spark, dir)
+      .where(col("vec_id") < 5)
+    Similarity.ivfTopKFromStore(spark, queries, genTag + gen.get(),
+      "vec_id", "vec_id", "embedding", "label", probes = 2, k = 10)
+  }
+
   /** STREAM-VS-STORE dedup probe — the ingestion-time deployment of
     * the persisted signature store: documents arrive as micro-batches
     * (one staged file per trigger) and each batch is LSH-probed

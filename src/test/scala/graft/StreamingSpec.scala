@@ -150,6 +150,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(three == one, "stream result changed with micro-batch chopping")
   }
 
+  test("streaming ANN ingest equals the one-shot absorb and is batch-boundary-invariant") {
+    val dir = TestSpark.SfDir
+    import graft.operators.Similarity
+    // batch twin: the day-2 absorbed index probe (itself oracle-equal
+    // to the from-scratch q_embed_ivf)
+    val want = SparkEntry.queries("q_embed_ivf_day2")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    // the stream deployment, chopped two different ways — numerator
+    // ADDITION makes the absorb chain invariant to the chopping
+    val one = EventStreams.streamingIvfIngest(spark, dir, parts = 1)
+      .select($"query_id", $"rk", $"vec_id", $"sim")
+      .orderBy($"query_id", $"rk").collect().map(_.toSeq).toSeq
+    val three = EventStreams.streamingIvfIngest(spark, dir, parts = 3)
+      .select($"query_id", $"rk", $"vec_id", $"sim")
+      .orderBy($"query_id", $"rk").collect().map(_.toSeq).toSeq
+    assert(one.nonEmpty && one == want,
+      s"stream(parts=1) != one-shot absorb: ${one.size} vs ${want.size} rows")
+    assert(three == one, "stream result changed with micro-batch chopping")
+    // centroid STATE (not just the probe) is bit-identical to a
+    // from-scratch build over the full corpus — addition all the way
+    val embs = graft.core.Tables.embeddings(spark, dir)
+    Similarity.IvfStore.writeOnce(spark, embs, "vec_id", "embedding",
+      "label", "spec_sai_full")
+    val full = Similarity.IvfStore.centroids(spark, "spec_sai_full")
+      .select($"label", $"pos", $"cn".cast("string"), $"n")
+      .collect().map(_.toSeq).toSet
+    val hex = java.lang.Integer.toHexString(dir.hashCode)
+    // the day-2 store the batch twin wrote (same tag scheme)
+    val d1 = Similarity.IvfStore.centroids(spark, s"ivf_${hex}_d1")
+      .select($"label", $"pos", $"cn".cast("string"), $"n")
+      .collect().map(_.toSeq).toSet
+    assert(full == d1)
+    graft.core.Caches.releaseAll()
+  }
+
   test("sessionize closes sessions on the 30-min gap") {
     val sessions = EventStreams.sessionize(spark, TestSpark.SfDir, 30)
     assert(sessions.count() > 0)
