@@ -844,6 +844,38 @@ object Similarity {
     pqCandRerank(scored, cands, k)
   }
 
+  /** HARD-NEGATIVE MINING for contrastive training (the DPR recipe,
+    * Karpukhin et al. 2020 §4.2: the strongest negatives are the
+    * retriever's own near-misses): for each query, the top-k corpus
+    * vectors by cosine that fall BELOW the positive threshold τ —
+    * similar enough to be confusable, dissimilar enough to not be a
+    * duplicate/paraphrase of the query (those are positives, mined by
+    * the dedup family operators). Served through the IVF probe, so
+    * the scan is probes/nlist of the corpus: a near-miss is by
+    * definition in the query's own neighborhood, which is exactly
+    * what the probed cells cover — the pruning and the semantics
+    * agree. Same determinism contract as [[ivfTopK]] (decimal-exact
+    * probe, rounded sims, ties → smaller id), so one SQL twin
+    * replays probe, band filter, and rank. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, qId: String,
+                    cId: String, embCol: String, cellCol: String,
+                    probes: Int, tau: Double, k: Int): DataFrame = {
+    val centDim = centroidNumerators(corpus, embCol, cellCol)
+    val probed = probedCells(queries, centDim, qId, embCol, cellCol, probes)
+    val scored = corpus.alias("c")
+      .join(broadcast(probed.alias("p")),
+        col(s"c.$cellCol") === col(s"p.$cellCol"))
+      .join(broadcast(queries.alias("q")),
+        col("p.query_id") === col(s"q.$qId"))
+      .withColumn("sim", round(cosine(col(s"q.$embCol"), col(s"c.$embCol")), 6))
+      .select(col("p.query_id").as("query_id"),
+        col(s"c.$cId").as("vec_id"), col("sim"))
+      .where(col("query_id") =!= col("vec_id") && col("sim") < tau)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+
   /** PERSISTED IVF-PQ index — the full FAISS-artifact lifecycle for
     * the composite: train the coarse cells' centroid numerators AND
     * the PQ codebooks once, persist four frames, serve every later

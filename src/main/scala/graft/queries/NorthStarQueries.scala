@@ -594,6 +594,33 @@ object NorthStarQueries extends QueryModule {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Hard-negative mining ([[Similarity.hardNegatives]], the DPR
+    * recipe): per query, the top-10 corpus vectors by cosine BELOW
+    * τ = 0.3 — confusable near-misses for contrastive training,
+    * with the ≥ τ band excluded as positives/duplicates. Served
+    * through the 2-cell IVF probe (a near-miss lives in the query's
+    * own neighborhood, so the pruning and the semantics agree);
+    * the oracle replays probe, band filter, and rank. */
+  private def qHardNegatives(implicit s: SparkSession, dir: String): DataFrame =
+    Similarity.hardNegatives(queryVecs, embs, "vec_id", "vec_id",
+        "embedding", "label", probes = 2, tau = 0.3, k = 10)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("sim"))
+      .orderBy(col("query_id"), col("rk"))
+
+  private val qHardNegativesSql =
+    s"""WITH $ivfProbeCtes,
+       |scored AS (
+       |  SELECT p.query_id, c.vec_id,
+       |    $cosineSqlExpr AS sim
+       |  FROM probed p
+       |  JOIN embeddings c ON c.label = p.label AND c.vec_id <> p.query_id
+       |  JOIN embeddings q ON q.vec_id = p.query_id)
+       |SELECT query_id, rk, vec_id, sim FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, vec_id) AS INTEGER) AS rk
+       |  FROM scored WHERE sim < 0.3)
+       |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+
   /** Maximal Marginal Relevance selection ([[Similarity.mmrSelect]],
     * Carbonell & Goldstein 1998): 8 picks for query vector 0 at
     * λ = 0.7 — relevance traded against redundancy, so the selection
@@ -2215,6 +2242,7 @@ object NorthStarQueries extends QueryModule {
     Q("q_embed_ivfpq_store", (s, d) => qIvfPqStore(s, d), Some(qIvfPqSql)),
     Q("q_kcenter_select", (s, d) => qKCenter(s, d), Some(qKCenterSql)),
     Q("q_mmr_select", (s, d) => qMmrSelect(s, d), Some(qMmrSelectSql)),
+    Q("q_hard_negatives", (s, d) => qHardNegatives(s, d), Some(qHardNegativesSql)),
     Q("q_lang_id", (s, d) => qLangId(s, d), Some(qLangIdSql)),
     Q("q_quality_score", (s, d) => qQualityScore(s, d), Some(qQualityScoreSql)),
     Q("q_token_counts", (s, d) => qTokenCounts(s, d), Some(qTokenCountsSql)),

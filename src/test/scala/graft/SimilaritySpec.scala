@@ -266,6 +266,50 @@ class SimilaritySpec extends AnyFunSuite {
     graft.core.Caches.releaseAll()
   }
 
+  test("hardNegatives: below-tau band only; equals the brute band under a full probe") {
+    val rnd = new scala.util.Random(29)
+    val dim = 16
+    val centers = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val rows = for { c <- centers.indices; m <- 0 until 50 } yield {
+      val v = centers(c).map(x => x + 0.08f * rnd.nextGaussian().toFloat)
+      ((c * 50 + m).toLong, c, v)
+    }
+    val corpus = rows.toDF("vec_id", "label", "embedding").repartition(8).cache()
+    val queries = rows.filter(_._1 % 50 == 0)
+      .toDF("vec_id", "label", "embedding")
+    val (tau, k) = (0.9, 5)
+    // full probe (8/8 cells): the IVF pruning is a no-op, so the
+    // result must equal the plain brute-force band top-k
+    val hn = Similarity.hardNegatives(queries, corpus, "vec_id", "vec_id",
+        "embedding", "label", probes = 8, tau = tau, k = k)
+      .select("query_id", "vec_id", "sim", "rk")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(hn.nonEmpty && hn.forall(_._3 < tau),
+      "a positive-band sim leaked into the negatives")
+    val brute = corpus.alias("c")
+      .join(broadcast(queries.alias("q")))
+      .select($"q.vec_id".as("query_id"), $"c.vec_id".as("vec_id"),
+        round(Similarity.cosine($"q.embedding", $"c.embedding"), 6).as("sim"))
+      .where($"query_id" =!= $"vec_id" && $"sim" < tau)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(
+        _.sortBy(t => (-t._3, t._2)).take(k).map(t => (t._2, t._3))).toMap
+    val got = hn.groupBy(_._1).view.mapValues(
+      _.sortBy(_._4).map(t => (t._2, t._3)).toSeq).toMap
+    assert(got.keySet == brute.keySet)
+    got.foreach { case (q, hits) => assert(hits == brute(q).toSeq,
+      s"band mismatch for query $q") }
+    // same-cluster members sit ABOVE tau on this fixture — every mined
+    // negative must come from a different cluster (the semantics: near
+    // misses, not paraphrases)
+    val clusterOf = rows.map(t => t._1 -> t._2).toMap
+    hn.foreach { case (q, v, _, _) =>
+      assert(clusterOf(q) != clusterOf(v),
+        s"negative $v shares query $q's cluster") }
+    corpus.unpersist()
+    graft.core.Caches.releaseAll()
+  }
+
   test("mmrSelect: exact greedy trajectory; diversity beats redundant top-k") {
     // hand fixture: doc 2 is an EXACT duplicate of doc 1 (the query's
     // nearest); doc 3 is a near-mirror, almost as query-similar but
