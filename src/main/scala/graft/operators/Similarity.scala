@@ -931,6 +931,89 @@ object Similarity {
       }
     }
 
+    /** The persisted per-block codebooks, as [[pqCodeCorpus]] shapes
+      * them — blocks×codes rows of bounded driver state. */
+    def codebooks(spark: org.apache.spark.sql.SparkSession,
+                  tag: String): IndexedSeq[Seq[(Int, Array[Double])]] =
+      spark.read.parquet(path(tag).resolve("codebooks").toString)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+        .groupBy(_._1).toIndexedSeq.sortBy(_._1)
+        .map { case (_, rows) =>
+          rows.sortBy(_._2).map(r => (r._2, r._3)).toSeq }
+
+    /** Absorb a delta of NEW vectors into the persisted composite
+      * index with FROZEN codebooks — the FAISS `add` contract: an
+      * index never retrains its quantizers on add (training drift
+      * would silently re-code the existing corpus), so the delta is
+      * coded by argmin against the generation's stored codebooks
+      * (ties → smaller code, the Lloyd's assign rule), centroid
+      * NUMERATORS merge by exact decimal addition (the [[IvfStore]]
+      * exactness), and codes/vectors rewrite under the new tag (at
+      * scale: cell-partitioned appends). The absorbed index is
+      * bit-identical to coding corpus ∪ delta with the day-0
+      * codebooks — which is what the day-2 oracle replays. */
+    def absorb(spark: org.apache.spark.sql.SparkSession, fromTag: String,
+               toTag: String, delta: DataFrame, cId: String,
+               embCol: String, cellCol: String): Unit = {
+      require(fromTag != toTag,
+        "absorb writes a NEW tag; in-place overwrite would read and clobber the same files")
+      val base = path(toTag)
+      java.nio.file.Files.createDirectories(base)
+      val from = path(fromTag)
+      val cents = codebooks(spark, fromTag)
+      val blocks = cents.size
+      val len = cents.head.head._2.length
+      val cellType = spark.read.parquet(from.resolve("centroids").toString)
+        .schema(cellCol).dataType
+      var codedDelta = delta
+      (0 until blocks).foreach { m =>
+        val off = m * len
+        val cands = cents(m).map { case (cid, arr) =>
+          struct(graft.plans.ArraySqDistToConst(
+              expr(s"slice($embCol, ${off + 1}, $len)"), arr).as("dist"),
+            lit(cid).as("cid"))
+        }
+        codedDelta = codedDelta.withColumn(s"_code$m",
+          array_min(array(cands: _*)).getField("cid"))
+      }
+      val codeCols = (0 until blocks).map(m => col(s"_code$m"))
+      spark.read.parquet(from.resolve("vectors").toString)
+        .withColumn(cellCol, col(cellCol).cast(cellType))
+        .select(col(cId), col(embCol), col(cellCol))
+        .unionByName(delta.select(col(cId), col(embCol), col(cellCol)))
+        .write.mode("overwrite").partitionBy(cellCol)
+        .parquet(base.resolve("vectors").toString)
+      spark.read.parquet(from.resolve("codes").toString)
+        .withColumn(cellCol, col(cellCol).cast(cellType))
+        .select((col(cId) +: codeCols :+ col(cellCol)): _*)
+        .unionByName(
+          codedDelta.select((col(cId) +: codeCols :+ col(cellCol)): _*))
+        .write.mode("overwrite").partitionBy(cellCol)
+        .parquet(base.resolve("codes").toString)
+      spark.read.parquet(from.resolve("centroids").toString)
+        .unionByName(centroidNumerators(delta, embCol, cellCol))
+        .groupBy(col(cellCol), col("pos"))
+        .agg(sum(col("cn")).cast(
+            org.apache.spark.sql.types.DecimalType(23, 10)).as("cn"),
+          sum(col("n")).as("n"))
+        .write.mode("overwrite")
+        .parquet(base.resolve("centroids").toString)
+      spark.read.parquet(from.resolve("codebooks").toString)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(base.resolve("codebooks").toString)
+    }
+
+    /** [[absorb]] memoized per JVM per `toTag`. */
+    def absorbOnce(spark: org.apache.spark.sql.SparkSession, fromTag: String,
+                   toTag: String, delta: DataFrame, cId: String,
+                   embCol: String, cellCol: String): Unit = synchronized {
+      if (!written.contains(toTag)) {
+        absorb(spark, fromTag, toTag, delta, cId, embCol, cellCol)
+        written += toTag
+      }
+    }
+
     /** Serve top-k from the artifact: probe → cell-pruned ADC over
       * codes → exact re-rank reading only the survivors' vectors. */
     def topK(spark: org.apache.spark.sql.SparkSession, queries: DataFrame,
@@ -944,12 +1027,7 @@ object Similarity {
       val cells = probed.select(col(cellCol)).distinct().collect().map(_.get(0))
       // codebooks: blocks×codes rows — bounded driver state, the same
       // k·dim budget the Lloyd's trainer holds
-      val cents = spark.read.parquet(base.resolve("codebooks").toString)
-        .collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-        .groupBy(_._1).toIndexedSeq.sortBy(_._1)
-        .map { case (_, rows) =>
-          rows.sortBy(_._2).map(r => (r._2, r._3)).toSeq }
+      val cents = codebooks(spark, tag)
       val len = cents.head.head._2.length
       val codesDf = spark.read.parquet(base.resolve("codes").toString)
         .where(col(cellCol).isin(cells: _*))

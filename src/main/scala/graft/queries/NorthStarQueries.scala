@@ -407,6 +407,59 @@ object NorthStarQueries extends QueryModule {
        |  $reconJoins)""".stripMargin
   }
 
+  /** [[pqTrainCtes]] with the TRAINING corpus split from the CODED
+    * corpus — the day-2 frozen-codebook oracle: Lloyd's chains run
+    * over `$train` only (the day-0 subset), then EVERY `$code` vector
+    * is coded by argmin against the frozen c1 centroids (for day-0
+    * members that argmin IS the training chain's own a1 assignment,
+    * so this replays write-then-absorb exactly). */
+  private def pqTrainCtesSplit(train: String, code: String): String = {
+    val len = 64 / PqBlocks
+    def argmin(d: String) =
+      s"""SELECT vec_id, cid AS code FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY dist, cid) AS rk FROM $d) WHERE rk = 1""".stripMargin
+    val blockCtes = (0 until PqBlocks).map { m =>
+      val off = m * len
+      s"""tsub_$m AS (
+         |  SELECT vec_id, list_slice(embedding, ${off + 1}, ${off + len}) AS sv
+         |  FROM $train),
+         |c0_$m AS (
+         |  SELECT CAST(vec_id AS INTEGER) AS cid,
+         |    list_transform(sv, x -> CAST(x AS DOUBLE)) AS c
+         |  FROM tsub_$m WHERE vec_id < $PqCodes),
+         |d0_$m AS (
+         |  SELECT s.vec_id, c.cid, ${pqSqDuck("s.sv", "c.c")} AS dist
+         |  FROM tsub_$m s CROSS JOIN c0_$m c),
+         |a0_$m AS (${argmin(s"d0_$m")}),
+         |c1_$m AS (
+         |  SELECT cid, list(cd ORDER BY pos) AS c FROM (
+         |    SELECT a.code AS cid, ls.pos,
+         |      CAST(SUM(CAST(CAST(ls.v AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE)
+         |        / COUNT(*) AS cd
+         |    FROM (SELECT vec_id, unnest(sv) AS v,
+         |            generate_subscripts(sv, 1) AS pos FROM tsub_$m) ls
+         |    JOIN a0_$m a ON a.vec_id = ls.vec_id
+         |    GROUP BY 1, 2)
+         |  GROUP BY cid),
+         |sub_$m AS (
+         |  SELECT vec_id, list_slice(embedding, ${off + 1}, ${off + len}) AS sv
+         |  FROM $code),
+         |d1_$m AS (
+         |  SELECT s.vec_id, c.cid, ${pqSqDuck("s.sv", "c.c")} AS dist
+         |  FROM sub_$m s CROSS JOIN c1_$m c),
+         |a1_$m AS (${argmin(s"d1_$m")})""".stripMargin
+    }.mkString(",\n")
+    val reconJoins = (0 until PqBlocks).map(m =>
+      s"JOIN a1_$m ON a1_$m.vec_id = cv.vec_id\n" +
+        s"  JOIN c1_$m r$m ON r$m.cid = a1_$m.code").mkString("\n  ")
+    s"""$blockCtes,
+       |recon AS (
+       |  SELECT cv.vec_id, ${(0 until PqBlocks).map(m => s"r$m.c AS r$m").mkString(", ")}
+       |  FROM $code cv
+       |  $reconJoins)""".stripMargin
+  }
+
   /** Asymmetric-distance expression over `q.embedding` and the recon
     * row `r` — the ADC fold's DuckDB twin. */
   private lazy val pqAdcDuck: String = {
@@ -593,6 +646,44 @@ object NorthStarQueries extends QueryModule {
       .select(col("query_id"), col("rk"), col("vec_id"), col("sim"))
       .orderBy(col("query_id"), col("rk"))
   }
+
+  /** Day-2 of the composite index ([[Similarity.IvfPqStore.absorb]],
+    * the FAISS `add` contract — quantizers NEVER retrain on add):
+    * day-0 index over ~6/7 of the corpus, the rest absorbed as a
+    * delta coded by argmin against the FROZEN day-0 codebooks;
+    * centroid numerators merge by exact decimal addition. The oracle
+    * trains its Lloyd's chains on the day-0 subset only, then codes
+    * EVERY vector with the frozen centroids — bit-identical to
+    * write-then-absorb (for day-0 members the frozen-codebook argmin
+    * IS the training chain's own final assignment). */
+  private def qIvfPqStoreDay2(implicit s: SparkSession, dir: String): DataFrame = {
+    val hex = java.lang.Integer.toHexString(dir.hashCode)
+    val day0 = embs.where(col("vec_id") % 7 =!= 5)
+    val delta = embs.where(col("vec_id") % 7 === 5)
+    Similarity.IvfPqStore.writeOnce(s, day0, "vec_id", "embedding", "label",
+      blocks = PqBlocks, codes = PqCodes, iters = PqIters,
+      tag = s"ivfpq_${hex}_d0")
+    Similarity.IvfPqStore.absorbOnce(s, s"ivfpq_${hex}_d0",
+      s"ivfpq_${hex}_d1", delta, "vec_id", "embedding", "label")
+    Similarity.IvfPqStore.topK(s, queryVecs, s"ivfpq_${hex}_d1", "vec_id",
+        "vec_id", "embedding", "label", probes = 2, cands = PqCands, k = 10)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("sim"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  private val qIvfPqDay2Sql =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |e0 AS (SELECT vec_id, embedding FROM e WHERE vec_id % 7 <> 5),
+       |$ivfProbeCtes,
+       |${pqTrainCtesSplit("e0", "e")},
+       |adc AS (
+       |  SELECT p.query_id, r.vec_id,
+       |    round($pqAdcDuck, 6) AS adc
+       |  FROM probed p
+       |  JOIN embeddings c ON c.label = p.label AND c.vec_id <> p.query_id
+       |  JOIN recon r ON r.vec_id = c.vec_id
+       |  JOIN e q ON q.vec_id = p.query_id),
+       |$pqRerankTailSql""".stripMargin
 
   /** Hard-negative mining ([[Similarity.hardNegatives]], the DPR
     * recipe): per query, the top-10 corpus vectors by cosine BELOW
@@ -2240,6 +2331,7 @@ object NorthStarQueries extends QueryModule {
     Q("q_stream_ann_ingest", (s, d) => qStreamAnnIngest(s, d), Some(qIvfTopKSql)),
     Q("q_embed_ivfpq", (s, d) => qIvfPq(s, d), Some(qIvfPqSql)),
     Q("q_embed_ivfpq_store", (s, d) => qIvfPqStore(s, d), Some(qIvfPqSql)),
+    Q("q_embed_ivfpq_day2", (s, d) => qIvfPqStoreDay2(s, d), Some(qIvfPqDay2Sql)),
     Q("q_kcenter_select", (s, d) => qKCenter(s, d), Some(qKCenterSql)),
     Q("q_mmr_select", (s, d) => qMmrSelect(s, d), Some(qMmrSelectSql)),
     Q("q_hard_negatives", (s, d) => qHardNegatives(s, d), Some(qHardNegativesSql)),

@@ -463,6 +463,63 @@ class SimilaritySpec extends AnyFunSuite {
     graft.core.Caches.releaseAll()
   }
 
+  test("IvfPqStore.absorb: frozen codebooks, immutable day-0 codes, exact centroid merge") {
+    val embs = graft.core.Tables.embeddings(spark, TestSpark.SfDir)
+    val day0 = embs.where($"vec_id" % 7 =!= 5)
+    val delta = embs.where($"vec_id" % 7 === 5)
+    Similarity.IvfPqStore.write(spark, day0, "vec_id", "embedding", "label",
+      blocks = 4, codes = 4, iters = 2, tag = "spec_ipq_d0")
+    Similarity.IvfPqStore.absorb(spark, "spec_ipq_d0", "spec_ipq_d1", delta,
+      "vec_id", "embedding", "label")
+    // (a) quantizers never retrain on add — codebooks carry verbatim
+    // (deep compare: the loader returns Array[Double] payloads, which
+    // compare by reference under ==)
+    def deepCb(tag: String) = Similarity.IvfPqStore.codebooks(spark, tag)
+      .map(_.map { case (cid, arr) => (cid, arr.toSeq) })
+    assert(deepCb("spec_ipq_d1") == deepCb("spec_ipq_d0"))
+    // (b) day-0 members' codes are untouched by the absorb
+    def codes(tag: String, pred: org.apache.spark.sql.Column) =
+      spark.read.parquet(
+          Similarity.IvfPqStore.path(tag).resolve("codes").toString)
+        .where(pred)
+        .select($"vec_id", $"_code0", $"_code1", $"_code2", $"_code3")
+        .collect().map(_.toSeq).toSet
+    assert(codes("spec_ipq_d1", $"vec_id" % 7 =!= 5)
+      == codes("spec_ipq_d0", lit(true)))
+    // (c) centroid numerators after absorb == a from-scratch build
+    // over the full corpus (cell state is codebook-independent)
+    Similarity.IvfPqStore.write(spark, embs, "vec_id", "embedding", "label",
+      blocks = 4, codes = 4, iters = 2, tag = "spec_ipq_full")
+    def cents(tag: String) = spark.read.parquet(
+        Similarity.IvfPqStore.path(tag).resolve("centroids").toString)
+      .select($"label", $"pos", $"cn".cast("string"), $"n")
+      .collect().map(_.toSeq).toSet
+    assert(cents("spec_ipq_d1") == cents("spec_ipq_full"))
+    // (d) the delta's codes are the frozen-codebook argmin, replayed
+    // here in plain Scala (ties → smaller code, left-fold sqdist)
+    val cbs = Similarity.IvfPqStore.codebooks(spark, "spec_ipq_d0")
+    val len = cbs.head.head._2.length
+    val deltaVecs = delta.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    val gotDelta = spark.read.parquet(
+        Similarity.IvfPqStore.path("spec_ipq_d1").resolve("codes").toString)
+      .where($"vec_id" % 7 === 5)
+      .select($"vec_id", $"_code0", $"_code1", $"_code2", $"_code3")
+      .collect().map(r => r.getLong(0) ->
+        Seq(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    def sq(v: Array[Float], off: Int, c: Array[Double]): Double =
+      c.indices.foldLeft(0.0)((acc, i) =>
+        acc + (v(off + i).toDouble - c(i)) * (v(off + i).toDouble - c(i)))
+    gotDelta.foreach { case (id, got) =>
+      val v = deltaVecs(id)
+      val want = cbs.indices.map { m =>
+        cbs(m).map { case (cid, arr) => (sq(v, m * len, arr), cid) }.min._2
+      }
+      assert(got == want, s"frozen-codebook code mismatch for $id")
+    }
+    graft.core.Caches.releaseAll()
+  }
+
   test("IvfStore.absorb == from-scratch build: exact numerator merge, identical probe") {
     val embs = graft.core.Tables.embeddings(spark, TestSpark.SfDir)
     val queries = embs.where($"vec_id" < 5)
