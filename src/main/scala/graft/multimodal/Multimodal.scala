@@ -205,6 +205,88 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** BOX-AVERAGE RESIZE of a color PNG from the REAL decode: the
+    * image divides into a gw×gh cell lattice (cell of pixel x =
+    * x·gw/w, the aHash downsample), and each output pixel is the
+    * floor-div mean of its box's exact integer channel sums — pure
+    * integer arithmetic over decoded bytes, so the DuckDB oracle
+    * replays it from the analytic pixel recipe. Returns the flat
+    * row-major (r,g,b) cell array. None for non-color/undecodable. */
+  def decodePngResize(b: Array[Byte], gw: Int,
+                      gh: Int): Option[(Int, Int, Array[Int])] = {
+    val (fmt, _, _, channels) = ImageCodec.parseHeader(b)
+    if (fmt != "png" || channels != 3) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      catch { case _: Exception => null }
+    if (img == null) return None
+    val w = img.getWidth; val h = img.getHeight
+    val cells = gw * gh
+    val sumR = new Array[Long](cells)
+    val sumG = new Array[Long](cells)
+    val sumB = new Array[Long](cells)
+    val n = new Array[Long](cells)
+    var y = 0
+    while (y < h) {
+      val cy = y * gh / h
+      var x = 0
+      while (x < w) {
+        val cx = x * gw / w
+        val rgb = img.getRGB(x, y)
+        val c = cy * gw + cx
+        sumR(c) += (rgb >> 16) & 0xff
+        sumG(c) += (rgb >> 8) & 0xff
+        sumB(c) += rgb & 0xff
+        n(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val out = new Array[Int](cells * 3)
+    var c = 0
+    while (c < cells) {
+      out(c * 3) = (sumR(c) / n(c)).toInt
+      out(c * 3 + 1) = (sumG(c) / n(c)).toInt
+      out(c * 3 + 2) = (sumB(c) / n(c)).toInt
+      c += 1
+    }
+    Some((w, h, out))
+  }
+
+  /** [[decodePngResize]] as a per-row operator: one output row per
+    * lattice cell — (media_id, width, height, cx, cy, r, g, b).
+    * Undecodable/non-color payloads yield no rows. Scale posture:
+    * the decode is partition-local over the blob (blobs never
+    * shuffle); output is gw·gh small rows per image. */
+  def resizeBox(media: DataFrame, gw: Int, gh: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("cx", IntegerType),
+      StructField("cy", IntegerType),
+      StructField("r", IntegerType),
+      StructField("g", IntegerType),
+      StructField("b", IntegerType)))
+    val idI = media.schema.fieldIndex("media_id")
+    val pI  = media.schema.fieldIndex("payload")
+    media.mapPartitions { it =>
+      it.flatMap { row =>
+        decodePngResize(row.getAs[Array[Byte]](pI), gw, gh) match {
+          case Some((w, h, cells)) =>
+            (0 until gh).iterator.flatMap { cy =>
+              (0 until gw).iterator.map { cx =>
+                val c = (cy * gw + cx) * 3
+                Row(row.getLong(idI), w, h, cx, cy,
+                  cells(c), cells(c + 1), cells(c + 2))
+              }
+            }
+          case None => Iterator.empty
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Average-hash (aHash) of a color PNG from the REAL decode: the
     * image divides into a grid×grid cell lattice (cell of pixel x =
     * x·grid/w — the standard downsample), each cell's bit is set iff

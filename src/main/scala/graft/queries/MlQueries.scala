@@ -454,6 +454,47 @@ object MlQueries extends QueryModule {
       |    list_transform(range(h), y -> (x * 31 + y * 17) % 256))), 'sum') AS BIGINT) AS sum_b
       |FROM img ORDER BY media_id""".stripMargin
 
+  /** IMAGE RESIZE over REAL decoded pixels
+    * ([[Multimodal.resizeBox]]): every color PNG box-average
+    * downsamples to a 4×3 lattice — the standard thumbnail /
+    * feature-extraction preprocessing step, one output row per cell
+    * with floor-div channel means from exact integer sums. The
+    * oracle replays the lattice and the means from the analytic
+    * pixel recipe the fixture PNGs encode (the `q_image_pixels`
+    * contract), so the REAL ImageIO decode gates hash-exact. */
+  private def qImageResize(implicit s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.imageMedia(
+      Tables.documents(s, dir).where(col("doc_id") % 3 === 0 &&
+        col("doc_id") % 2 === 0 && col("doc_id") % 5 =!= 0), "doc_id")
+    Multimodal.resizeBox(media, gw = 4, gh = 3)
+      .orderBy(col("media_id"), col("cy"), col("cx"))
+  }
+
+  private val qImageResizeSql =
+    """WITH img AS (
+      |  SELECT doc_id,
+      |    CAST(16 + doc_id % 17 AS BIGINT) AS w,
+      |    CAST(12 + doc_id % 13 AS BIGINT) AS h
+      |  FROM documents
+      |  WHERE doc_id % 3 = 0 AND doc_id % 2 = 0 AND doc_id % 5 <> 0),
+      |px AS (
+      |  SELECT doc_id, w, h,
+      |    CAST(x * 4 // w AS INTEGER) AS cx,
+      |    CAST(y * 3 // h AS INTEGER) AS cy,
+      |    (x*31 + y*17) // 65536 % 256 AS r,
+      |    (x*31 + y*17) // 256 % 256 AS g,
+      |    (x*31 + y*17) % 256 AS b
+      |  FROM (SELECT doc_id, w, h, unnest(range(w)) AS x FROM img),
+      |    LATERAL (SELECT unnest(range(h)) AS y))
+      |SELECT doc_id AS media_id,
+      |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+      |  cx, cy,
+      |  CAST(SUM(r) // COUNT(*) AS INTEGER) AS r,
+      |  CAST(SUM(g) // COUNT(*) AS INTEGER) AS g,
+      |  CAST(SUM(b) // COUNT(*) AS INTEGER) AS b
+      |FROM px GROUP BY 1, 2, 3, 4, 5
+      |ORDER BY media_id, cy, cx""".stripMargin
+
   /** IMAGE near-dup dedup over REAL decoded pixels — the multimodal
     * member of the dedup family: every color PNG is aHashed
     * ([[graft.multimodal.Multimodal.decodeAHash]] — 8×8 cell lattice
@@ -918,6 +959,7 @@ object MlQueries extends QueryModule {
     Q("q_video_headers", (s, d) => qVideoHeaders(s, d), Some(qVideoHeadersSql)),
     Q("q_audio_energy", (s, d) => qAudioEnergy(s, d), Some(qAudioEnergySql)),
     Q("q_image_pixels", (s, d) => qImagePixels(s, d), Some(qImagePixelsSql)),
+    Q("q_image_resize", (s, d) => qImageResize(s, d), Some(qImageResizeSql)),
     Q("q_image_dedup", (s, d) => qImageDedup(s, d), Some(qImageDedupSql)),
     Q("q_image_dedup_day2", (s, d) => qImageDedupDay2(s, d), Some(qImageDedupSql)),
     Q("q_video_frame_sample", (s, d) => qVideoFrameSample(s, d), Some(qVideoFrameSampleSql)),

@@ -306,6 +306,36 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r(6L) != r(12L), s"distinct classes collide: $r")
   }
 
+  test("resizeBox: cells partition the image; floor-div means replay the real decode") {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.imageMedia(Seq(6L, 12L).toDF("doc_id"), "doc_id")
+    val cells = Multimodal.resizeBox(media, gw = 4, gh = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getInt(4)) ->
+        (r.getInt(2), r.getInt(1), r.getInt(5), r.getInt(6), r.getInt(7))).toMap
+    assert(cells.size == 2 * 12, "each image must emit exactly gw*gh cells")
+    // replay one image's lattice in plain Scala from the decoded pixels
+    val bytes = Multimodal.imageMedia(Seq(6L).toDF("doc_id"), "doc_id")
+      .select($"payload").head().getAs[Array[Byte]](0)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    val (w, h) = (img.getWidth, img.getHeight)
+    val (sr, sg, sb, n) = (Array.fill(12)(0L), Array.fill(12)(0L),
+      Array.fill(12)(0L), Array.fill(12)(0L))
+    for (y <- 0 until h; x <- 0 until w) {
+      val c = (y * 3 / h) * 4 + (x * 4 / w)
+      val rgb = img.getRGB(x, y)
+      sr(c) += (rgb >> 16) & 0xff; sg(c) += (rgb >> 8) & 0xff
+      sb(c) += rgb & 0xff; n(c) += 1
+    }
+    assert(n.sum == w.toLong * h, "lattice must partition every pixel")
+    for (cy <- 0 until 3; cx <- 0 until 4) {
+      val c = cy * 4 + cx
+      val got = cells((6L, cx, cy))
+      assert(got == ((h, w, (sr(c) / n(c)).toInt, (sg(c) / n(c)).toInt,
+        (sb(c) / n(c)).toInt)), s"cell ($cx,$cy) mismatch")
+    }
+  }
+
   // ------------------------------------------------- lateral subquery
   test("LATERAL top-2 equals the window formulation and decorrelates") {
     val cust = Seq((1L, "c1", 10.0, 1L), (2L, "c2", 30.0, 1L),
