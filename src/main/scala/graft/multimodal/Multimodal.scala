@@ -646,6 +646,45 @@ object Multimodal {
     * stream: RMS energy (left-to-right sum of squares — the fold
     * order DuckDB's list_aggregate uses, so the oracle replays it
     * bit-exactly) and peak amplitude. */
+  /** WAVEFORM DOWNSAMPLE from the REAL WAV decode — the audio twin of
+    * [[resizeBox]]: the track divides into `buckets` time boxes
+    * (frame f = k/channels lands in box f·buckets/nSamples, the same
+    * integer lattice as the image resize), and each box emits the
+    * mean of its interleaved normalized samples. Box sums accumulate
+    * IN SAMPLE ORDER — the left fold DuckDB's list_aggregate replays
+    * over a list_filter'd (order-preserving) subsequence — and divide
+    * once at the end, so the doubles are bit-identical cross-engine.
+    * One row per (media, box); undecodable payloads yield no rows. */
+  def downsamplePcm(media: DataFrame, buckets: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("n_samples", IntegerType),
+      StructField("bucket", IntegerType),
+      StructField("mean", DoubleType)))
+    val idI = media.schema.fieldIndex("media_id")
+    val pI  = media.schema.fieldIndex("payload")
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](pI)
+        val (_, _, ch, _, ns) = AudioCodec.parseHeader(bytes)
+        decodePcm(bytes) match {
+          case Some(xs) if ns > 0 =>
+            val sums = new Array[Double](buckets)
+            val n = new Array[Long](buckets)
+            var k = 0
+            while (k < xs.length) {
+              val b = (k / ch) * buckets / ns
+              sums(b) += xs(k); n(b) += 1
+              k += 1
+            }
+            (0 until buckets).iterator.filter(n(_) > 0).map(b =>
+              Row(r.getLong(idI), ns, b, sums(b) / n(b)))
+          case _ => Iterator.empty
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
   def decodeAudioFeatures(media: DataFrame): DataFrame = {
     val schema = StructType(Seq(
       StructField("media_id", LongType),

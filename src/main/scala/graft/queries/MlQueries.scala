@@ -421,6 +421,46 @@ object MlQueries extends QueryModule {
       |  round(list_aggregate(list_transform(x, v -> abs(v)), 'max'), 6) AS peak
       |FROM xs ORDER BY media_id""".stripMargin
 
+  /** WAVEFORM DOWNSAMPLE over the REAL WAV decode
+    * ([[Multimodal.downsamplePcm]]) — the audio twin of
+    * `q_image_resize`: 8 time boxes per track, per-box mean of the
+    * interleaved normalized samples, sums folded in sample order so
+    * the oracle's list_aggregate over an order-preserving list_filter
+    * replays the doubles bit-exactly. */
+  private def qAudioDownsample(implicit s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.audioMedia(
+      Tables.documents(s, dir).where(col("doc_id") % 3 === 1), "doc_id")
+    Multimodal.downsamplePcm(media, buckets = 8)
+      .select(col("media_id"), col("n_samples"), col("bucket"),
+        round(col("mean"), 6).as("mean"))
+      .orderBy(col("media_id"), col("bucket"))
+  }
+
+  private val qAudioDownsampleSql =
+    """WITH aud AS (
+      |  SELECT doc_id,
+      |    CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+      |    CASE WHEN doc_id % 5 = 0 THEN 8 ELSE 16 END AS bits,
+      |    CAST(32 + doc_id % 29 AS BIGINT) AS ns
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |xs AS (
+      |  SELECT doc_id, ns, ch,
+      |    list_transform(range(0, ns * ch), k ->
+      |      CASE WHEN bits = 8
+      |        THEN (CAST((doc_id * 31 + (k // ch) * 17 + (k % ch) * 7) % 256 AS DOUBLE) - 128) / 128.0
+      |        ELSE CAST(CASE WHEN (doc_id * 131 + (k // ch) * 7919 + (k % ch) * 101) % 65536 >= 32768
+      |                  THEN (doc_id * 131 + (k // ch) * 7919 + (k % ch) * 101) % 65536 - 65536
+      |                  ELSE (doc_id * 131 + (k // ch) * 7919 + (k % ch) * 101) % 65536 END AS DOUBLE) / 32768.0
+      |      END) AS x
+      |  FROM aud)
+      |SELECT doc_id AS media_id, CAST(ns AS INTEGER) AS n_samples,
+      |  CAST(b AS INTEGER) AS bucket,
+      |  round(list_aggregate(list_filter(x, (v, i) -> ((i - 1) // ch) * 8 // ns = b), 'sum')
+      |    / len(list_filter(x, (v, i) -> ((i - 1) // ch) * 8 // ns = b)), 6) AS mean
+      |FROM xs CROSS JOIN (SELECT unnest(range(8)) AS b)
+      |WHERE len(list_filter(x, (v, i) -> ((i - 1) // ch) * 8 // ns = b)) > 0
+      |ORDER BY media_id, bucket""".stripMargin
+
   /** Real image PIXEL-decode gate (a level deeper than q_image_headers,
     * the image twin of q_audio_energy): Spark runs the actual ImageIO
     * PNG decoder and sums RGB channels as exact integers; PNG is
@@ -960,6 +1000,7 @@ object MlQueries extends QueryModule {
     Q("q_audio_energy", (s, d) => qAudioEnergy(s, d), Some(qAudioEnergySql)),
     Q("q_image_pixels", (s, d) => qImagePixels(s, d), Some(qImagePixelsSql)),
     Q("q_image_resize", (s, d) => qImageResize(s, d), Some(qImageResizeSql)),
+    Q("q_audio_downsample", (s, d) => qAudioDownsample(s, d), Some(qAudioDownsampleSql)),
     Q("q_image_dedup", (s, d) => qImageDedup(s, d), Some(qImageDedupSql)),
     Q("q_image_dedup_day2", (s, d) => qImageDedupDay2(s, d), Some(qImageDedupSql)),
     Q("q_video_frame_sample", (s, d) => qVideoFrameSample(s, d), Some(qVideoFrameSampleSql)),

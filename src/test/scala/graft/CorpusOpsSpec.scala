@@ -336,6 +336,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("downsamplePcm: box means replay the real decode in sample order") {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.audioMedia(Seq(7L, 10L).toDF("doc_id"), "doc_id")
+    val got = Multimodal.downsamplePcm(media, buckets = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) ->
+        (r.getInt(1), r.getDouble(3))).toMap
+    assert(got.keys.count(_._1 == 7L) == 8 && got.keys.count(_._1 == 10L) == 8)
+    // plain-Scala replay over the decoded samples of one track
+    val bytes = Multimodal.audioMedia(Seq(7L).toDF("doc_id"), "doc_id")
+      .select($"payload").head().getAs[Array[Byte]](0)
+    val (_, _, ch, _, ns) = Multimodal.AudioCodec.parseHeader(bytes)
+    val xs = Multimodal.decodePcm(bytes).get
+    val sums = Array.fill(8)(0.0); val n = Array.fill(8)(0L)
+    xs.indices.foreach { k =>
+      val b = (k / ch) * 8 / ns; sums(b) += xs(k); n(b) += 1 }
+    (0 until 8).foreach { b =>
+      assert(got((7L, b)) == ((ns, sums(b) / n(b))), s"bucket $b mismatch") }
+  }
+
   // ------------------------------------------------- lateral subquery
   test("LATERAL top-2 equals the window formulation and decorrelates") {
     val cust = Seq((1L, "c1", 10.0, 1L), (2L, "c2", 30.0, 1L),
