@@ -869,6 +869,50 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** FRAME-LEVEL RESIZE over video payloads — [[decodeVideoFrames]]'s
+    * stride-sampled walk composed with [[decodePngResize]]'s
+    * box-average lattice: each sampled LOSSLESS (PNG) frame emits its
+    * gw×gh thumbnail cells; lossy (JPEG) frames yield no rows (their
+    * DCT round trip has no exact twin — geometry/closeness gate via
+    * `q_video_frames_real`). One narrow map; blobs never shuffle. */
+  def resizeVideoFrames(media: DataFrame, stride: Int, maxFrames: Int,
+                        gw: Int, gh: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("cx", IntegerType),
+      StructField("cy", IntegerType),
+      StructField("r", IntegerType),
+      StructField("g", IntegerType),
+      StructField("b", IntegerType)))
+    val idI = media.schema.fieldIndex("media_id")
+    val pI  = media.schema.fieldIndex("payload")
+    media.mapPartitions { it =>
+      it.flatMap { row =>
+        val id = row.getLong(idI)
+        val frames = VideoCodec.extractFrames(row.getAs[Array[Byte]](pI))
+        val n = frames.length
+        val idxs =
+          if (n <= 1) (0 until n)
+          else (0 until n by stride).take(maxFrames)
+        idxs.iterator.flatMap { i =>
+          decodePngResize(frames(i), gw, gh).iterator.flatMap {
+            case (w, h, cells) =>
+              (0 until gh).iterator.flatMap { cy =>
+                (0 until gw).iterator.map { cx =>
+                  val c = (cy * gw + cx) * 3
+                  Row(id, i, w, h, cx, cy,
+                    cells(c), cells(c + 1), cells(c + 2))
+                }
+              }
+          }
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Audio header decode as a standalone per-row operator: (media_id,
     * fmt, sample_rate, channels, bits, n_samples) parsed from the
     * payload bytes — never from metadata. */

@@ -751,6 +751,47 @@ object MlQueries extends QueryModule {
        |FROM fr ORDER BY media_id, frame_idx""".stripMargin
   }
 
+  /** FRAME-LEVEL RESIZE gate ([[Multimodal.resizeVideoFrames]]):
+    * every stride-sampled LOSSLESS (Motion-PNG, even ids) frame of
+    * every AVI box-average downsamples to a 4×3 thumbnail lattice via
+    * the REAL container walk + ImageIO decode; the oracle replays the
+    * per-frame analytic fill recipe through the same lattice. JPEG
+    * frames emit no rows (lossy — no exact twin). */
+  private def qVideoFrameResize(implicit s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.framedVideoMedia(
+      Tables.documents(s, dir).where(col("doc_id") % 3 === 2), "doc_id")
+    Multimodal.resizeVideoFrames(media, stride = 2, maxFrames = 8,
+        gw = 4, gh = 3)
+      .orderBy(col("media_id"), col("frame_idx"), col("cy"), col("cx"))
+  }
+
+  private val qVideoFrameResizeSql =
+    """WITH v AS (
+      |  SELECT doc_id,
+      |    CAST(16 + (doc_id % 9) * 2 AS BIGINT) AS w,
+      |    CAST(12 + (doc_id % 7) * 2 AS BIGINT) AS h,
+      |    CAST(3 + doc_id % 4 AS BIGINT) AS nf
+      |  FROM documents WHERE doc_id % 3 = 2 AND doc_id % 2 = 0),
+      |fr AS (
+      |  SELECT doc_id, w, h, unnest(range(0, nf, 2)) AS frame_idx FROM v),
+      |px AS (
+      |  SELECT doc_id, frame_idx, w, h,
+      |    CAST(x * 4 // w AS INTEGER) AS cx,
+      |    CAST(y * 3 // h AS INTEGER) AS cy,
+      |    (x*31 + y*17 + frame_idx*7) // 65536 % 256 AS r,
+      |    (x*31 + y*17 + frame_idx*7) // 256 % 256 AS g,
+      |    (x*31 + y*17 + frame_idx*7) % 256 AS b
+      |  FROM (SELECT doc_id, frame_idx, w, h, unnest(range(w)) AS x FROM fr),
+      |    LATERAL (SELECT unnest(range(h)) AS y))
+      |SELECT doc_id AS media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+      |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+      |  cx, cy,
+      |  CAST(SUM(r) // COUNT(*) AS INTEGER) AS r,
+      |  CAST(SUM(g) // COUNT(*) AS INTEGER) AS g,
+      |  CAST(SUM(b) // COUNT(*) AS INTEGER) AS b
+      |FROM px GROUP BY 1, 2, 3, 4, 5, 6
+      |ORDER BY media_id, frame_idx, cy, cx""".stripMargin
+
   /** STREAMING model scoring gate: the same `withModelScores`
     * mapPartitions operator as the batch q_proxy_scores, run by
     * Structured Streaming over an unbounded document source with a
@@ -1001,6 +1042,7 @@ object MlQueries extends QueryModule {
     Q("q_image_pixels", (s, d) => qImagePixels(s, d), Some(qImagePixelsSql)),
     Q("q_image_resize", (s, d) => qImageResize(s, d), Some(qImageResizeSql)),
     Q("q_audio_downsample", (s, d) => qAudioDownsample(s, d), Some(qAudioDownsampleSql)),
+    Q("q_video_frame_resize", (s, d) => qVideoFrameResize(s, d), Some(qVideoFrameResizeSql)),
     Q("q_image_dedup", (s, d) => qImageDedup(s, d), Some(qImageDedupSql)),
     Q("q_image_dedup_day2", (s, d) => qImageDedupDay2(s, d), Some(qImageDedupSql)),
     Q("q_video_frame_sample", (s, d) => qVideoFrameSample(s, d), Some(qVideoFrameSampleSql)),
