@@ -673,7 +673,9 @@ object Multimodal {
             val n = new Array[Long](buckets)
             var k = 0
             while (k < xs.length) {
-              val b = (k / ch) * buckets / ns
+              // Long product: frames > Int.MaxValue/buckets (~100 min of
+              // 44.1 kHz at buckets=8) would overflow Int and index negative.
+              val b = ((k / ch).toLong * buckets / ns).toInt
               sums(b) += xs(k); n(b) += 1
               k += 1
             }

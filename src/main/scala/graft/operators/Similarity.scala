@@ -246,6 +246,25 @@ object Similarity {
         written += toTag
       }
     }
+
+    /** RETENTION — drop generation `tag`'s on-disk data once a newer
+      * generation has been absorbed and its probe verified; the
+      * counterpart of [[absorb]] writing to a NEW tag (day N stays
+      * readable until day N+1 commits, then this reclaims the space).
+      * Safe by construction: [[absorb]] materializes real files under
+      * the new tag's own path, so no later generation references the
+      * vacuumed one. Idempotent — a missing directory is not an
+      * error. Mirrors [[Dedup.SignatureStore.vacuum]]. */
+    def vacuum(tag: String): Unit = synchronized {
+      val base = path(tag)
+      if (java.nio.file.Files.exists(base)) {
+        val walk = java.nio.file.Files.walk(base)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+      written -= tag
+    }
   }
 
   /** [[ivfTopK]] served from the PERSISTED index: identical output
@@ -673,21 +692,31 @@ object Similarity {
     var (state, cpIds) = checkpointReleasingIn(spark)(
       base.where(col(idCol) =!= first.getLong(0))
         .withColumn("_maxs", cosTo(vecOf(first.getLong(0)))), Set.empty[Int])
-    while (chosen.size < k) {
-      val mmr = lit(lambda) * col("_simq") - lit(1.0 - lambda) * col("_maxs")
-      val next = state.orderBy(mmr.desc, col(idCol))
-        .select(col(idCol), col("_simq")).head()
-      chosen = chosen :+ ((chosen.size + 1, next.getLong(0), next.getDouble(1)))
-      val (s2, ids2) = checkpointReleasingIn(spark)(
-        state.where(col(idCol) =!= next.getLong(0))
-          .withColumn("_maxs",
-            greatest(col("_maxs"), cosTo(vecOf(next.getLong(0))))),
-        cpIds)
-      state = s2; cpIds = ids2
+    try {
+      // head(1) not head(): when k exceeds the candidate pool the state
+      // frame drains empty — return the picks gathered rather than throw.
+      var drained = false
+      while (chosen.size < k && !drained) {
+        val mmr = lit(lambda) * col("_simq") - lit(1.0 - lambda) * col("_maxs")
+        val top = state.orderBy(mmr.desc, col(idCol))
+          .select(col(idCol), col("_simq")).head(1)
+        if (top.isEmpty) drained = true
+        else {
+          val next = top(0)
+          chosen = chosen :+ ((chosen.size + 1, next.getLong(0), next.getDouble(1)))
+          val (s2, ids2) = checkpointReleasingIn(spark)(
+            state.where(col(idCol) =!= next.getLong(0))
+              .withColumn("_maxs",
+                greatest(col("_maxs"), cosTo(vecOf(next.getLong(0))))),
+            cpIds)
+          state = s2; cpIds = ids2
+        }
+      }
+      chosen
+    } finally {
+      cpIds.foreach(id => spark.sparkContext.getPersistentRDDs.get(id)
+        .foreach(_.unpersist(blocking = false)))
     }
-    cpIds.foreach(id => spark.sparkContext.getPersistentRDDs.get(id)
-      .foreach(_.unpersist(blocking = false)))
-    chosen
   }
 
   /** Fixed-order squared distance between two array columns (HOF
@@ -1012,6 +1041,21 @@ object Similarity {
         absorb(spark, fromTag, toTag, delta, cId, embCol, cellCol)
         written += toTag
       }
+    }
+
+    /** RETENTION for the composite index — same contract as
+      * [[IvfStore.vacuum]]: reclaim generation `tag` (vectors, codes,
+      * centroids, codebooks) after its successor commits and its
+      * probe verifies. Idempotent. */
+    def vacuum(tag: String): Unit = synchronized {
+      val base = path(tag)
+      if (java.nio.file.Files.exists(base)) {
+        val walk = java.nio.file.Files.walk(base)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+      written -= tag
     }
 
     /** Serve top-k from the artifact: probe → cell-pruned ADC over

@@ -714,7 +714,7 @@ object NorthStarQueries extends QueryModule {
 
   /** Maximal Marginal Relevance selection ([[Similarity.mmrSelect]],
     * Carbonell & Goldstein 1998): 8 picks for query vector 0 at
-    * λ = 0.7 — relevance traded against redundancy, so the selection
+    * λ = 0.5 — relevance traded against redundancy, so the selection
     * spreads across the corpus's similarity modes instead of stacking
     * the query's nearest near-duplicates (the diversity-aware
     * retrieval / training-data selection shape). Oracle-exact: both

@@ -644,10 +644,34 @@ object EventStreams {
     * rows read + added + rewritten (the index's metadata, not the
     * corpus); the per-batch vectors rewrite is the small-fixture
     * absorb contract — at scale the cell-partitioned table appends
-    * the batch's cells in place (see [[graft.operators.Similarity.IvfStore.absorb]]). */
+    * the batch's cells in place (see [[graft.operators.Similarity.IvfStore.absorb]]).
+    *
+    * RETENTION: each absorb VACUUMS the generation it superseded as
+    * soon as the successor materializes (absorb's writes are actions,
+    * so generation g+1 is fully on disk before g is reclaimed — at
+    * most 2 generations coexist, and the stream ends with exactly
+    * one). A prior run's surviving final generation is vacuumed when
+    * the next run starts, so repeated invocations (min-of-5 bench,
+    * ladder rungs) hold disk at one index copy instead of
+    * runs×(parts+1). The returned probe frame reads the final
+    * generation — materialize it before starting another ingest.
+    * The start-of-run sweep reclaims EVERY stale `stream_ivf_*`
+    * generation under the store root (not just this JVM's — min-of-5
+    * bench, correctness gate, and ladder rungs run in separate
+    * processes); safe because these UUID-run-scoped tags are owned
+    * exclusively by this operator. */
   def streamingIvfIngest(spark: SparkSession, dir: String,
                          parts: Int = 3): DataFrame = {
     import graft.operators.Similarity
+    val root = java.nio.file.Paths.get(graft.operators.Dedup.SignatureStore.root)
+    if (java.nio.file.Files.isDirectory(root)) {
+      val ls = java.nio.file.Files.list(root)
+      try ls.forEach { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith("ivf_store_stream_ivf_"))
+          Similarity.IvfStore.vacuum(name.stripPrefix("ivf_store_"))
+      } finally ls.close()
+    }
     val embs = graft.core.Tables.embeddings(spark, dir)
     val day0 = embs.where(col("vec_id") % 7 =!= 3)
     val run = java.util.UUID.randomUUID.toString.replace("-", "")
@@ -667,6 +691,9 @@ object EventStreams {
             Similarity.IvfStore.absorb(spark, genTag + g, genTag + (g + 1),
               batch.select(col("vec_id"), col("embedding"), col("label")),
               "vec_id", "embedding", "label")
+            // g+1 is fully materialized (absorb's writes are actions);
+            // reclaim the generation it superseded.
+            Similarity.IvfStore.vacuum(genTag + g)
           }
         }
         .start()

@@ -547,6 +547,59 @@ class SimilaritySpec extends AnyFunSuite {
     graft.core.Caches.releaseAll()
   }
 
+  test("IvfStore.vacuum drops generation N, leaves N+1 readable, is idempotent") {
+    val embs = graft.core.Tables.embeddings(spark, TestSpark.SfDir)
+    val queries = embs.where($"vec_id" < 5)
+    val day0 = embs.where($"vec_id" % 7 =!= 3)
+    val delta = embs.where($"vec_id" % 7 === 3)
+    Similarity.IvfStore.write(spark, day0, "vec_id", "embedding", "label",
+      "spec_ivfvac_d0")
+    Similarity.IvfStore.absorb(spark, "spec_ivfvac_d0", "spec_ivfvac_d1",
+      delta, "vec_id", "embedding", "label")
+    def probe() = Similarity.ivfTopKFromStore(spark, queries,
+        "spec_ivfvac_d1", "vec_id", "vec_id", "embedding", "label",
+        probes = 2, k = 10)
+      .select($"query_id", $"rk", $"vec_id", $"sim")
+      .orderBy($"query_id", $"rk").collect().map(_.toSeq).toSeq
+    val before = probe()
+    assert(before.nonEmpty)
+    Similarity.IvfStore.vacuum("spec_ivfvac_d0")
+    assert(!java.nio.file.Files.exists(
+        Similarity.IvfStore.path("spec_ivfvac_d0")),
+      "vacuum must remove generation N's directory tree")
+    // generation N+1 materialized its own files under absorb —
+    // nothing in it references the vacuumed generation
+    assert(probe() == before, "gen N+1 probe changed after vacuuming gen N")
+    Similarity.IvfStore.vacuum("spec_ivfvac_d0") // idempotent
+    Similarity.IvfStore.vacuum("spec_ivfvac_never_written") // not an error
+    graft.core.Caches.releaseAll()
+  }
+
+  test("IvfPqStore.vacuum drops generation N, leaves N+1 readable, is idempotent") {
+    val embs = graft.core.Tables.embeddings(spark, TestSpark.SfDir)
+    val queries = embs.where($"vec_id" < 5)
+    val day0 = embs.where($"vec_id" % 7 =!= 5)
+    val delta = embs.where($"vec_id" % 7 === 5)
+    Similarity.IvfPqStore.write(spark, day0, "vec_id", "embedding", "label",
+      blocks = 4, codes = 4, iters = 2, tag = "spec_ipqvac_d0")
+    Similarity.IvfPqStore.absorb(spark, "spec_ipqvac_d0", "spec_ipqvac_d1",
+      delta, "vec_id", "embedding", "label")
+    def probe() = Similarity.IvfPqStore.topK(spark, queries,
+        "spec_ipqvac_d1", "vec_id", "vec_id", "embedding", "label",
+        probes = 2, cands = 30, k = 10)
+      .select($"query_id", $"rk", $"vec_id", $"sim")
+      .orderBy($"query_id", $"rk").collect().map(_.toSeq).toSeq
+    val before = probe()
+    assert(before.nonEmpty)
+    Similarity.IvfPqStore.vacuum("spec_ipqvac_d0")
+    assert(!java.nio.file.Files.exists(
+        Similarity.IvfPqStore.path("spec_ipqvac_d0")),
+      "vacuum must remove generation N's directory tree")
+    assert(probe() == before, "gen N+1 probe changed after vacuuming gen N")
+    Similarity.IvfPqStore.vacuum("spec_ipqvac_d0") // idempotent
+    graft.core.Caches.releaseAll()
+  }
+
   test("semanticDedup drops planted near-dups to their min-id witness") {
     // Two clean clusters around e_x (ids 0,2,4) and e_y (ids 1,3,5);
     // id 6 lands in the y-cluster but is no one's near-dup at τ=0.99.

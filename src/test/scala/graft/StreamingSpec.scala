@@ -182,6 +182,15 @@ class StreamingSpec extends AnyFunSuite {
       .select($"label", $"pos", $"cn".cast("string"), $"n")
       .collect().map(_.toSeq).toSet
     assert(full == d1)
+    // RETENTION: each absorb vacuums the generation it superseded and
+    // a new run reclaims the previous run's survivor, so the two runs
+    // above (1 + 3 micro-batches = 6 generations written in total)
+    // leave exactly ONE stream-ingest index generation on disk.
+    val root = java.nio.file.Paths.get(graft.operators.Dedup.SignatureStore.root)
+    val leftover = java.nio.file.Files.list(root).toArray.map(_.toString)
+      .filter(_.contains("ivf_store_stream_ivf_"))
+    assert(leftover.length == 1,
+      s"stream ingest must leave one generation, found ${leftover.toSeq}")
     graft.core.Caches.releaseAll()
   }
 
