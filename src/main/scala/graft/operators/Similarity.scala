@@ -676,18 +676,75 @@ object Similarity {
     * k picks are distinct by construction. Returns (rank, id, simq). */
   def mmrSelect(df: DataFrame, idCol: String, embCol: String,
                 queryId: Long, k: Int, lambda: Double): Seq[(Int, Long, Double)] = {
-    val spark = df.sparkSession
+    val queryVec = vecById(df, idCol, embCol, queryId)
+    mmrGreedy(df.where(col(idCol) =!= queryId), idCol, embCol, queryVec,
+      k, lambda)
+  }
+
+  /** [[mmrSelect]] over an explicit CANDIDATE POOL: the same greedy,
+    * but every per-round scan touches the pool's C rows instead of
+    * the corpus. With cands = the whole corpus this is EXACTLY
+    * [[mmrSelect]] (spec-asserted) — the pool restriction commutes
+    * with the greedy because each round's argmax and each `_maxs`
+    * update only ever read pool rows. */
+  def mmrSelectFromCandidates(df: DataFrame, cands: DataFrame,
+                              idCol: String, embCol: String, queryId: Long,
+                              k: Int, lambda: Double): Seq[(Int, Long, Double)] = {
+    val queryVec = vecById(df, idCol, embCol, queryId)
+    // cache the pool: the greedy issues k argmax actions plus k
+    // chosen-vector lookups against it — without the cache each one
+    // would re-derive the semi-join from the corpus
+    val pool = graft.core.Caches.track(
+      df.join(cands.select(col(idCol)), Seq(idCol), "left_semi")
+        .where(col(idCol) =!= queryId))
+    mmrGreedy(pool, idCol, embCol, queryVec, k, lambda)
+  }
+
+  /** The DEPLOYABLE MMR shape at 100 TB: nobody runs exact greedy MMR
+    * over a full corpus — the standard retrieval recipe is
+    * probe-then-diversify: an IVF probe retrieves the top-C
+    * candidates (cell-pruned, exact cosine re-rank, ties on id — the
+    * [[ivfTopK]] contract), and the SAME exact greedy runs over that
+    * C-row pool. k driver actions over C rows replace k corpus scans;
+    * the probe is the only corpus-sized read and it prunes to
+    * ~probes/nlist. Fully deterministic end to end, so a SQL oracle
+    * replays probe, pool, and trajectory exactly. */
+  def mmrSelectScalable(df: DataFrame, idCol: String, embCol: String,
+                        cellCol: String, queryId: Long, k: Int,
+                        lambda: Double, probes: Int,
+                        poolC: Int): Seq[(Int, Long, Double)] = {
+    val qdf = df.where(col(idCol) === queryId)
+    val pool = ivfTopK(qdf, df, idCol, idCol, embCol, cellCol, probes, poolC)
+      .select(col("vec_id").as(idCol))
+    mmrSelectFromCandidates(df, pool, idCol, embCol, queryId, k, lambda)
+  }
+
+  private def vecById(df: DataFrame, idCol: String, embCol: String,
+                      id: Long): Array[Double] =
+    df.where(col(idCol) === id).select(col(embCol)).head()
+      .getSeq[Float](0).map(_.toDouble).toArray
+
+  /** The shared greedy: one argmax action per round over the
+    * (id, emb, _simq, _maxs) pool frame, checkpoint-with-release
+    * bounding pinned state at ~2 copies. Chosen vectors are looked up
+    * IN THE POOL (id-keyed pruned read — the pool is where they were
+    * picked from), so no round touches anything wider than the pool. */
+  private def mmrGreedy(poolDf: DataFrame, idCol: String, embCol: String,
+                        queryVec: Array[Double], k: Int,
+                        lambda: Double): Seq[(Int, Long, Double)] = {
+    val spark = poolDf.sparkSession
     def vecOf(id: Long): Array[Double] =
-      df.where(col(idCol) === id).select(col(embCol)).head()
-        .getSeq[Float](0).map(_.toDouble).toArray
+      vecById(poolDf, idCol, embCol, id)
     def cosTo(center: Array[Double]): Column =
       round(cosineHof(col(embCol), array(center.map(lit).toSeq: _*)), 6)
 
-    val base = df.where(col(idCol) =!= queryId)
+    val base = poolDf
       .select(col(idCol), col(embCol),
-        cosTo(vecOf(queryId)).as("_simq"))
-    val first = base.orderBy(col("_simq").desc, col(idCol))
-      .select(col(idCol), col("_simq")).head()
+        cosTo(queryVec).as("_simq"))
+    val firstRows = base.orderBy(col("_simq").desc, col(idCol))
+      .select(col(idCol), col("_simq")).head(1)
+    if (firstRows.isEmpty) return Vector.empty
+    val first = firstRows(0)
     var chosen = Vector((1, first.getLong(0), first.getDouble(1)))
     var (state, cpIds) = checkpointReleasingIn(spark)(
       base.where(col(idCol) =!= first.getLong(0))

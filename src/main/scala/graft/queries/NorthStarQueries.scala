@@ -737,13 +737,18 @@ object NorthStarQueries extends QueryModule {
     picks.toDF("rk", "vec_id", "simq").orderBy(col("rk"))
   }
 
-  private val qMmrSelectSql = {
-    def cosDuck(a: String, b: String) =
-      s"""round(
-         |  list_aggregate(list_transform(list_zip($a, $b),
-         |    p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum')
-         |  / (sqrt(list_aggregate(list_transform($a, x -> CAST(x AS DOUBLE) * x), 'sum'))
-         |     * sqrt(list_aggregate(list_transform($b, x -> CAST(x AS DOUBLE) * x), 'sum'))), 6)""".stripMargin
+  private def mmrCosDuck(a: String, b: String) =
+    s"""round(
+       |  list_aggregate(list_transform(list_zip($a, $b),
+       |    p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum')
+       |  / (sqrt(list_aggregate(list_transform($a, x -> CAST(x AS DOUBLE) * x), 'sum'))
+       |     * sqrt(list_aggregate(list_transform($b, x -> CAST(x AS DOUBLE) * x), 'sum'))), 6)""".stripMargin
+
+  /** The unrolled MMR greedy trajectory over a caller-supplied
+    * `base(vec_id, simq)` CTE — shared by the full-corpus oracle
+    * (base = every non-query vector) and the probe-bounded oracle
+    * (base = the IVF top-C pool). */
+  private def mmrTrajectorySql(baseCtes: String): String = {
     def centerOf(i: Int) =
       s"(SELECT e2.embedding FROM e e2 WHERE e2.vec_id = (SELECT vec_id FROM p$i))"
     val rounds = (2 to MmrK).map { i =>
@@ -756,7 +761,7 @@ object NorthStarQueries extends QueryModule {
       val next =
         s"""s$i AS MATERIALIZED (
            |  SELECT s.vec_id, s.simq,
-           |    greatest(s.maxs, ${cosDuck("e.embedding", centerOf(i))}) AS maxs
+           |    greatest(s.maxs, ${mmrCosDuck("e.embedding", centerOf(i))}) AS maxs
            |  FROM $prev s JOIN e ON e.vec_id = s.vec_id
            |  WHERE s.vec_id <> (SELECT vec_id FROM p$i))""".stripMargin
       if (i == MmrK) pick else s"$pick,\n$next"
@@ -769,21 +774,59 @@ object NorthStarQueries extends QueryModule {
     // inlined CTE would open the parquet once per reference per
     // DuckDB thread and trip the fd limit
     s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
-       |base AS MATERIALIZED (
-       |  SELECT e.vec_id,
-       |    ${cosDuck("e.embedding", "(SELECT embedding FROM e WHERE vec_id = 0)")} AS simq
-       |  FROM e WHERE e.vec_id <> 0),
+       |$baseCtes,
        |p1 AS MATERIALIZED (
        |  SELECT vec_id, simq FROM base ORDER BY simq DESC, vec_id LIMIT 1),
        |s1 AS MATERIALIZED (
        |  SELECT b.vec_id, b.simq,
-       |    ${cosDuck("e.embedding", centerOf(1))} AS maxs
+       |    ${mmrCosDuck("e.embedding", centerOf(1))} AS maxs
        |  FROM base b JOIN e ON e.vec_id = b.vec_id
        |  WHERE b.vec_id <> (SELECT vec_id FROM p1)),
        |$rounds
        |$sel
        |ORDER BY rk""".stripMargin
   }
+
+  private val qMmrSelectSql = mmrTrajectorySql(
+    s"""base AS MATERIALIZED (
+       |  SELECT e.vec_id,
+       |    ${mmrCosDuck("e.embedding", "(SELECT embedding FROM e WHERE vec_id = 0)")} AS simq
+       |  FROM e WHERE e.vec_id <> 0)""".stripMargin)
+
+  /** [[Similarity.mmrSelectScalable]] — the DEPLOYABLE MMR: an IVF
+    * probe retrieves the top-`MmrPoolC` candidates (2 cells,
+    * cell-pruned scan, exact cosine rank — the `q_embed_ivf` probe),
+    * and the SAME exact greedy runs over that pool: k driver actions
+    * over C rows instead of k corpus scans. At 100 TB the corpus is
+    * touched once (pruned to ~probes/nlist) and the greedy state is
+    * C rows. Oracle-exact: the probe chain, the top-C window, and the
+    * unrolled trajectory all replay in SQL ([[mmrTrajectorySql]] with
+    * base = the pool); SimilaritySpec pins C = corpus ≡ plain
+    * [[Similarity.mmrSelect]]. */
+  private val MmrPoolC = 200
+
+  private def qMmrSelectScalable(implicit s: SparkSession, dir: String): DataFrame = {
+    val picks = Similarity.mmrSelectScalable(embs, "vec_id", "embedding",
+      "label", queryId = 0L, k = MmrK, lambda = MmrLambda, probes = 2,
+      poolC = MmrPoolC)
+    import s.implicits._
+    picks.toDF("rk", "vec_id", "simq").orderBy(col("rk"))
+  }
+
+  private val qMmrSelectScalableSql = mmrTrajectorySql(
+    s"""$ivfProbeCtes,
+       |pool AS MATERIALIZED (
+       |  SELECT vec_id, simq FROM (
+       |    SELECT vec_id, simq,
+       |      row_number() OVER (ORDER BY simq DESC, vec_id) AS prk
+       |    FROM (
+       |      SELECT c.vec_id,
+       |        ${mmrCosDuck("c.embedding", "(SELECT embedding FROM e WHERE vec_id = 0)")} AS simq
+       |      FROM probed p
+       |      JOIN embeddings c ON c.label = p.label AND c.vec_id <> 0
+       |      WHERE p.query_id = 0))
+       |  WHERE prk <= $MmrPoolC),
+       |base AS MATERIALIZED (SELECT vec_id, simq FROM pool)""".stripMargin)
 
   /** Greedy k-center selection (KCenterSampling) — 8 centers over the
     * corpus; driver-looped farthest-point. Oracle-exact: both engines
@@ -1497,9 +1540,33 @@ object NorthStarQueries extends QueryModule {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** COLLAPSE-FIRST twin (r14): the naive per-id replay (LSH CTEs
+    * over every document) explodes in DuckDB at big rungs — at sf100
+    * each 1000-copy family shares every band bucket, so the banded
+    * self-join materializes billions of candidate rows and spilled
+    * > 64 GB twice (PROFILE_r13 §10). Identical texts have identical
+    * signatures, so id-level LSH candidacy and jaccard are functions
+    * of the TEXT alone: run the full MinHash chain over DISTINCT
+    * texts (scale-invariant, ~5 k rows at every rung), then expand
+    * arithmetically — same-family id pairs at jaccard 1.0, rep-level
+    * near-dup pairs fanned out to every copy combination. Exactly the
+    * engine's collapse-first production posture, replayed in SQL. */
   private val qStreamDedupStoreSql =
-    s"""WITH ${minhashPairCtes("", "documents")}
-       |SELECT id_a, id_b, jaccard FROM pairs
+    s"""WITH ${minhashPairCtes(
+          "reps AS (\n  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text),\n",
+          "reps")},
+       |fams AS (SELECT d.doc_id, r.doc_id AS rep FROM documents d
+       |  JOIN reps r ON r.text = d.text),
+       |cross_fam AS (
+       |  SELECT CASE WHEN a.doc_id < b.doc_id THEN a.doc_id ELSE b.doc_id END AS id_a,
+       |         CASE WHEN a.doc_id < b.doc_id THEN b.doc_id ELSE a.doc_id END AS id_b,
+       |         p.jaccard
+       |  FROM pairs p JOIN fams a ON a.rep = p.id_a JOIN fams b ON b.rep = p.id_b),
+       |same_fam AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
+       |  FROM fams a JOIN fams b ON a.rep = b.rep AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, jaccard FROM (
+       |  SELECT * FROM cross_fam UNION ALL SELECT * FROM same_fam)
        |WHERE (id_a % 10 = 0) <> (id_b % 10 = 0)
        |ORDER BY id_a, id_b""".stripMargin
 
@@ -2334,6 +2401,7 @@ object NorthStarQueries extends QueryModule {
     Q("q_embed_ivfpq_day2", (s, d) => qIvfPqStoreDay2(s, d), Some(qIvfPqDay2Sql)),
     Q("q_kcenter_select", (s, d) => qKCenter(s, d), Some(qKCenterSql)),
     Q("q_mmr_select", (s, d) => qMmrSelect(s, d), Some(qMmrSelectSql)),
+    Q("q_mmr_select_scalable", (s, d) => qMmrSelectScalable(s, d), Some(qMmrSelectScalableSql)),
     Q("q_hard_negatives", (s, d) => qHardNegatives(s, d), Some(qHardNegativesSql)),
     Q("q_lang_id", (s, d) => qLangId(s, d), Some(qLangIdSql)),
     Q("q_quality_score", (s, d) => qQualityScore(s, d), Some(qQualityScoreSql)),

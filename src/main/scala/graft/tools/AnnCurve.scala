@@ -15,9 +15,11 @@ import graft.operators.Similarity
   * cell sets are NESTED as probes grows (top-N cells by the same
   * deterministic centroid score).
   *
-  * Usage: runMain graft.tools.AnnCurve [embDir] [nQueries] [k]
+  * Usage: runMain graft.tools.AnnCurve [embDir] [nQueries] [k] [mode]
   * Prints one JSON line: per-probe recall plus the cell census.
-  */
+  * mode "ivfpq" adds the composite index's curve (same probes sweep,
+  * ADC over 4x16-code PQ + exact re-rank at cands=60) — the serving
+  * shape's quality at the same scan budget. */
 object AnnCurve {
   def main(args: Array[String]): Unit = {
     val dir = if (args.length > 0) args(0) else "/tmp/sf100"
@@ -60,9 +62,22 @@ object AnnCurve {
       .mkString("{", ",", "}")
     val cellsJson = cells.map { case (l, c) => s""""$l":$c""" }
       .mkString("{", ",", "}")
+    val pqJson = if (args.length > 3 && args(3) == "ivfpq") {
+      val pqCurve = Seq(1, 2, 3, 5, nlist).distinct.map { probes =>
+        val ivfpq = topSets(Similarity.ivfPqTopK(queries, embs,
+          "vec_id", "vec_id", "embedding", "label", probes = probes,
+          blocks = 4, codes = 16, iters = 2, cands = 60, k = k))
+        val recall = brute.keysIterator.map { q =>
+          (ivfpq.getOrElse(q, Set.empty) & brute(q)).size.toDouble / brute(q).size
+        }.sum / brute.size
+        (probes, recall)
+      }
+      pqCurve.map { case (p, r) => f""""$p":$r%.4f""" }
+        .mkString(""","ivfpq_recall_by_probes":{""", ",", "}")
+    } else ""
     println(s"""{"metric":"ann_recall_curve","dir":"$dir","n":$n,""" +
       s""""n_queries":$nQ,"k":$k,"nlist":$nlist,""" +
-      s""""recall_by_probes":$curveJson,"cell_sizes":$cellsJson}""")
+      s""""recall_by_probes":$curveJson$pqJson,"cell_sizes":$cellsJson}""")
     spark.stop()
   }
 }

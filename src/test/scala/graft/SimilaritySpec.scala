@@ -366,6 +366,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == want, s"engine $got vs reference $want")
   }
 
+  test("mmrSelectFromCandidates: C = corpus equals plain mmrSelect; drained pool returns gathered picks") {
+    val embs = graft.core.Tables.embeddings(spark, TestSpark.SfDir)
+    val full = Similarity.mmrSelect(embs, "vec_id", "embedding",
+      queryId = 0L, k = 6, lambda = 0.5)
+    // the pool restriction commutes with the greedy: an all-corpus
+    // candidate frame must reproduce the full trajectory exactly
+    val viaCands = Similarity.mmrSelectFromCandidates(embs,
+      embs.select($"vec_id"), "vec_id", "embedding",
+      queryId = 0L, k = 6, lambda = 0.5)
+    assert(viaCands == full, s"pool=corpus diverged: $viaCands vs $full")
+    // k > pool: returns the gathered picks, no throw
+    val tiny = Similarity.mmrSelectFromCandidates(embs,
+      embs.where($"vec_id".isin(1L, 2L, 3L)).select($"vec_id"),
+      "vec_id", "embedding", queryId = 0L, k = 10, lambda = 0.5)
+    assert(tiny.size == 3 && tiny.map(_._1) == Seq(1, 2, 3))
+    graft.core.Caches.releaseAll()
+  }
+
+  test("mmrSelectScalable: probe-bounded picks are the pool-restricted trajectory") {
+    val embs = graft.core.Tables.embeddings(spark, TestSpark.SfDir)
+    val got = Similarity.mmrSelectScalable(embs, "vec_id", "embedding",
+      "label", queryId = 0L, k = 6, lambda = 0.5, probes = 2, poolC = 50)
+    // reference: materialize the same probe pool explicitly, then the
+    // candidates path — the scalable wrapper must be exactly probe+greedy
+    val pool = Similarity.ivfTopK(embs.where($"vec_id" === 0L), embs,
+        "vec_id", "vec_id", "embedding", "label", probes = 2, k = 50)
+      .select($"vec_id")
+    val want = Similarity.mmrSelectFromCandidates(embs, pool,
+      "vec_id", "embedding", queryId = 0L, k = 6, lambda = 0.5)
+    assert(got.nonEmpty && got == want)
+    // diversity within relevance: all picks come from the probed pool
+    val poolIds = pool.as[Long].collect().toSet
+    got.foreach { case (_, id, _) => assert(poolIds.contains(id)) }
+    graft.core.Caches.releaseAll()
+  }
+
   test("autoPlanes holds bucket occupancy: a plane per corpus doubling, clamped") {
     // the selection rule that keeps the blocked self-join from
     // reverting to quadratic as the corpus grows (fixed 8 planes
