@@ -811,7 +811,15 @@ object Similarity {
     * assignments), once per query set for ADC (broadcast queries);
     * candidates are cands-bounded before any exact work. The decoded
     * reconstruction never materializes corpus-wide — ADC reads the
-    * code and the broadcast codebook. */
+    * code and the broadcast codebook.
+    *
+    * PLAINLY: `pqTopK` alone is LINEAR-per-query — this is FAISS's
+    * IndexPQ (exhaustive ADC over every code), the storage tier, not
+    * the serving tier. Production serving is [[ivfPqTopK]] /
+    * [[IvfPqStore.topK]] (IVFADC): the coarse probe prunes ADC to
+    * ~probes/nlist of the codes. This operator is registered
+    * (`q_embed_pq_topk`) as the documented linear contrast the
+    * composite is measured against. */
   def pqTopK(queries: DataFrame, corpus: DataFrame, qId: String,
              cId: String, embCol: String, blocks: Int, codes: Int,
              iters: Int, cands: Int, k: Int): DataFrame = {
@@ -826,6 +834,79 @@ object Similarity {
         col("adc"))
       .where(col("query_id") =!= col("vec_id"))
     pqCandRerank(scored, cands, k)
+  }
+
+  /** SCALAR-QUANTIZATION top-k (FAISS `IndexScalarQuantizer`, the SQ8
+    * storage tier — the OTHER lossy-storage shape next to PQ): each
+    * dimension quantizes independently to 8 bits against per-dimension
+    * [min, max) bounds learned from the corpus — code_j =
+    * clamp(floor((v_j − min_j) / step_j), 0, 255), step_j =
+    * (max_j − min_j)/256 — so a 64-dim float vector stores as 64
+    * bytes, 4× narrower, with NO codebook training (the bounds are
+    * the entire "model": 2·dim doubles of driver state vs PQ's
+    * blocks×codes×len). ADC compares the full-precision query against
+    * midpoint reconstructions (min_j + (code_j + 0.5)·step_j); the
+    * top-`cands` survivors re-rank by exact cosine over true vectors.
+    *
+    * Like [[pqTopK]], the scan is LINEAR-per-query by design (FAISS's
+    * flat SQ index); the composite serving shape would prune it with
+    * the IVF probe exactly as [[ivfPqTopK]] does for PQ.
+    *
+    * DETERMINISTIC end to end: bounds are exact min/max of the cast
+    * doubles; floor is exact; the ADC fold is the sequential
+    * 1..dim left fold both engines replay; ties → smaller vec_id at
+    * both the candidate and re-rank windows. */
+  def sqTopK(queries: DataFrame, corpus: DataFrame, qId: String,
+             cId: String, embCol: String, cands: Int, k: Int): DataFrame = {
+    val (mins, steps) = sqBounds(corpus, embCol)
+    val dim = mins.length
+    val minA = array(mins.map(lit).toSeq: _*)
+    val stepA = array(steps.map(lit).toSeq: _*)
+    def codeAt(emb: Column, j: Column): Column = {
+      val v = element_at(emb, j).cast("double")
+      when(element_at(stepA, j) === 0.0, lit(0L))
+        .otherwise(least(lit(255L), greatest(lit(0L),
+          floor((v - element_at(minA, j)) / element_at(stepA, j)))))
+    }
+    // code the corpus ONCE (narrow map — this column IS the SQ8
+    // storage format); ADC below reads codes + bounds, never the raw
+    // corpus vector
+    val coded = corpus.withColumn("_codes",
+      transform(sequence(lit(1), lit(dim)), j => codeAt(col(embCol), j)))
+    // d_j computed in an ordered transform, squared+summed in the
+    // sequential fold DuckDB's list_aggregate replays
+    def adcExpr(qe: Column, codes: Column): Column =
+      aggregate(
+        transform(sequence(lit(1), lit(dim)), j =>
+          element_at(qe, j).cast("double") -
+            (element_at(minA, j) +
+              (element_at(codes, j).cast("double") + lit(0.5)) * element_at(stepA, j))),
+        lit(0.0), (acc, d) => acc + d * d)
+    val scored = coded.alias("c")
+      .join(broadcast(queries.alias("q")))
+      .withColumn("adc",
+        round(adcExpr(col(s"q.$embCol"), col("c._codes")), 6))
+      .select(col(s"q.$qId").as("query_id"), col(s"c.$cId").as("vec_id"),
+        col(s"c.$embCol").as("_cemb"), col(s"q.$embCol").as("_qemb"),
+        col("adc"))
+      .where(col("query_id") =!= col("vec_id"))
+    pqCandRerank(scored, cands, k)
+  }
+
+  /** Per-dimension (min, step=(max−min)/256) over the corpus — one
+    * posexplode + grouped min/max pass; 2·dim doubles of driver
+    * state. */
+  private def sqBounds(corpus: DataFrame,
+                       embCol: String): (Array[Double], Array[Double]) = {
+    val rows = corpus
+      .select(posexplode(col(embCol)).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(min(col("v").cast("double")).as("mn"),
+        max(col("v").cast("double")).as("mx"))
+      .orderBy(col("pos"))
+      .collect()
+    (rows.map(_.getDouble(1)),
+      rows.map(r => (r.getDouble(2) - r.getDouble(1)) / 256.0))
   }
 
   private def pqBlockLen(corpus: DataFrame, embCol: String,

@@ -352,6 +352,49 @@ object NorthStarQueries extends QueryModule {
       .select(col("query_id"), col("rk"), col("vec_id"), col("sim"))
       .orderBy(col("query_id"), col("rk"))
 
+  /** SCALAR-QUANTIZATION sibling ([[Similarity.sqTopK]], FAISS
+    * `IndexScalarQuantizer` SQ8 — the vector tier's OTHER lossy
+    * storage format): per-dimension 8-bit codes against learned
+    * [min, max) bounds (no codebook training — 2·dim doubles is the
+    * whole model), midpoint-reconstruction ADC, exact re-rank of the
+    * top-`PqCands`. Oracle-exact: bounds are exact min/max of cast
+    * doubles, codes are clamped floors, and the ADC is the
+    * sequential 1..64 fold both engines replay; candidate and rank
+    * windows tie-break on vec_id. Like `q_embed_pq_topk`, the scan
+    * is the documented LINEAR flat-index contrast — the serving
+    * composite prunes with the IVF probe as `q_embed_ivfpq` does. */
+  private def qEmbedSq(implicit s: SparkSession, dir: String): DataFrame =
+    Similarity.sqTopK(queryVecs, embs, "vec_id", "vec_id", "embedding",
+        cands = PqCands, k = 10)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("sim"))
+      .orderBy(col("query_id"), col("rk"))
+
+  private val qEmbedSqSql =
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+       |b AS MATERIALIZED (
+       |  SELECT pos, min(CAST(v AS DOUBLE)) AS mn,
+       |    (max(CAST(v AS DOUBLE)) - min(CAST(v AS DOUBLE))) / 256.0 AS step
+       |  FROM (SELECT unnest(embedding) AS v,
+       |          generate_subscripts(embedding, 1) AS pos FROM embeddings)
+       |  GROUP BY pos),
+       |bounds AS MATERIALIZED (
+       |  SELECT list(mn ORDER BY pos) AS mns,
+       |    list(step ORDER BY pos) AS steps FROM b),
+       |adc AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id,
+       |    round(list_aggregate(list_transform(
+       |      list_transform(range(1, 65), j ->
+       |        CAST(q.embedding[j] AS DOUBLE) - (bo.mns[j] +
+       |          (CAST(CASE WHEN bo.steps[j] = 0 THEN 0 ELSE
+       |             least(255, greatest(0,
+       |               floor((CAST(c.embedding[j] AS DOUBLE) - bo.mns[j]) / bo.steps[j])))
+       |           END AS DOUBLE) + 0.5) * bo.steps[j])),
+       |      d -> d * d), 'sum'), 6) AS adc
+       |  FROM (SELECT * FROM e WHERE vec_id < 5) q
+       |  CROSS JOIN e c CROSS JOIN bounds bo
+       |  WHERE q.vec_id <> c.vec_id),
+       |$pqRerankTailSql""".stripMargin
+
   private def pqSqDuck(a: String, b: String) =
     s"""list_aggregate(list_transform(list_zip($a, $b),
        |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
@@ -2393,6 +2436,7 @@ object NorthStarQueries extends QueryModule {
     Q("q_embed_ann_lsh", (s, d) => qAnnLsh(s, d), Some(qAnnLshSql)),
     Q("q_embed_ivf", (s, d) => qIvfTopK(s, d), Some(qIvfTopKSql)),
     Q("q_embed_pq_topk", (s, d) => qPqTopK(s, d), Some(qPqTopKSql)),
+    Q("q_embed_sq_topk", (s, d) => qEmbedSq(s, d), Some(qEmbedSqSql)),
     Q("q_embed_ivf_store", (s, d) => qIvfStore(s, d), Some(qIvfTopKSql)),
     Q("q_embed_ivf_day2", (s, d) => qIvfStoreDay2(s, d), Some(qIvfTopKSql)),
     Q("q_stream_ann_ingest", (s, d) => qStreamAnnIngest(s, d), Some(qIvfTopKSql)),

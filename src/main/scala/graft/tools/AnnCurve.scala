@@ -63,10 +63,13 @@ object AnnCurve {
     val cellsJson = cells.map { case (l, c) => s""""$l":$c""" }
       .mkString("{", ",", "}")
     val pqJson = if (args.length > 3 && args(3) == "ivfpq") {
+      val (blocks, codes, cands) =
+        if (args.length > 6) (args(4).toInt, args(5).toInt, args(6).toInt)
+        else (4, 16, 60)
       val pqCurve = Seq(1, 2, 3, 5, nlist).distinct.map { probes =>
         val ivfpq = topSets(Similarity.ivfPqTopK(queries, embs,
           "vec_id", "vec_id", "embedding", "label", probes = probes,
-          blocks = 4, codes = 16, iters = 2, cands = 60, k = k))
+          blocks = blocks, codes = codes, iters = 2, cands = cands, k = k))
         val recall = brute.keysIterator.map { q =>
           (ivfpq.getOrElse(q, Set.empty) & brute(q)).size.toDouble / brute(q).size
         }.sum / brute.size

@@ -134,6 +134,45 @@ class SimilaritySpec extends AnyFunSuite {
     corpus.unpersist()
   }
 
+  test("sqTopK on clustered embeddings: SQ8 recall@10 >= 0.9; re-rank sims exact") {
+    // same clustered fixture recipe as the PQ spec. SQ8 quantizes each
+    // dimension independently to 256 levels — far finer than PQ's
+    // shared code cells — so the ADC candidate stage preserves the
+    // neighborhood structure and the exact re-rank recovers the brute
+    // ranking; recall loss only appears when true neighbors fall
+    // outside the cands window.
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val centers = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val rows = for { c <- centers.indices; m <- 0 until 50 } yield {
+      val v = centers(c).map(x => x + 0.08f * rnd.nextGaussian().toFloat)
+      ((m * 8 + c).toLong, v)
+    }
+    val corpus = rows.toDF("vec_id", "embedding").repartition(8).cache()
+    val queries = corpus.where($"vec_id" >= 8 && $"vec_id" < 16)
+    val k = 10
+    val sq = Similarity.sqTopK(queries, corpus, "vec_id", "vec_id",
+        "embedding", cands = 60, k = k)
+      .select("query_id", "vec_id", "sim")
+      .as[(Long, Long, Double)].collect()
+    val bf = Similarity.bruteForceTopK(queries, corpus,
+        "vec_id", "vec_id", "embedding", k)
+      .select("query_id", "vec_id", "sim")
+      .as[(Long, Long, Double)].collect()
+    val sqSets = sq.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val bfSets = bf.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = bfSets.keysIterator.map { q =>
+      (sqSets.getOrElse(q, Set.empty) & bfSets(q)).size.toDouble / bfSets(q).size
+    }.sum / bfSets.size
+    assert(recall >= 0.9, f"SQ8 recall@$k = $recall%.3f at 60/400 candidates")
+    val bfSims = bf.map(t => (t._1, t._2) -> t._3).toMap
+    sq.foreach { case (q, v, s) =>
+      bfSims.get((q, v)).foreach(b => assert(b == s,
+        s"sim mismatch for ($q,$v): sq $s vs brute $b"))
+    }
+    corpus.unpersist()
+  }
+
   test("lshNearDupPairs: planted near-dups recalled >= 0.9 at pair-scan fraction <= 0.1") {
     // 300 near-uniform base vectors plus 40 PLANTED near-dup copies
     // (base + small noise → cosine ≈ 0.99) — the shape embedding
