@@ -826,9 +826,8 @@ object Similarity {
     val len = pqBlockLen(corpus, embCol, blocks)
     val (coded, cents) = pqCodeCorpus(corpus, cId, embCol, blocks, codes,
       iters, len)
-    val scored = coded.alias("c")
-      .join(broadcast(queries.alias("q")))
-      .withColumn("adc", round(pqAdcExpr(cents, embCol, len), 6))
+    val scored = withPqAdc(coded.alias("c")
+        .join(broadcast(queries.alias("q"))), cents, embCol, len)
       .select(col(s"q.$qId").as("query_id"), col(s"c.$cId").as("vec_id"),
         col(s"c.$embCol").as("_cemb"), col(s"q.$embCol").as("_qemb"),
         col("adc"))
@@ -923,10 +922,16 @@ object Similarity {
   private def pqCodeCorpus(corpus: DataFrame, cId: String, embCol: String,
                            blocks: Int, codes: Int, iters: Int, len: Int)
       : (DataFrame, IndexedSeq[Seq[(Int, Array[Double])]]) = {
-    var coded = graft.core.Caches.track(corpus)
+    val base = graft.core.Caches.track(corpus)
+    var coded = base
     val cents = (0 until blocks).map { m =>
       val off = m * len
-      val sub = coded.select(col(cId),
+      // train on the PRISTINE corpus, not the accumulating joined
+      // frame: the slice values are identical either way, but the
+      // joined lineage would stack every previous block's argmin
+      // expression under each new training (quadratic plan growth —
+      // at 8 blocks x 32 codes it OOMs the driver)
+      val sub = base.select(col(cId),
         expr(s"slice($embCol, ${off + 1}, $len)").as("_sub"))
       val (assigned, cs) = graft.operators.Clustering
         .lloydExactWithCentroids(sub, cId, "_sub", codes, iters)
@@ -941,18 +946,34 @@ object Similarity {
     * when-chain over the broadcast codebook literals) and fold the
     * squared distance against the query's sub-vector; queries are
     * expected under alias `q`. */
-  private def pqAdcExpr(cents: IndexedSeq[Seq[(Int, Array[Double])]],
-                        embCol: String, len: Int): Column =
-    cents.indices.map { m =>
-      val off = m * len
-      val recon = cents(m).tail.foldLeft(
-          when(col(s"_code$m") === cents(m).head._1,
-            array(cents(m).head._2.map(lit).toSeq: _*))) {
-        case (acc, (cid, arr)) =>
-          acc.when(col(s"_code$m") === cid, array(arr.map(lit).toSeq: _*))
-      }
-      sqDistHof(expr(s"slice(q.$embCol, ${off + 1}, $len)"), recon)
+  /** ADC via BROADCAST CODEBOOK JOINS: one tiny (codes-row) broadcast
+    * join per sub-block resolves `_code$m` to its reconstruction
+    * array, then the fixed-order sqdist folds sum across blocks. The
+    * previous CASE-WHEN-chain expression capped codebooks at toy
+    * sizes — an 8-block, 32-code book inlines 256 array literals into
+    * one codegen method and OOMs planning/codegen — while the join
+    * formulation is linear in `blocks` and scales to FAISS's
+    * 256-code books. Arithmetic is identical (same reconstruction
+    * arrays, same sequential fold), so every PQ-family oracle is
+    * unchanged. Expects the `q` alias for the query side, like the
+    * expression it replaced. */
+  private def withPqAdc(scored: DataFrame,
+                        cents: IndexedSeq[Seq[(Int, Array[Double])]],
+                        embCol: String, len: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    var out = scored
+    cents.indices.foreach { m =>
+      val cb = cents(m).map { case (cid, arr) => (cid, arr.toSeq) }
+        .toDF(s"_cbc$m", s"_sub$m")
+      out = out.join(broadcast(cb), col(s"_code$m") === col(s"_cbc$m"))
+    }
+    val adc = cents.indices.map { m =>
+      sqDistHof(expr(s"slice(q.$embCol, ${m * len + 1}, $len)"),
+        col(s"_sub$m"))
     }.reduce(_ + _)
+    out.withColumn("adc", round(adc, 6))
+  }
 
   /** ADC-candidate window + exact cosine re-rank of the survivors. */
   private def pqCandRerank(scored: DataFrame, cands: Int,
@@ -998,12 +1019,11 @@ object Similarity {
     val probed = probedCells(queries, centDim, qId, embCol, cellCol, probes)
     val (coded, cents) = pqCodeCorpus(corpus, cId, embCol, blocks, codes,
       iters, len)
-    val scored = coded.alias("c")
-      .join(broadcast(probed.alias("p")),
-        col(s"c.$cellCol") === col(s"p.$cellCol"))
-      .join(broadcast(queries.alias("q")),
-        col("p.query_id") === col(s"q.$qId"))
-      .withColumn("adc", round(pqAdcExpr(cents, embCol, len), 6))
+    val scored = withPqAdc(coded.alias("c")
+        .join(broadcast(probed.alias("p")),
+          col(s"c.$cellCol") === col(s"p.$cellCol"))
+        .join(broadcast(queries.alias("q")),
+          col("p.query_id") === col(s"q.$qId")), cents, embCol, len)
       .select(col("p.query_id").as("query_id"), col(s"c.$cId").as("vec_id"),
         col(s"c.$embCol").as("_cemb"), col(s"q.$embCol").as("_qemb"),
         col("adc"))
@@ -1215,12 +1235,11 @@ object Similarity {
         .where(col(cellCol).isin(cells: _*))
         .withColumn(cellCol, col(cellCol).cast(cellType))
       val candFrame = {
-        val scored = codesDf.alias("c")
-          .join(broadcast(probed.alias("p")),
-            col(s"c.$cellCol") === col(s"p.$cellCol"))
-          .join(broadcast(queries.alias("q")),
-            col("p.query_id") === col(s"q.$qId"))
-          .withColumn("adc", round(pqAdcExpr(cents, embCol, len), 6))
+        val scored = withPqAdc(codesDf.alias("c")
+            .join(broadcast(probed.alias("p")),
+              col(s"c.$cellCol") === col(s"p.$cellCol"))
+            .join(broadcast(queries.alias("q")),
+              col("p.query_id") === col(s"q.$qId")), cents, embCol, len)
           .select(col("p.query_id").as("query_id"),
             col(s"c.$cId").as("vec_id"), col(s"q.$embCol").as("_qemb"),
             col("adc"))

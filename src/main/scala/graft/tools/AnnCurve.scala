@@ -70,6 +70,9 @@ object AnnCurve {
         val ivfpq = topSets(Similarity.ivfPqTopK(queries, embs,
           "vec_id", "vec_id", "embedding", "label", probes = probes,
           blocks = blocks, codes = codes, iters = 2, cands = cands, k = k))
+        // each sweep point retrains + caches its coded corpus; release
+        // before the next or the sweep accumulates per-point caches
+        graft.core.Caches.releaseAll()
         val recall = brute.keysIterator.map { q =>
           (ivfpq.getOrElse(q, Set.empty) & brute(q)).size.toDouble / brute(q).size
         }.sum / brute.size
