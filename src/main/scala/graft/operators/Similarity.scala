@@ -915,31 +915,97 @@ object Similarity {
     dim / blocks
   }
 
-  /** Per-block PQ codebooks + codes, joined back onto the corpus as
-    * `_code0.._code{blocks-1}`. Codebook state is
-    * blocks×codes×(dim/blocks) doubles on the driver (k·dim bounded,
-    * the Lloyd's idiom). Shared by [[pqTopK]] and [[ivfPqTopK]]. */
+  /** Per-block PQ codebooks + codes as `_code0.._code{blocks-1}`
+    * columns. Codebooks train via the FUSED multi-block Lloyd's
+    * ([[pqTrainCodebooks]]); codes are then pure codegen argmin
+    * expressions over the trained books — the [[IvfPqStore.absorb]]
+    * frozen-codebook coding shape. The previous formulation JOINED
+    * each block's Lloyd's assignment frame back onto the corpus:
+    * `blocks` corpus-sized shuffle joins (2·blocks Exchanges at
+    * scale) whose values are identical to the argmin expression,
+    * because the final Lloyd's assignment IS argmin-vs-final-
+    * centroids (ties → smaller code — SimilaritySpec's frozen-
+    * codebook replay pins exactly this rule). Coding is now a narrow
+    * shuffle-free map. Codebook state stays blocks×codes×len doubles
+    * on the driver. Shared by [[pqTopK]], [[ivfPqTopK]],
+    * [[IvfPqStore]]. */
   private def pqCodeCorpus(corpus: DataFrame, cId: String, embCol: String,
                            blocks: Int, codes: Int, iters: Int, len: Int)
       : (DataFrame, IndexedSeq[Seq[(Int, Array[Double])]]) = {
     val base = graft.core.Caches.track(corpus)
-    var coded = base
-    val cents = (0 until blocks).map { m =>
-      val off = m * len
-      // train on the PRISTINE corpus, not the accumulating joined
-      // frame: the slice values are identical either way, but the
-      // joined lineage would stack every previous block's argmin
-      // expression under each new training (quadratic plan growth —
-      // at 8 blocks x 32 codes it OOMs the driver)
-      val sub = base.select(col(cId),
-        expr(s"slice($embCol, ${off + 1}, $len)").as("_sub"))
-      val (assigned, cs) = graft.operators.Clustering
-        .lloydExactWithCentroids(sub, cId, "_sub", codes, iters)
-      coded = coded.join(
-        assigned.select(col(cId), col("cluster").as(s"_code$m")), cId)
-      cs
+    val cents = pqTrainCodebooks(base, cId, embCol, blocks, codes, iters, len)
+    val coded = (0 until blocks).foldLeft(base) { (df, m) =>
+      df.withColumn(s"_code$m", pqAssignCol(cents(m), embCol, m, len))
     }
-    (graft.core.Caches.track(coded), cents)
+    (coded, cents)
+  }
+
+  /** Frozen-codebook argmin code for sub-block `m` (ties → smaller
+    * code — the Lloyd's assign rule, same expression
+    * [[IvfPqStore.absorb]] codes deltas with). */
+  private def pqAssignCol(book: Seq[(Int, Array[Double])], embCol: String,
+                          m: Int, len: Int): Column = {
+    val off = m * len
+    val cands = book.map { case (cid, arr) =>
+      struct(graft.plans.ArraySqDistToConst(
+          expr(s"slice($embCol, ${off + 1}, $len)"), arr).as("dist"),
+        lit(cid).as("cid"))
+    }
+    array_min(array(cands: _*)).getField("cid")
+  }
+
+  /** FUSED multi-block fixed-init Lloyd's: every sub-block's codebook
+    * trains in the SAME driver loop — per iteration ONE pass computes
+    * all blocks' assignments (narrow codegen argmins) and ONE grouped
+    * aggregate over (block, cluster, pos) collects every codebook's
+    * decimal numerators together, so driver actions drop from
+    * blocks·iters (the per-block [[Clustering.lloydExactWithCentroids]]
+    * chains this replaced) to iters. Digit-identical to the per-block
+    * runs: the (block, cluster, pos) grouping keys partition the sums
+    * exactly as the separate aggregates did and decimal addition is
+    * exact, so each mean is the same number; init is the same
+    * ids-[0,codes) rows, sliced per block. */
+  private def pqTrainCodebooks(base: DataFrame, cId: String, embCol: String,
+                               blocks: Int, codes: Int, iters: Int, len: Int)
+      : IndexedSeq[Seq[(Int, Array[Double])]] = {
+    import org.apache.spark.sql.types.DecimalType
+    val initRows = base.where(col(cId) < codes)
+      .select(col(cId).cast("int"), col(embCol)).collect()
+      .map(r => (r.getInt(0), r.getSeq[Number](1).map(_.doubleValue).toArray))
+      .sortBy(_._1)
+    require(initRows.length == codes,
+      s"fixed init needs every id in [0, $codes); found ids " +
+        initRows.map(_._1).mkString("[", ",", "]"))
+    var cents: IndexedSeq[Seq[(Int, Array[Double])]] =
+      (0 until blocks).map(m => initRows.toSeq.map { case (cid, arr) =>
+        (cid, java.util.Arrays.copyOfRange(arr, m * len, (m + 1) * len)) })
+    for (_ <- 1 until iters) {
+      val aArr = array((0 until blocks).map(m =>
+        pqAssignCol(cents(m), embCol, m, len)): _*)
+      val rows = base
+        .select(aArr.as("_as"), posexplode(col(embCol)).as(Seq("pos", "v")))
+        .select((col("pos") / lit(len)).cast("int").as("block"),
+          col("pos").mod(lit(len)).as("bpos"), col("_as"), col("v"))
+        .withColumn("cluster", element_at(col("_as"), col("block") + 1))
+        .groupBy(col("block"), col("cluster"), col("bpos"))
+        .agg((sum(col("v").cast("double").cast(DecimalType(28, 10)))
+          .cast("double") / count(lit(1))).as("c"))
+        .collect()
+      cents = (0 until blocks).map { m =>
+        val byCluster = rows.filter(_.getInt(0) == m)
+          .groupBy(_.getInt(1)).map { case (cid, g) =>
+            val arr = new Array[Double](len)
+            g.foreach(r => arr(r.getInt(2)) = r.getDouble(3))
+            (cid, arr)
+          }.toSeq.sortBy(_._1)
+        require(byCluster.length == codes,
+          s"cluster(s) emptied mid-iteration in block $m: " +
+            s"${codes - byCluster.length} of $codes lost; fixed-init " +
+            "Lloyd's needs every cluster non-empty")
+        byCluster
+      }
+    }
+    cents
   }
 
   /** ADC: reconstruct each block's centroid from the row's code (a
