@@ -42,8 +42,17 @@ object Selection {
   def percentileBand(df: DataFrame, groupCol: String, confCol: String,
                      lowPct: Double = 0.25, upPct: Double = 0.75,
                      minGroupSize: Long = 1): DataFrame = {
-    val th = groupThresholds(df, groupCol, confCol, lowPct, upPct)
-    df.join(broadcast(th), groupCol)
+    // MATERIALIZE the input once (cache barrier): the frame feeds both
+    // the threshold aggregate and the band filter, and without the
+    // barrier the whole upstream evaluates TWICE per action — for the
+    // curate DAGs that is the full dedup → connected-components chain
+    // plus the many-regex quality score re-run per side. Same
+    // persist-the-scored-frame posture as [[tokenBudgetSelect]]:
+    // narrow projection, spillable at scale, released by the harness
+    // between queries.
+    val rows = graft.core.Caches.track(df)
+    val th = groupThresholds(rows, groupCol, confCol, lowPct, upPct)
+    rows.join(broadcast(th), groupCol)
       .where(col("grp_n") < minGroupSize ||
         col(confCol).between(col("lo_th"), col("up_th")))
       .drop("lo_th", "up_th", "grp_n")

@@ -1822,7 +1822,11 @@ object NorthStarQueries extends QueryModule {
   }
 
   private def qSplitLeakageSafe(implicit s: SparkSession, dir: String): DataFrame = {
-    val assigned = leakageSafeAssignment(s, dir)
+    // cache barrier: the assignment feeds both the per-split aggregate
+    // and the straddle check; uncached, the full family-resolution
+    // chain (exact families → LSH → connected components → joins)
+    // would evaluate twice per action
+    val assigned = graft.core.Caches.track(leakageSafeAssignment(s, dir))
     val perSplit = assigned.groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("family")).as("n_families"))
