@@ -622,11 +622,15 @@ object Similarity {
       df.select(col(idCol), col(embCol))
         .withColumn("_mind", sqdistTo(vecOf(seedId))), Set.empty)
     while (chosen.size < k) {
-      val next = state.orderBy(col("_mind").desc, col(idCol)).select(col(idCol))
-        .head().getLong(0)
+      // the argmax row carries the chosen VECTOR too — one action per
+      // round instead of argmax + a separate id-keyed vecOf scan
+      val nextRow = state.orderBy(col("_mind").desc, col(idCol))
+        .select(col(idCol), col(embCol)).head()
+      val next = nextRow.getLong(0)
+      val nextVec = nextRow.getSeq[Float](1).map(_.toDouble).toArray
       chosen = chosen :+ next
       val (s2, ids2) = checkpointReleasing(
-        state.withColumn("_mind", least(col("_mind"), sqdistTo(vecOf(next)))),
+        state.withColumn("_mind", least(col("_mind"), sqdistTo(nextVec))),
         cpIds)
       state = s2; cpIds = ids2
     }
@@ -733,22 +737,24 @@ object Similarity {
                         queryVec: Array[Double], k: Int,
                         lambda: Double): Seq[(Int, Long, Double)] = {
     val spark = poolDf.sparkSession
-    def vecOf(id: Long): Array[Double] =
-      vecById(poolDf, idCol, embCol, id)
     def cosTo(center: Array[Double]): Column =
       round(cosineHof(col(embCol), array(center.map(lit).toSeq: _*)), 6)
 
     val base = poolDf
       .select(col(idCol), col(embCol),
         cosTo(queryVec).as("_simq"))
+    // each argmax row carries the chosen VECTOR too, so a round is ONE
+    // action (TakeOrdered) instead of argmax + a separate id-keyed
+    // vecOf scan of the pool — same values, half the driver jobs
     val firstRows = base.orderBy(col("_simq").desc, col(idCol))
-      .select(col(idCol), col("_simq")).head(1)
+      .select(col(idCol), col("_simq"), col(embCol)).head(1)
     if (firstRows.isEmpty) return Vector.empty
     val first = firstRows(0)
+    val firstVec = first.getSeq[Float](2).map(_.toDouble).toArray
     var chosen = Vector((1, first.getLong(0), first.getDouble(1)))
     var (state, cpIds) = checkpointReleasingIn(spark)(
       base.where(col(idCol) =!= first.getLong(0))
-        .withColumn("_maxs", cosTo(vecOf(first.getLong(0)))), Set.empty[Int])
+        .withColumn("_maxs", cosTo(firstVec)), Set.empty[Int])
     try {
       // head(1) not head(): when k exceeds the candidate pool the state
       // frame drains empty — return the picks gathered rather than throw.
@@ -756,15 +762,16 @@ object Similarity {
       while (chosen.size < k && !drained) {
         val mmr = lit(lambda) * col("_simq") - lit(1.0 - lambda) * col("_maxs")
         val top = state.orderBy(mmr.desc, col(idCol))
-          .select(col(idCol), col("_simq")).head(1)
+          .select(col(idCol), col("_simq"), col(embCol)).head(1)
         if (top.isEmpty) drained = true
         else {
           val next = top(0)
+          val nextVec = next.getSeq[Float](2).map(_.toDouble).toArray
           chosen = chosen :+ ((chosen.size + 1, next.getLong(0), next.getDouble(1)))
           val (s2, ids2) = checkpointReleasingIn(spark)(
             state.where(col(idCol) =!= next.getLong(0))
               .withColumn("_maxs",
-                greatest(col("_maxs"), cosTo(vecOf(next.getLong(0))))),
+                greatest(col("_maxs"), cosTo(nextVec))),
             cpIds)
           state = s2; cpIds = ids2
         }
