@@ -176,7 +176,13 @@ object Similarity {
               tag: String): Unit = {
       val base = path(tag)
       java.nio.file.Files.createDirectories(base)
+      // cluster by cell before the partitioned write (guide §6: writer
+      // file sizing): without it every input partition emits a file
+      // into every cell directory (splits × cells small files, which
+      // the absorb chain then re-lists and re-reads generation after
+      // generation); clustered, a cell's rows land in one file
       corpus.select(col(cId), col(embCol), col(cellCol))
+        .repartition(col(cellCol))
         .write.mode("overwrite").partitionBy(cellCol)
         .parquet(base.resolve("vectors").toString)
       centroidNumerators(corpus, embCol, cellCol)
@@ -225,6 +231,7 @@ object Similarity {
         .withColumn(cellCol, col(cellCol).cast(cellType))
         .select(col(cId), col(embCol), col(cellCol))
         .unionByName(delta.select(col(cId), col(embCol), col(cellCol)))
+        .repartition(col(cellCol))
         .write.mode("overwrite").partitionBy(cellCol)
         .parquet(base.resolve("vectors").toString)
       centroids(spark, fromTag)
@@ -1162,11 +1169,14 @@ object Similarity {
       val len = pqBlockLen(corpus, embCol, blocks)
       val (coded, cents) = pqCodeCorpus(corpus, cId, embCol, blocks, codes,
         iters, len)
+      // cluster by cell before partitioned writes — see [[IvfStore.write]]
       corpus.select(col(cId), col(embCol), col(cellCol))
+        .repartition(col(cellCol))
         .write.mode("overwrite").partitionBy(cellCol)
         .parquet(base.resolve("vectors").toString)
       val codeCols = (0 until blocks).map(m => col(s"_code$m"))
       coded.select((col(cId) +: codeCols :+ col(cellCol)): _*)
+        .repartition(col(cellCol))
         .write.mode("overwrite").partitionBy(cellCol)
         .parquet(base.resolve("codes").toString)
       centroidNumerators(corpus, embCol, cellCol)
@@ -1242,6 +1252,7 @@ object Similarity {
         .withColumn(cellCol, col(cellCol).cast(cellType))
         .select(col(cId), col(embCol), col(cellCol))
         .unionByName(delta.select(col(cId), col(embCol), col(cellCol)))
+        .repartition(col(cellCol))
         .write.mode("overwrite").partitionBy(cellCol)
         .parquet(base.resolve("vectors").toString)
       spark.read.parquet(from.resolve("codes").toString)
@@ -1249,6 +1260,7 @@ object Similarity {
         .select((col(cId) +: codeCols :+ col(cellCol)): _*)
         .unionByName(
           codedDelta.select((col(cId) +: codeCols :+ col(cellCol)): _*))
+        .repartition(col(cellCol))
         .write.mode("overwrite").partitionBy(cellCol)
         .parquet(base.resolve("codes").toString)
       spark.read.parquet(from.resolve("centroids").toString)

@@ -182,10 +182,12 @@ class StreamingSpec extends AnyFunSuite {
       .select($"label", $"pos", $"cn".cast("string"), $"n")
       .collect().map(_.toSeq).toSet
     assert(full == d1)
-    // RETENTION: each absorb vacuums the generation it superseded and
-    // a new run reclaims the previous run's survivor, so the two runs
-    // above (1 + 3 micro-batches = 6 generations written in total)
-    // leave exactly ONE stream-ingest index generation on disk.
+    // RETENTION: each absorb vacuums the run-scoped generation it
+    // superseded and a new run reclaims the previous run's survivor,
+    // so the two runs above (1 + 3 micro-batches = 4 run-scoped
+    // generations written; the shared day-0 base lives under its own
+    // non-swept tag) leave exactly ONE stream-ingest generation on
+    // disk.
     val root = java.nio.file.Paths.get(graft.operators.Dedup.SignatureStore.root)
     val leftover = java.nio.file.Files.list(root).toArray.map(_.toString)
       .filter(_.contains("ivf_store_stream_ivf_"))
