@@ -1158,7 +1158,18 @@ object Dedup {
       .rowsBetween(Window.unboundedPreceding, -1)
     val wRun = Window.partitionBy(col(idCol)).orderBy(col("s"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val covered = dupStarts
+    // ISLAND ARRAYS instead of covered-position rows: the rebuild used
+    // to explode every token position, anti-join it against the
+    // exploded covered positions, and re-assemble per doc with
+    // sort_array(collect_list(...)) — three token-level shuffles. A
+    // document's islands are FEW (merged maximal intervals), so
+    // collecting them into one array per doc (island-level shuffle)
+    // and filtering the token array in place with an index-aware HOF
+    // is the same result with per-row array work instead: kept tokens
+    // are exactly those whose 1-based position lies in no island,
+    // taken in array (= position) order, which is what the sorted
+    // collect_list produced.
+    val islands = dupStarts
       .withColumn("_new", when(
         col("s") > coalesce(max(col("s") + lit(win - 1)).over(wPrev), lit(-1L)),
         1L).otherwise(0L))
@@ -1166,21 +1177,17 @@ object Dedup {
       .groupBy(col(idCol), col("_isl"))
       .agg(min(col("s")).as("_s0"),
         (max(col("s")) + lit(win.toLong - 1)).as("_e0"))
-      .select(col(idCol), explode(sequence(col("_s0"), col("_e0"))).as("p"))
-    val kept = base
-      .select(col(idCol), posexplode(col("_t")).as(Seq("_p0", "_tok")))
-      .select(col(idCol), (col("_p0") + 1).cast("long").as("p"), col("_tok"))
-      .join(covered, Seq(idCol, "p"), "left_anti")
-    base.select(col(idCol), col("n_tokens"))
-      .join(kept.groupBy(col(idCol))
-          .agg(count(lit(1)).as("n_kept"),
-            array_join(transform(
-              sort_array(collect_list(struct(col("p"), col("_tok")))),
-              x => x("_tok")), " ").as("clean_text")),
-        Seq(idCol), "left")
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("_s0"), col("_e0"))).as("_spans"))
+    base.join(islands, Seq(idCol), "left")
+      .withColumn("_kept",
+        when(col("_spans").isNull, col("_t")).otherwise(
+          filter(col("_t"), (_, i) => !exists(col("_spans"), r =>
+            (i + 1).cast("long")
+              .between(r.getField("_s0"), r.getField("_e0"))))))
       .select(col(idCol), col("n_tokens"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+        size(col("_kept")).cast("long").as("n_kept"),
+        array_join(col("_kept"), " ").as("clean_text"))
   }
 
   /** SimHash fingerprint per document over shingle/token ids: each of
