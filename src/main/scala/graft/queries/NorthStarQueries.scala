@@ -1663,7 +1663,11 @@ object NorthStarQueries extends QueryModule {
     // so it stays inside the query; only the path moved to the
     // collision-free pid-scoped scratch root
     val out = graft.core.Scratch.pathFor("curated_sink", dir)
+    // cluster by the partition column before the partitioned write
+    // (guide §6): one file per lang directory instead of one per
+    // (input split × lang)
     curatedBand.select(col("doc_id"), col("quality"), col("lang"))
+      .repartition(col("lang"))
       .write.mode("overwrite").partitionBy("lang").parquet(out)
     s.read.parquet(out)
       .where(col("lang") === "en")
@@ -2172,6 +2176,7 @@ object NorthStarQueries extends QueryModule {
     val out = graft.core.Scratch.pathFor("curated_from_artifact", dir)
     s.read.parquet(curatedArtifact)
       .select(col("doc_id"), col("quality"), col("lang"))
+      .repartition(col("lang"))
       .write.mode("overwrite").partitionBy("lang").parquet(out)
     s.read.parquet(out)
       .where(col("lang") === "en")
