@@ -65,9 +65,19 @@ object QualityModel {
     try {
       val n = train.count().toDouble
       require(n > 0, "trainLogistic: empty training set")
+      // every round is a driver-sequential aggregation job over this
+      // cached frame; clamp its task count to the data (~50k rows per
+      // task) so a small training set doesn't pay shuffle-partition-
+      // many near-empty tasks per round — at corpus scale n/50k
+      // exceeds the cached partition count and this is a no-op.
+      // coalesce is a narrow read of the cache; decimal gradient sums
+      // are order-independent, so the repartitioning cannot move a bit
+      val parts = math.max(1L, math.min(
+        train.rdd.getNumPartitions.toLong, (n / 50000).toLong + 1L)).toInt
+      val trainC = train.coalesce(parts)
       var w = Array.fill(featCols.size)(0.0)
       for (_ <- 0 until rounds) {
-        val g = gradientRow(train, featCols, labelCol, w)
+        val g = gradientRow(trainC, featCols, labelCol, w)
         w = w.indices.map(j => round9(w(j) - lr * g(j) / n)).toArray
       }
       w

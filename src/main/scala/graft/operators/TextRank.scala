@@ -60,8 +60,16 @@ object TextRank {
     // sum instead of two joins (the per-edge arithmetic r·w/wout is
     // unchanged — same operands, same order — so the oracle replay,
     // which keeps its per-round join, still matches bit-for-bit)
+    // pre-partition the (iteration-invariant) edge relation by dst:
+    // the per-round grouped sum keys on dst, so the aggregate reuses
+    // the cached partitioning and a rank round plans with ZERO
+    // Exchange — ranks and sums are vocab-sized (≪ edges, and far
+    // under the broadcast cap even at a 10^8-word vocabulary) and
+    // broadcast onto the cached sides instead of shuffling edges
+    // every round
     val edges = raw.join(outw, "src")
-      .select(col("src"), col("dst"), col("w"), col("wout")).cache()
+      .select(col("src"), col("dst"), col("w"), col("wout"))
+      .repartition(col("dst")).cache()
     val nodes = edges.select(col("src").as("word")).distinct().cache()
     try {
       val n = nodes.count()
@@ -71,12 +79,12 @@ object TextRank {
         .localCheckpoint()
       for (i <- 1 to iters) {
         val contrib = edges
-          .join(ranks.withColumnRenamed("word", "src"), "src")
+          .join(broadcast(ranks.withColumnRenamed("word", "src")), "src")
           .select(col("dst").as("word"),
             round(col("r") * col("w") / col("wout"), 9).as("c"))
         val sums = contrib.groupBy(col("word"))
           .agg(sum(col("c").cast(DecimalType(28, 9))).as("s"))
-        val next = nodes.join(sums, Seq("word"), "left")
+        val next = nodes.join(broadcast(sums), Seq("word"), "left")
           .select(col("word"),
             round(lit(base) +
               lit(damping) * coalesce(col("s").cast("double"), lit(0.0)),

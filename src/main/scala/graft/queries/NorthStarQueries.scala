@@ -1277,17 +1277,24 @@ object NorthStarQueries extends QueryModule {
     val fam = graft.core.Caches.track(
       docs.groupBy(col("text")).agg(min(col("doc_id")).as("fam_id"))
         .select(md5(col("text")).as("_dig"), col("fam_id"), col("text")))
-    val famWids = docWids(
+    val famWids = graft.core.Caches.track(docWids(
         fam.select(col("fam_id").as("doc_id"),
           TextFns.shinglesDistinct(col("text"), 3).as("shset")))
-      .distinct() // wid collisions inside one family fold to one row
-    val census = famWids.groupBy(col("wid"))
-      .agg(count(lit(1)).as("nf"))
-    val perFam = famWids.join(census, Seq("wid"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("nf") === 1, 1L).otherwise(0L)).as("n_novel"))
-      .select(col("doc_id").as("fam_id"), col("n_shingles"), col("n_novel"))
+      .distinct()) // wid collisions inside one family fold to one row
+    // a novel wid (nf = 1) has exactly one (fam, wid) row, so min(fam)
+    // IS its owner: attributing novelty through the census aggregate
+    // replaces the corpus-sized famWids ⋈ census wid-join + re-shuffle
+    // with one fam-sized aggregate over the census's nf = 1 slice
+    val novel = famWids.groupBy(col("wid"))
+      .agg(count(lit(1)).as("nf"), min(col("doc_id")).as("_owner"))
+      .where(col("nf") === 1)
+      .groupBy(col("_owner").as("doc_id"))
+      .agg(count(lit(1)).as("n_novel"))
+    val perFam = famWids.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id").as("fam_id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
     docs.select(col("doc_id"), md5(col("text")).as("_dig"))
       .join(fam.select(col("_dig"), col("fam_id")), Seq("_dig"))
       .join(perFam, Seq("fam_id"))

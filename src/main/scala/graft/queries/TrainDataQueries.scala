@@ -214,7 +214,9 @@ object TrainDataQueries extends QueryModule {
 
   private def qDecontaminate(implicit s: SparkSession, dir: String): DataFrame = {
     val fams = decontamFamilies
-    val sh = famShingles(fams)
+    // famShingles rides on the corpus-wide family aggregation (the one
+    // doc-shaped shuffle); both join sides read it — materialize once
+    val sh = graft.core.Caches.track(famShingles(fams))
     val trainSh = sh.where(col("n_train") > 0L)
       .select(col("fam_id"), col("sh"))
     val evalSh = sh.where(col("n_eval") > 0L)
@@ -290,7 +292,10 @@ object TrainDataQueries extends QueryModule {
     * (no silent fallback to broadcast at fixture scale). */
   private def qDecontamBloom(implicit s: SparkSession, dir: String): DataFrame = {
     val fams = decontamFamilies
-    val sh = famShingles(fams)
+    // four consumers (bloom sizing count, bloom build, train probe
+    // side, eval join side) would each re-run the corpus-wide family
+    // aggregation + shingle explode — materialize once
+    val sh = graft.core.Caches.track(famShingles(fams))
     val trainSh = sh.where(col("n_train") > 0L)
       .select(col("fam_id"), col("sh"))
     val evalSh = sh.where(col("n_eval") > 0L)
@@ -741,7 +746,11 @@ object TrainDataQueries extends QueryModule {
 
   private def qQualityClassifier(implicit s: SparkSession, dir: String): DataFrame = {
     import graft.operators.QualityModel
-    val feats = qcFeatures
+    // the feature pipeline (bigram explode + two doc-keyed shuffles)
+    // feeds BOTH the training slice and the eval projection; uncached
+    // it evaluated twice per action — materialize once (tracked cache,
+    // released between queries)
+    val feats = graft.core.Caches.track(qcFeatures)
     val w = QualityModel.trainLogistic(
       feats.where(col("doc_id") % 5 =!= 0), QcFeatCols, "y", QcLr, QcRounds)
     val z = QualityModel.scoreZ(QcFeatCols, w)
