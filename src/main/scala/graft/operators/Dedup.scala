@@ -981,9 +981,14 @@ object Dedup {
       // re-ingested families × copy delta (both delta-bounded)
       val reSz = dFams.where(col("_in_store").isNotNull)
         .select(col("dg"), col("sz").as("_dsz"))
+      // reSz / crossing / affectedDgs below are all DELTA-bounded (the
+      // occ-monotonicity argument); without hints the planner SMJ'd
+      // them against the STORE-sized wins/fams frames, re-shuffling
+      // the whole store by dg/wid per probe — broadcast the small
+      // side so the store is only ever scanned, never shuffled
       val dOcc = newWins.join(newFams.select(col("dg"), col("sz")), Seq("dg"))
         .select(col("wid"), col("sz").as("_c"))
-        .unionByName(storeWins.join(reSz, Seq("dg"))
+        .unionByName(storeWins.join(broadcast(reSz), Seq("dg"))
           .select(col("wid"), col("_dsz").as("_c")))
         .groupBy(col("wid")).agg(sum(col("_c")).as("docc"))
       val censusNew = graft.core.Caches.track(
@@ -997,16 +1002,16 @@ object Dedup {
       // affected = families holding a crossing wid (store or new) + new
       val allWins = storeWins.unionByName(newWins)
       val affectedDgs = graft.core.Caches.track(
-        allWins.join(crossing, Seq("wid")).select(col("dg")).distinct()
+        allWins.join(broadcast(crossing), Seq("wid")).select(col("dg")).distinct()
           .unionByName(newFams.select(col("dg"))).distinct())
       val allFams = storeFams.select(col("dg"), col("n_tokens"))
         .unionByName(newFams.select(col("dg"), col("n_tokens")))
       val recomputed = coverage(
-        allFams.join(affectedDgs, Seq("dg")),
-        allWins.join(affectedDgs, Seq("dg")),
+        allFams.join(broadcast(affectedDgs), Seq("dg")),
+        allWins.join(broadcast(affectedDgs), Seq("dg")),
         censusNew.where(col("occ2") > 1L).select(col("wid")), win)
       val untouched = storeFams
-        .join(affectedDgs, Seq("dg"), "left_anti")
+        .join(broadcast(affectedDgs), Seq("dg"), "left_anti")
         .select(col("dg"), col("n_tokens"), col("dup_tokens"))
       val stats = recomputed.unionByName(untouched)
       // merged copy counts: store + delta (a re-ingest ADDS copies in
