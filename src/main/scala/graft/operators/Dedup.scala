@@ -292,14 +292,25 @@ object Dedup {
         .select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst")))
       .distinct() // robustness to duplicate input pairs; one shuffle, once
       .localCheckpoint()
+    // SCALE-ADAPTIVE join strategy for the iteration: the label/message
+    // frames are node-sized (≤ edges), but behind localCheckpoint their
+    // size is unknown to the planner, which falls back to sort-merge —
+    // every round then re-shuffles all three loop frames. Decide from
+    // the MEASURED edge count (the checkpoint makes the count free):
+    // a graph whose labels fit a broadcast (~16 B/row; 4M rows ≈ 64 MB,
+    // far under the 8 GB relation cap) iterates with zero Exchange;
+    // bigger graphs keep the shuffled joins that spill gracefully.
+    val small = edges.count() <= 4000000L
+    def maybeBcast(df: DataFrame): DataFrame =
+      if (small) broadcast(df) else df
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
-      val nbrMin = edges.join(labels.select(col("id").as("dst"),
-          col("comp").as("nbr_comp")), "dst")
+      val nbrMin = edges.join(maybeBcast(labels.select(col("id").as("dst"),
+          col("comp").as("nbr_comp"))), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("nbr_comp")).as("nbr_comp"))
       // path halving: comp(comp(v)) — comp values are node ids, so the
@@ -307,8 +318,8 @@ object Dedup {
       val hop = labels.select(col("id").as("comp"),
         col("comp").as("comp_comp"))
       val next = labels
-        .join(nbrMin, Seq("id"), "left")
-        .join(hop, Seq("comp"), "left")
+        .join(maybeBcast(nbrMin), Seq("id"), "left")
+        .join(maybeBcast(hop), Seq("comp"), "left")
         .select(col("id"), col("comp"),
           least(coalesce(col("comp_comp"), col("comp")),
             coalesce(col("nbr_comp"), col("comp"))).as("comp2"))
