@@ -448,10 +448,15 @@ object DataSQueries extends QueryModule {
     * inputs are integer-derived doubles, so the double arithmetic is
     * exact-identical across engines. */
   private def qTaskVectorApply(implicit s: SparkSession, dir: String): DataFrame = {
-    val tv = TaskVectors.diff(modelVec("F"), modelVec("O"))
+    // tv feeds both merge branches and O both the diff and the apply;
+    // uncached, the lineitem scan + grouped sum behind each ran 5× per
+    // action (2× per tv use, 1× more for apply's base) — cache the two
+    // param-sized vectors so lineitem is scanned once per status
+    val o = graft.core.Caches.track(modelVec("O"))
+    val tv = graft.core.Caches.track(TaskVectors.diff(modelVec("F"), o))
     val merged = TaskVectors.weightedMerge(
       Seq((tv, 0.6), (TaskVectors.negate(tv), 0.4)))
-    TaskVectors.applyTo(modelVec("O"), merged, scale = 2.0)
+    TaskVectors.applyTo(o, merged, scale = 2.0)
       .select(col("param_key"), col("idx"), round(col("value"), 6).as("value"))
       .orderBy(col("param_key"), col("idx"))
   }
