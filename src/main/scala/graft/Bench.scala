@@ -197,9 +197,36 @@ object Bench {
     def jsonEsc(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"")
     val noteJson = note.map(n => s""""capture":"${jsonEsc(n)}",""").getOrElse("")
+    // a capture taken on a busy host is stamped, not just warned about,
+    // so the evidence itself says it is steal-suspect (r14 verdict #10)
+    val stealJson = if (entryLoad > 4.0) """"steal_suspect":true,""" else ""
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","load":$entryLoad%.2f,"captured":${results.size},$noteJson"warmed":$warmedJson,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","load":$entryLoad%.2f,"captured":${results.size},$stealJson$noteJson"warmed":$warmedJson,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
+    // COMPACT final line for the driver's tail capture: every recorded
+    // BENCH_r*.json keeps only the LAST ~2000 chars of stdout and every
+    // round's parse came back null because the full per-query line
+    // (~7 KB for 225 queries) never fits — its head is cut mid-JSON.
+    // Print a second, complete JSON line that DOES fit in that window:
+    // same contract fields, `queries` restricted to the SLOWEST entries
+    // that fit a conservative 1500-char budget, with an explicit
+    // `queries_elided` count so the subset can never be mistaken for
+    // the full map (which is one line above, in full, and in the
+    // artifact file). Additive only: the full contract line is
+    // unchanged, still prints first, and still carries every query.
+    val compactBudget = 1500
+    val slowest = merged.sortBy { case (k, v) => (-v, k) }
+    val topEntries = new scala.collection.mutable.ArrayBuffer[String]()
+    def compactLine(elided: Int): String =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","load":$entryLoad%.2f,"captured":${results.size},$stealJson"queries_elided":$elided,"queries":${topEntries.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+    var compactLen = compactLine(merged.size).length
+    slowest.foreach { case (k, v) =>
+      val e = "\"" + k + f"\":$v%.3f"
+      if (compactLen + e.length + 1 <= compactBudget) {
+        topEntries += e; compactLen += e.length + 1
+      }
+    }
+    println(compactLine(merged.size - topEntries.size))
     // the full JSON also lands in a file: the driver's stdout capture
     // has truncated long lines (BENCH_r03 lost the TPC-H head)
     try {
