@@ -190,6 +190,42 @@ object Dedup {
         graft.plans.StringArrayJaccard(col("_sa"), col("_sb")))
       .drop("_sa", "_sb")
 
+  /** [[jaccardForPairs]] with a SCALE-ADAPTIVE join strategy for the
+    * full-run LSH path: candidate pairs out of banded LSH are tiny
+    * relative to the corpus (bands only collide near-dups), but behind
+    * the native band-pairs node the planner has no size estimate and
+    * sort-merge-joins them against the corpus-sized shingle-set frame
+    * — re-shuffling the heavy array payload TWICE just to attach two
+    * arrays to each pair (guide §8: decide with small rows, move the
+    * heavy side as little as possible). Measure the candidate count
+    * once (the localCheckpoint makes the count a scan) and BROADCAST
+    * the pair side when it fits: the sets frame is then only ever
+    * scanned, never shuffled. The second join's build side carries one
+    * shingle array per pair, so the gate is sized for that payload
+    * (2^18 pairs × ~2 KB of array ≈ a few hundred MB hashed), an
+    * order under the id-only 4M gates elsewhere. Oversized candidate
+    * sets keep the shuffled shape, which spills gracefully. Pairs must
+    * be exactly (id_a, id_b); output is (id_a, id_b, jaccard) — the
+    * same rows [[jaccardForPairs]] yields (join strategy cannot change
+    * the multiset; DedupSpec asserts equality on a planted corpus). */
+  def jaccardForPairsAdaptive(pairs: DataFrame, shingleSets: DataFrame,
+                              idCol: String, setCol: String): DataFrame = {
+    val p = pairs.localCheckpoint()
+    if (p.count() > 262144L)
+      jaccardForPairs(p, shingleSets, idCol, setCol)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    else {
+      val withA = shingleSets
+        .join(broadcast(p), col(idCol) === col("id_a"))
+        .select(col("id_a"), col("id_b"), col(setCol).as("_sa"))
+      shingleSets
+        .join(broadcast(withA), col(idCol) === col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          graft.plans.StringArrayJaccard(col("_sa"), col(setCol))
+            .as("jaccard"))
+    }
+  }
+
   /** End-to-end scalable MinHash+LSH near-dup pairs (md5-h15 shingle
     * ids — no vocabulary): shingle → sign → band → candidate → verify
     * ≥ threshold. Oracle-reproducible end to end (DuckDB replays
@@ -212,7 +248,7 @@ object Dedup {
     // two) — pair-set-identical to [[lshCandidatePairs]], spec- and
     // oracle-asserted
     val cands = lshCandidatePairsNative(sigs, idCol, bands, k / bands, maxBucketSize)
-    jaccardForPairs(cands, sets, idCol, "shset")
+    jaccardForPairsAdaptive(cands, sets, idCol, "shset")
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -248,24 +284,49 @@ object Dedup {
     * that contracts geometrically, the pointer-jumping trick of
     * hash-min connected components); converged when a round changes
     * nothing. Pure joins + grouped min — no graph library, nothing
-    * driver-side but the per-round change count.
+    * driver-side (the per-round change count rides the round's own
+    * materialization as an observed metric).
     *
     * Scale posture: with path halving rounds are bounded by
     * O(log diameter) — near-dup graphs are overwhelmingly tiny
     * cliques/stars, so 2–3 rounds dominate (ScaleSmoke: round count
     * flat at 20× corpus growth; even a planted 80-edge PATH — the
-    * adversarial worst shape — converges in ~10). Each round is one
-    * shuffle join on the edge list plus a grouped min plus a
-    * label-table self-join; all frames are localCheckpoint-ed so
-    * lineage (and the plan) stays constant-size across rounds. The
-    * edge list is ≪ corpus (only near-dup members appear), so even at
-    * 100 TB the propagation runs over a sliver of the data.
+    * adversarial worst shape — converges in ~10). Each round is ONE
+    * grouped min over a union of self/neighbor/path-halving label
+    * messages (two label joins feed it); all frames are
+    * localCheckpoint-ed so lineage (and the plan) stays constant-size
+    * across rounds. The edge list is ≪ corpus (only near-dup members
+    * appear), so even at 100 TB the propagation runs over a sliver of
+    * the data.
     *
     * Returns (id, comp): one row per node that appears in `pairs`,
     * comp = smallest id reachable (the group keeper). */
   def connectedComponents(pairs: DataFrame, idA: String, idB: String,
                           maxIter: Int = 50): DataFrame =
     connectedComponentsWithIters(pairs, idA, idB, maxIter)._1
+
+  /** Read an observed long metric that was attached to an action that
+    * has ALREADY completed (the CC loop's eager localCheckpoint). The
+    * listener that publishes observed metrics fires asynchronously
+    * after the action, so poll briefly; if it never fires (a Spark
+    * listener regression), recount from the materialized frame — the
+    * pre-r15 cost, correct either way. A null metric (aggregate over
+    * zero rows) reads as 0. */
+  private def observedOrRecount(obs: org.apache.spark.sql.Observation,
+                                key: String, recount: => DataFrame): Long = {
+    // Observation.get blocks until the listener publishes; the
+    // non-blocking getters are private[sql], so bound the wait with a
+    // daemon-thread join instead
+    val ref = new java.util.concurrent.atomic.AtomicReference[Map[String, Any]](null)
+    val t = new Thread(() =>
+      try ref.set(obs.get) catch { case _: Throwable => () })
+    t.setDaemon(true); t.start(); t.join(10000L)
+    Option(ref.get).flatMap(_.get(key)) match {
+      case Some(null) => 0L
+      case Some(v)    => v.asInstanceOf[Number].longValue
+      case None       => recount.count()
+    }
+  }
 
   /** [[connectedComponents]] plus the round count it took to converge
     * (the ScaleSmoke evidence surface). */
@@ -297,36 +358,73 @@ object Dedup {
     // size is unknown to the planner, which falls back to sort-merge —
     // every round then re-shuffles all three loop frames. Decide from
     // the MEASURED edge count (the checkpoint makes the count free):
-    // a graph whose labels fit a broadcast (~16 B/row; 4M rows ≈ 64 MB,
-    // far under the 8 GB relation cap) iterates with zero Exchange;
-    // bigger graphs keep the shuffled joins that spill gracefully.
+    // a graph whose labels fit a broadcast iterates with no per-round
+    // label shuffle; bigger graphs keep the shuffled joins that spill
+    // gracefully. Sizing at the 4M threshold: 4M (long, long) rows is
+    // ~64 MB of raw column bytes, but a built HashedRelation is 3–6×
+    // that (~200–400 MB), and a round holds the fresh broadcast until
+    // ContextCleaner reclaims superseded ones — real headroom needed
+    // is several hundred MB, still well under the 8 GB relation cap.
     val small = edges.count() <= 4000000L
     def maybeBcast(df: DataFrame): DataFrame =
       if (small) broadcast(df) else df
+    // big graphs: re-checkpoint the (iteration-invariant) edge list
+    // pre-partitioned by the probe key, so shuffled-mode rounds join
+    // labels onto edges WITHOUT re-shuffling the edge list each round
+    // (the TextRank edge treatment; localCheckpoint preserves the
+    // physical partitioning in the LogicalRDD it plans over). Small
+    // graphs broadcast labels instead — edges partitioning is
+    // irrelevant there, so skip the extra setup shuffle.
+    val edgesJ =
+      if (small) edges
+      else edges.repartition(col("dst")).localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
-      val nbrMin = edges.join(maybeBcast(labels.select(col("id").as("dst"),
-          col("comp").as("nbr_comp"))), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min(col("nbr_comp")).as("nbr_comp"))
-      // path halving: comp(comp(v)) — comp values are node ids, so the
-      // label table doubles as the lookup side
-      val hop = labels.select(col("id").as("comp"),
-        col("comp").as("comp_comp"))
-      val next = labels
-        .join(maybeBcast(nbrMin), Seq("id"), "left")
-        .join(maybeBcast(hop), Seq("comp"), "left")
-        .select(col("id"), col("comp"),
-          least(coalesce(col("comp_comp"), col("comp")),
-            coalesce(col("nbr_comp"), col("comp"))).as("comp2"))
-        .localCheckpoint() // materialized: the change count below is a
-                           // cheap scan, not a recompute
-      changed = next.where(col("comp2") =!= col("comp")).count()
-      labels = next.select(col("id"), col("comp2").as("comp"))
+      // MESSAGE-UNION round (r14 verdict #3): one grouped min over
+      //   self (id, comp)                        — carries the old label
+      //   nbr  (src, comp(dst))   via edges ⋈ labels on dst
+      //   hop  (id, comp(comp))   via labels ⋈ labels on comp  [path halving]
+      // replaces the nbr-min aggregate PLUS two label-table joins of
+      // the old shape: min{comp, comp(comp), nbr comps} ≡
+      // least(coalesce(comp_comp, comp), coalesce(nbr_comp, comp))
+      // because comp(comp(v)) ≤ comp(v) (labels only ever decrease
+      // from id under min) and every node has ≥1 edge and a labeled
+      // comp, so no message source is ever empty for a node. Both
+      // propagation joins build against the SAME (id, comp)
+      // projection, so in broadcast mode ReuseExchange builds ONE
+      // relation per round (scratch-probed: 3 broadcast builds → 1).
+      val lk = maybeBcast(labels.select(col("id").as("_lid"),
+        col("comp").as("_lcomp")))
+      val selfMsg = labels.select(col("id"), col("comp").as("m"),
+        col("comp").as("_old"))
+      val nbrMsg = edgesJ.join(lk, col("dst") === col("_lid"))
+        .select(col("src").as("id"), col("_lcomp").as("m"),
+          lit(null).cast("long").as("_old"))
+      val hopMsg = labels.join(lk, col("comp") === col("_lid"))
+        .select(col("id"), col("_lcomp").as("m"),
+          lit(null).cast("long").as("_old"))
+      // the change count rides the checkpoint materialization as an
+      // observed metric — no second per-round action (max(_old) is the
+      // round's incoming label: exactly one self message per id). The
+      // read is non-blocking with a scan-count fallback over the
+      // checkpointed frame (which keeps _oldc for exactly this), so a
+      // listener regression degrades to the old one-count-job cost
+      // instead of hanging the loop.
+      val obs = org.apache.spark.sql.Observation()
+      val next = selfMsg.unionByName(nbrMsg).unionByName(hopMsg)
+        .groupBy(col("id"))
+        .agg(min(col("m")).as("comp"), max(col("_old")).as("_oldc"))
+        .observe(obs, sum(when(col("comp") =!= col("_oldc"), 1L)
+          .otherwise(0L)).as("changed"))
+      if (iter == 0) graft.core.LoopPlans.dump("cc_round", next)
+      val nextCk = next.localCheckpoint()
+      changed = observedOrRecount(obs, "changed",
+        nextCk.where(col("comp") =!= col("_oldc")))
+      labels = nextCk.select(col("id"), col("comp"))
       iter += 1
     }
     require(changed == 0,
@@ -993,13 +1091,23 @@ object Dedup {
       val reSz = dFams.where(col("_in_store").isNotNull)
         .select(col("dg"), col("sz").as("_dsz"))
       // reSz / crossing / affectedDgs below are all DELTA-bounded (the
-      // occ-monotonicity argument); without hints the planner SMJ'd
-      // them against the STORE-sized wins/fams frames, re-shuffling
-      // the whole store by dg/wid per probe — broadcast the small
-      // side so the store is only ever scanned, never shuffled
+      // occ-monotonicity argument: a crossing wid has ≤1 store
+      // occurrence, so affected families ≤ crossing wids + new fams);
+      // without hints the planner SMJ'd them against the STORE-sized
+      // wins/fams frames, re-shuffling the whole store by dg/wid per
+      // probe — broadcast the small side so the store is only ever
+      // scanned, never shuffled. GATED on the MEASURED delta (r15):
+      // the invariant bounds the sides by the delta, not by a
+      // constant — a bulk re-ingest delta would turn the hint into a
+      // broadcast-build OOM where the unhinted plan merely degraded
+      // to sort-merge. Both frames are cached, so the counts are the
+      // cache materialization the probe pays anyway.
+      val deltaSmall = dFams.count() + dWins.count() <= 4000000L
+      def maybeBcast(df: DataFrame): DataFrame =
+        if (deltaSmall) broadcast(df) else df
       val dOcc = newWins.join(newFams.select(col("dg"), col("sz")), Seq("dg"))
         .select(col("wid"), col("sz").as("_c"))
-        .unionByName(storeWins.join(broadcast(reSz), Seq("dg"))
+        .unionByName(storeWins.join(maybeBcast(reSz), Seq("dg"))
           .select(col("wid"), col("_dsz").as("_c")))
         .groupBy(col("wid")).agg(sum(col("_c")).as("docc"))
       val censusNew = graft.core.Caches.track(
@@ -1013,16 +1121,16 @@ object Dedup {
       // affected = families holding a crossing wid (store or new) + new
       val allWins = storeWins.unionByName(newWins)
       val affectedDgs = graft.core.Caches.track(
-        allWins.join(broadcast(crossing), Seq("wid")).select(col("dg")).distinct()
+        allWins.join(maybeBcast(crossing), Seq("wid")).select(col("dg")).distinct()
           .unionByName(newFams.select(col("dg"))).distinct())
       val allFams = storeFams.select(col("dg"), col("n_tokens"))
         .unionByName(newFams.select(col("dg"), col("n_tokens")))
       val recomputed = coverage(
-        allFams.join(broadcast(affectedDgs), Seq("dg")),
-        allWins.join(broadcast(affectedDgs), Seq("dg")),
+        allFams.join(maybeBcast(affectedDgs), Seq("dg")),
+        allWins.join(maybeBcast(affectedDgs), Seq("dg")),
         censusNew.where(col("occ2") > 1L).select(col("wid")), win)
       val untouched = storeFams
-        .join(broadcast(affectedDgs), Seq("dg"), "left_anti")
+        .join(maybeBcast(affectedDgs), Seq("dg"), "left_anti")
         .select(col("dg"), col("n_tokens"), col("dup_tokens"))
       val stats = recomputed.unionByName(untouched)
       // merged copy counts: store + delta (a re-ingest ADDS copies in

@@ -507,4 +507,47 @@ class DedupSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"store-side hash exchange in:\n$plan")
   }
+
+  test("jaccardForPairsAdaptive equals jaccardForPairs and never shuffles the sets frame") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely different content about large scale data systems"),
+      (4L, "the quick brown fox jumps over the lazy dog this morning")
+    ).toDF("doc_id", "text")
+    val sets = Dedup.shingleSets(docs, "doc_id", "text")
+    val cands = Seq((1L, 2L), (1L, 4L), (2L, 4L), (1L, 3L)).toDF("id_a", "id_b")
+    val adaptive = Dedup.jaccardForPairsAdaptive(cands, sets, "doc_id", "shset")
+    val got = adaptive.orderBy("id_a", "id_b").collect().toSeq
+    val want = Dedup.jaccardForPairs(cands, sets, "doc_id", "shset")
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(got == want)
+    // the measured-small branch broadcasts the PAIR side twice and the
+    // corpus-sized sets frame is only scanned, never hash-shuffled
+    val plan = adaptive.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"adaptive verification did not broadcast the pair side:\n${plan.take(1500)}")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"the sets frame was hash-shuffled for verification:\n${plan.take(1500)}")
+  }
+
+  test("connectedComponents: message-union rounds resolve a planted path + star exactly") {
+    // a 6-node path (worst shape for round count — exercises several
+    // observed-change rounds) plus a star and an isolated pair
+    val pathEdges = (10L until 15L).map(i => (i, i + 1))
+    val starEdges = Seq((20L, 21L), (20L, 22L), (20L, 23L))
+    val pairEdge  = Seq((30L, 31L))
+    val pairs = (pathEdges ++ starEdges ++ pairEdge).toDF("id_a", "id_b")
+    val (labels, iters) =
+      Dedup.connectedComponentsWithIters(pairs, "id_a", "id_b")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (10L to 15L).foreach(i => assert(got(i) == 10L, s"path node $i → ${got(i)}"))
+    (20L to 23L).foreach(i => assert(got(i) == 20L, s"star node $i → ${got(i)}"))
+    Seq(30L, 31L).foreach(i => assert(got(i) == 30L, s"pair node $i → ${got(i)}"))
+    assert(got.size == 12)
+    // path halving: the 6-path converges in O(log n) rounds, and the
+    // final round is the observed-zero-change fixpoint confirmation
+    assert(iters >= 2 && iters <= 6, s"iters=$iters")
+  }
 }
