@@ -62,11 +62,16 @@ object TextRank {
     // which keeps its per-round join, still matches bit-for-bit)
     // pre-partition the (iteration-invariant) edge relation by dst:
     // the per-round grouped sum keys on dst, so the aggregate reuses
-    // the cached partitioning and a rank round plans with ZERO
-    // Exchange — ranks and sums are vocab-sized (≪ edges, and far
-    // under the broadcast cap even at a 10^8-word vocabulary) and
-    // broadcast onto the cached sides instead of shuffling edges
-    // every round
+    // the cached partitioning; ranks and sums are vocab-sized
+    // (≪ edges) and broadcast onto the cached sides instead of
+    // shuffling edges every round — GATED on the MEASURED vocab count
+    // (the same scale-adaptive maybeBcast as the connected-components
+    // loop): a (word, double) HashedRelation costs ~40–60 B/row plus
+    // the usual 3–6× build overhead, so 8M words is a few hundred MB
+    // and a 10^8-word vocabulary would be a multi-GB build per round
+    // × iters, brushing the 8 GB / 512M-row relation caps — above the
+    // gate the rounds keep shuffled joins over the dst-partitioned
+    // cached edges instead of failing hard
     val edges = raw.join(outw, "src")
       .select(col("src"), col("dst"), col("w"), col("wout"))
       .repartition(col("dst")).cache()
@@ -74,21 +79,25 @@ object TextRank {
     try {
       val n = nodes.count()
       require(n > 0, "textRank: empty co-occurrence graph")
+      val bcastOk = n <= 8000000L
+      def maybeBcast(df: DataFrame): DataFrame =
+        if (bcastOk) broadcast(df) else df
       val base = (1.0 - damping) / n
       var ranks = nodes.withColumn("r", lit(round9(1.0 / n)))
         .localCheckpoint()
       for (i <- 1 to iters) {
         val contrib = edges
-          .join(broadcast(ranks.withColumnRenamed("word", "src")), "src")
+          .join(maybeBcast(ranks.withColumnRenamed("word", "src")), "src")
           .select(col("dst").as("word"),
             round(col("r") * col("w") / col("wout"), 9).as("c"))
         val sums = contrib.groupBy(col("word"))
           .agg(sum(col("c").cast(DecimalType(28, 9))).as("s"))
-        val next = nodes.join(broadcast(sums), Seq("word"), "left")
+        val next = nodes.join(maybeBcast(sums), Seq("word"), "left")
           .select(col("word"),
             round(lit(base) +
               lit(damping) * coalesce(col("s").cast("double"), lit(0.0)),
               9).as("r"))
+        if (i == 1) graft.core.LoopPlans.dump("textrank_round", next)
         // truncate lineage every third round (plus the last): enough
         // to stop recompute blowup, a third of the materializations
         ranks = if (i % 3 == 0 || i == iters) next.localCheckpoint() else next
