@@ -37,14 +37,20 @@ object QualityModel {
     * as exact decimals. */
   private def gradientRow(train: DataFrame, featCols: Seq[String],
                           labelCol: String, w: Array[Double]): Array[Double] = {
-    val z = featCols.zipWithIndex.map { case (f, j) =>
-      lit(w(j)) * col(f)
-    }.reduceLeft(_ + _) // left fold = the fixed association both engines use
+    // same left-fold association both engines use, with the per-round
+    // weights as a codegen reference object instead of inlined
+    // literals: every GD round used to emit DIFFERENT generated source
+    // (new literals) and pay a whole-stage-codegen compile; now the
+    // source is round-invariant and the code cache serves rounds 2..k
+    // (see WeightedDotConst — bit-identical fold, spec-asserted)
+    val z = graft.plans.WeightedDotConst(featCols.map(col), w)
     val p = lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
     val e = p - col(labelCol).cast("double")
     val sums = featCols.map(f =>
       sum(round(e * col(f), 9).cast(DecimalType(28, 9))).as(s"g_$f"))
-    val row = train.agg(sums.head, sums.tail: _*).head()
+    val aggDf = train.agg(sums.head, sums.tail: _*)
+    graft.core.LoopPlans.dump("gd_round", aggDf)
+    val row = aggDf.head()
     featCols.indices.map { j =>
       val d = row.getDecimal(j)
       if (d == null) 0.0 else d.doubleValue()

@@ -250,6 +250,101 @@ object PosWeightedSum {
     GraftShims.column(PosWeightedSum(GraftShims.expression(c)))
 }
 
+/** z = Σ w_j·x_j over double columns with the CONSTANT weight vector
+  * held as a codegen REFERENCE OBJECT — bit-identical to
+  * `lit(w_0)*x_0 + lit(w_1)*x_1 + ...` (the accumulator starts at
+  * w_0·x_0, not 0.0, so even signed zeros match the binary-operator
+  * left fold). Why not literals: the gradient-descent loop re-plans
+  * its aggregate every round with new weights, and inlined literals
+  * change the generated source each time — one whole-stage-codegen
+  * compile (~20 ms) per round per query. With the weights in
+  * `references` the generated source is IDENTICAL across rounds and
+  * the code cache serves every round after the first (the
+  * [[ArraySqDistToConst]] pattern, N-ary). Deliberately non-foldable:
+  * the weights are not literal children, so constant folding cannot
+  * inline them back. */
+case class WeightedDotConst(children: Seq[Expression], weights: Array[Double])
+    extends Expression {
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def dataType: DataType = DoubleType
+  override def foldable: Boolean = false
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.isEmpty || children.length != weights.length)
+      TypeCheckResult.TypeCheckFailure(
+        "weighted_dot_const needs one (non-empty) child per weight, got " +
+          s"${children.length} children for ${weights.length} weights")
+    else if (children.forall(_.dataType == DoubleType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"weighted_dot_const needs double inputs, got " +
+        children.map(_.dataType.sql).mkString(", "))
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    var acc = 0.0
+    var j = 0
+    while (j < weights.length) {
+      val v = children(j).eval(input)
+      if (v == null) return null
+      val term = weights(j) * v.asInstanceOf[Double]
+      acc = if (j == 0) term else acc + term
+      j += 1
+    }
+    acc
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val wRef = ctx.addReferenceObj("weights", weights, "double[]")
+    val evals = children.map(_.genCode(ctx))
+    val childBlocks = evals.map(_.code).reduce(_ + _)
+    // fixed child indexes, no weight values in the source: the code is
+    // round-invariant even though each round's expression instance
+    // carries a different array
+    val terms = weights.indices.map(j =>
+      s"${ev.value} ${if (j == 0) "=" else "+="} $wRef[$j] * ${evals(j).value};")
+      .mkString("\n        ")
+    val anyNull = evals.map(e => s"${e.isNull}").mkString(" || ")
+    ev.copy(code =
+      code"""
+        $childBlocks
+        boolean ${ev.isNull} = $anyNull;
+        double ${ev.value} = 0.0;
+        if (!${ev.isNull}) {
+          $terms
+        }
+      """)
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+  // The weights are EXCLUDED from the hash (not from equality). The
+  // subexpression-elimination pass buckets candidate expressions in
+  // hash maps, and the default case-class hash of an Array is its
+  // IDENTITY hash — a fresh array per GD round re-ordered the map's
+  // iteration, renumbered every `subExprValue` variable in the
+  // generated source, and defeated the codegen cache (measured: 2
+  // recompiles per round, i.e. exactly what this expression exists to
+  // stop; sources diffed identical up to variable numbering). A
+  // weight-independent hash keeps the numbering stable; equality
+  // stays value-based so distinct weight vectors can never be CSE'd
+  // into each other.
+  override def hashCode(): Int = java.util.Objects.hash(getClass, children)
+  override def equals(other: Any): Boolean = other match {
+    case w: WeightedDotConst =>
+      children == w.children && java.util.Arrays.equals(weights, w.weights)
+    case _ => false
+  }
+  override def stringArgs: Iterator[Any] =
+    Iterator(children, weights.mkString("[", ",", "]"))
+}
+
+object WeightedDotConst {
+  /** Each column is cast to double first — the same implicit widening
+    * the `lit(w)*col` formulation gets from binary-arithmetic type
+    * coercion. */
+  def apply(cols: Seq[Column], weights: Array[Double]): Column =
+    GraftShims.column(WeightedDotConst(
+      cols.map(c => GraftShims.expression(c.cast("double"))), weights))
+}
+
 /** Native subword-count (see [[ArrayExprUtil.subwordCount]]). */
 case class SubwordCount(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType

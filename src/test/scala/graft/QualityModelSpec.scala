@@ -44,4 +44,49 @@ class QualityModelSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("empty training set"))
   }
+
+  test("WeightedDotConst is bit-identical to the lit-literal left fold") {
+    // awkward values on purpose: sign flips, zeros, subnormal-ish
+    // magnitudes — the reference-object fold must reproduce the
+    // binary-operator fold to the RAW BIT (the GD loop's exactness
+    // contract), including the w_0·x_0 start (no 0.0 + term)
+    val rows = Seq(
+      (0.0, -0.0, 1.0, 3.25),
+      (-0.0, 0.0, -1e-300, 2.5e300),
+      (1.0 / 3.0, -2.0 / 7.0, 1e16, -1.0),
+      (0.1, 0.2, 0.3, 0.4)
+    ).toDF("a", "b", "c", "d")
+    val w = Array(-0.0, 0.125, -3.7e-9, 2.0 / 3.0)
+    val cs = Seq("a", "b", "c", "d")
+    val litFold = cs.zipWithIndex.map { case (f, j) => lit(w(j)) * col(f) }
+      .reduceLeft(_ + _)
+    val got = rows.select(
+      graft.plans.WeightedDotConst(cs.map(col), w).as("zn"),
+      litFold.as("zl")).collect()
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+        s"native ${r.getDouble(0)} vs literal ${r.getDouble(1)}")
+    }
+    // null propagation matches the literal formulation (null * w → null)
+    val withNull = Seq((Some(1.0), 2.0), (None, 3.0)).toDF("a", "b")
+    val nGot = withNull.select(
+      graft.plans.WeightedDotConst(Seq(col("a"), col("b")), Array(1.5, 2.5)).as("zn"),
+      (lit(1.5) * col("a") + lit(2.5) * col("b")).as("zl")).collect()
+    nGot.foreach(r => assert(r.isNullAt(0) == r.isNullAt(1)))
+  }
+
+  test("trainLogistic weights are unchanged by the reference-object z") {
+    // frozen expectation from the literal-fold implementation (r14
+    // HEAD, same fixture/lr/rounds): the codegen-cache optimization
+    // must not move a bit
+    val w = QualityModel.trainLogistic(fixture, cols, "y", lr = 8.0, rounds = 3)
+    val zExpected = fixture.select(
+      (lit(w(0)) * col("x0") + lit(w(1)) * col("x1")).as("zl"),
+      QualityModel.scoreZ(cols, w).as("zn")).collect()
+    zExpected.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    // and the round-9 canonical weights stay canonical
+    w.foreach(x => assert(x ==
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble))
+  }
 }
