@@ -71,6 +71,15 @@ object NorthStarQueries extends QueryModule {
     sets.select(col("doc_id"), explode(col("shset")).as("sh"))
       .select(col("doc_id"), Dedup.md5Wid(col("sh")).as("wid"))
 
+  /** Salt cells per language for the lang-partitioned sink writes:
+    * bounds the largest (Zipfian-majority) language to ~1/64 of its
+    * bytes per write task instead of one task per lang. Env-tunable
+    * so a cluster run can raise it; the local default keeps the
+    * driver's bench comparable (AQE coalesces the near-empty cells
+    * at fixture scale either way). */
+  private val SinkSaltBuckets: Int =
+    sys.env.getOrElse("SPARK_GRAFT_SINK_SALT", "64").toInt
+
   // ------------------------------------------------- MinHash + LSH dedup
   private val MhK = 12
   private val MhBands = 4
@@ -1671,10 +1680,17 @@ object NorthStarQueries extends QueryModule {
     // collision-free pid-scoped scratch root
     val out = graft.core.Scratch.pathFor("curated_sink", dir)
     // cluster by the partition column before the partitioned write
-    // (guide §6): one file per lang directory instead of one per
-    // (input split × lang)
+    // (guide §6), SALTED within it (guide §2.5): languages are few and
+    // Zipfian, so repartition(lang) alone would plan ONE task holding
+    // the majority language at corpus scale (r14 verdict #2). The
+    // deterministic doc_id salt bounds the largest language to
+    // ~1/[[SinkSaltBuckets]] of its bytes per write task while keeping
+    // files clustered per lang directory; AQE partition coalescing
+    // collapses the near-empty salt cells at fixture scale, so small
+    // corpora still get few files per lang.
     curatedBand.select(col("doc_id"), col("quality"), col("lang"))
-      .repartition(col("lang"))
+      .repartition(col("lang"),
+        pmod(xxhash64(col("doc_id")), lit(SinkSaltBuckets)))
       .write.mode("overwrite").partitionBy("lang").parquet(out)
     s.read.parquet(out)
       .where(col("lang") === "en")
@@ -2183,7 +2199,9 @@ object NorthStarQueries extends QueryModule {
     val out = graft.core.Scratch.pathFor("curated_from_artifact", dir)
     s.read.parquet(curatedArtifact)
       .select(col("doc_id"), col("quality"), col("lang"))
-      .repartition(col("lang"))
+      // salted like [[qCurateSink]] — see the skew note there
+      .repartition(col("lang"),
+        pmod(xxhash64(col("doc_id")), lit(SinkSaltBuckets)))
       .write.mode("overwrite").partitionBy("lang").parquet(out)
     s.read.parquet(out)
       .where(col("lang") === "en")
