@@ -305,29 +305,6 @@ object Dedup {
                           maxIter: Int = 50): DataFrame =
     connectedComponentsWithIters(pairs, idA, idB, maxIter)._1
 
-  /** Read an observed long metric that was attached to an action that
-    * has ALREADY completed (the CC loop's eager localCheckpoint). The
-    * listener that publishes observed metrics fires asynchronously
-    * after the action, so poll briefly; if it never fires (a Spark
-    * listener regression), recount from the materialized frame — the
-    * pre-r15 cost, correct either way. A null metric (aggregate over
-    * zero rows) reads as 0. */
-  private def observedOrRecount(obs: org.apache.spark.sql.Observation,
-                                key: String, recount: => DataFrame): Long = {
-    // Observation.get blocks until the listener publishes; the
-    // non-blocking getters are private[sql], so bound the wait with a
-    // daemon-thread join instead
-    val ref = new java.util.concurrent.atomic.AtomicReference[Map[String, Any]](null)
-    val t = new Thread(() =>
-      try ref.set(obs.get) catch { case _: Throwable => () })
-    t.setDaemon(true); t.start(); t.join(10000L)
-    Option(ref.get).flatMap(_.get(key)) match {
-      case Some(null) => 0L
-      case Some(v)    => v.asInstanceOf[Number].longValue
-      case None       => recount.count()
-    }
-  }
-
   /** [[connectedComponents]] plus the round count it took to converge
     * (the ScaleSmoke evidence surface). */
   def connectedComponentsWithIters(pairs: DataFrame, idA: String, idB: String,
@@ -422,7 +399,7 @@ object Dedup {
           .otherwise(0L)).as("changed"))
       if (iter == 0) graft.core.LoopPlans.dump("cc_round", next)
       val nextCk = next.localCheckpoint()
-      changed = observedOrRecount(obs, "changed",
+      changed = graft.core.Observed.longOr(obs, "changed",
         nextCk.where(col("comp") =!= col("_oldc")))
       labels = nextCk.select(col("id"), col("comp"))
       iter += 1
@@ -501,7 +478,10 @@ object Dedup {
       .where(col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
     val cands = cross.union(internal).distinct()
-    jaccardForPairs(cands, allSets, idCol, "shset")
+    // candidates are delta-bounded (probe ∪ delta-internal) — measured
+    // small, the pair side broadcasts and the corpus-sized sets frame
+    // is scanned, never shuffled (2 corpus shuffles removed per call)
+    jaccardForPairsAdaptive(cands, allSets, idCol, "shset")
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -779,7 +759,10 @@ object Dedup {
       .where(col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
     val cands = cross.union(internal).distinct()
-    jaccardForPairs(cands, allSets, idCol, "shset")
+    // delta-bounded candidates: same adaptive verification as
+    // [[incrementalNearDupPairs]] — the store's sets are scanned in
+    // place instead of being re-shuffled by id per probe
+    jaccardForPairsAdaptive(cands, allSets, idCol, "shset")
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }

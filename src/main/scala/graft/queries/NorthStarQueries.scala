@@ -92,7 +92,10 @@ object NorthStarQueries extends QueryModule {
     val docw  = docWids(sets)
     val sigs  = Dedup.minhashSignatures(docw, "doc_id", "wid", MhK)
     val cands = Dedup.lshCandidatePairs(sigs, "doc_id", MhBands, MhK / MhBands)
-    Dedup.jaccardForPairs(cands, sets, "doc_id", "shset")
+    // adaptive verification (bands only collide near-dups, so the
+    // candidate set is tiny next to the corpus): measured-small pairs
+    // broadcast and the shingle-set frame is scanned, never shuffled
+    Dedup.jaccardForPairsAdaptive(cands, sets, "doc_id", "shset")
       .where(col("jaccard") >= 0.5)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
@@ -107,7 +110,8 @@ object NorthStarQueries extends QueryModule {
     val docw  = docWids(sets)
     val sigs  = Dedup.minhashSignatures(docw, "doc_id", "wid", MhK)
     val cands = Dedup.lshCandidatePairsNative(sigs, "doc_id", MhBands, MhK / MhBands)
-    Dedup.jaccardForPairs(cands, sets, "doc_id", "shset")
+    // same adaptive verification as [[qDedupMinhashLsh]]
+    Dedup.jaccardForPairsAdaptive(cands, sets, "doc_id", "shset")
       .where(col("jaccard") >= 0.5)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
@@ -1757,10 +1761,13 @@ object NorthStarQueries extends QueryModule {
     * replays the same stage CTEs and counts the same frames.
     *
     * Scale posture: each count is a metadata-sized aggregate over a
-    * stage that is already scale-shaped (the DAG's own operators);
-    * the stage frames are cached so the chain executes once, and the
-    * four 1-row aggregates union into a 4-row result — no new
-    * shuffles beyond the DAG's own. */
+    * stage that is already scale-shaped (the DAG's own operators),
+    * and the intermediate counts ride the band evaluation itself as
+    * OBSERVED metrics (r15): the reps and keeper counts are collected
+    * on the rows already flowing through the anti-join during the one
+    * band pass, so the funnel pays exactly one traversal of the chain
+    * plus a parquet-footer count of the raw table — no per-stage
+    * re-scan aggregates, no new shuffles beyond the DAG's own. */
   private def qCurateFunnel(implicit s: SparkSession, dir: String): DataFrame = {
     val reps = graft.core.Caches.track(Dedup.exactDedup(
       docs.select(col("doc_id"), col("text"), col("lang")), "doc_id", Seq("text")))
@@ -1770,18 +1777,29 @@ object NorthStarQueries extends QueryModule {
     val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
     val dropIds = comps.where(col("id") =!= col("comp"))
       .select(col("id").as("doc_id"))
+    val oReps = org.apache.spark.sql.Observation()
+    val oCur = org.apache.spark.sql.Observation()
     val curated = graft.core.Caches.track(
-      reps.join(dropIds, Seq("doc_id"), "left_anti"))
+      reps.toDF.observe(oReps, count(lit(1)).as("n"))
+        .join(dropIds, Seq("doc_id"), "left_anti")
+        .observe(oCur, count(lit(1)).as("n")))
     val scored = curated.select(col("doc_id"), col("lang"),
       TextFns.qualityScore(col("text")).as("quality"))
     val band = Selection.percentileBand(scored, "lang", "quality",
       0.25, 0.75, minGroupSize = 20)
-    Seq("0_raw" -> docs.toDF, "1_exact_reps" -> reps.toDF,
-        "2_cluster_keepers" -> curated.toDF, "3_quality_band" -> band)
-      .map { case (name, df) =>
-        df.agg(count(lit(1)).as("n_docs"))
-          .select(lit(name).as("stage"), col("n_docs"))
-      }.reduce(_ unionByName _)
+    // ONE pass: counting the band materializes the cached chain and
+    // fires both in-flight metrics (every reps row crosses the
+    // anti-join input; every keeper row crosses its output). The raw
+    // count is a parquet metadata aggregate. Fallbacks recount from
+    // the by-then-materialized caches — the pre-r15 cost.
+    val nBand = band.count()
+    val nDocs = docs.count()
+    val nReps = graft.core.Observed.longOr(oReps, "n", reps.toDF)
+    val nCur = graft.core.Observed.longOr(oCur, "n", curated)
+    import s.implicits._
+    Seq("0_raw" -> nDocs, "1_exact_reps" -> nReps,
+        "2_cluster_keepers" -> nCur, "3_quality_band" -> nBand)
+      .toDF("stage", "n_docs")
       .orderBy(col("stage"))
   }
 

@@ -757,7 +757,10 @@ object EventStreams {
             .distinct()
           val sets = storeSets.unionByName(
             Dedup.shingleSets(batch, "doc_id", "text", n))
-          Dedup.jaccardForPairs(cands, sets, "doc_id", "shset")
+          // batch-bounded candidates: broadcast the measured-small
+          // pair side so the STORE-sized sets frame is scanned, not
+          // re-shuffled by id twice per micro-batch
+          Dedup.jaccardForPairsAdaptive(cands, sets, "doc_id", "shset")
             .where(col("jaccard") >= threshold)
             .select(col("id_a"), col("id_b"),
               round(col("jaccard"), 6).as("jaccard"))
@@ -834,8 +837,10 @@ object EventStreams {
                 Dedup.shingleSets(reps, "doc_id", "text", n))
               // map the batch-side id back to its digest (delta and
               // store id spaces are disjoint, so exactly one side
-              // resolves)
-              Dedup.jaccardForPairs(cands, sets, "doc_id", "shset")
+              // resolves). Adaptive verification: the candidate set is
+              // batch-bounded, so the v0-store-sized sets frame is
+              // scanned in place instead of shuffled twice per batch.
+              Dedup.jaccardForPairsAdaptive(cands, sets, "doc_id", "shset")
                 .where(col("jaccard") >= threshold)
                 .join(broadcast(newCand.select(col("dmin").as("id_a"),
                   col("digest").as("dg_a"))), Seq("id_a"), "left")
